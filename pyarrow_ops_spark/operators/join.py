@@ -1,0 +1,107 @@
+"""Equi-join with the reference's parity quirks, plus the full Spark surface.
+
+Reference semantics (``/root/reference/pyarrow_ops/join.py:15-47``):
+
+- Inner equi-join only (its README lists other types as TODO).
+- Keys are Python-``hash()``ed, so ``None`` matches ``None`` — unlike SQL,
+  where ``NULL = NULL`` is false (SURVEY §1.4.2). Parity mode uses
+  ``eqNullSafe`` (``<=>``).
+- Output columns: all of left, then right's columns EXCLUDING any name
+  already present on the left — key columns appear once, right-side
+  non-key name clashes are silently dropped (``join.py:7-13``).
+- M×N duplicate keys produce the full M·N cartesian per key.
+- Hash collisions can wrongly merge distinct keys (CPython
+  ``hash(-1)==hash(-2)``); we deliberately do NOT replicate that defect —
+  Spark compares real key values.
+
+Spark-first: ``left.join(right, on, how)`` → Catalyst chooses
+broadcast-hash (small side under the AQE-adjusted threshold) or
+sort-merge. ``broadcast='auto'`` adds an explicit broadcast hint when one
+side is a known small dimension — at 100 TB the difference between a
+broadcast join and an unneeded 100 TB shuffle is the whole game.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SPARK_JOIN_TYPES = {
+    "inner",
+    "left",
+    "leftouter",
+    "left_outer",
+    "right",
+    "rightouter",
+    "right_outer",
+    "outer",
+    "full",
+    "fullouter",
+    "full_outer",
+    "cross",
+    "semi",
+    "leftsemi",
+    "left_semi",
+    "anti",
+    "leftanti",
+    "left_anti",
+}
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    null_equals_null: bool = True,
+    broadcast: str | bool = "auto",
+) -> DataFrame:
+    """Equi-join ``left`` and ``right`` on key columns ``on``.
+
+    ``null_equals_null=True`` (default) replicates the reference's
+    null-matching via ``eqNullSafe``; pass ``False`` for ANSI SQL
+    semantics. Right-side non-key columns whose names clash with left are
+    dropped (reference ``align_tables`` rule, ``join.py:10-12``).
+
+    ``broadcast``: ``True`` forces a broadcast hint on the right side,
+    ``False`` never hints, ``'auto'`` leaves the choice to Catalyst/AQE.
+    """
+    on = [on] if isinstance(on, str) else list(dict.fromkeys(on))
+    how = how.replace("_", "").lower()
+    if how not in {t.replace("_", "") for t in _SPARK_JOIN_TYPES}:
+        raise ValueError(f"join type {how!r} is not implemented!")
+
+    # Reference align_tables: right loses any column (beyond keys) whose
+    # name exists on the left.
+    clashing = [c for c in right.columns if c in left.columns and c not in on]
+    right_clean = right.drop(*clashing) if clashing else right
+
+    if broadcast is True:
+        right_clean = F.broadcast(right_clean)
+
+    semi_or_anti = how in ("semi", "leftsemi", "anti", "leftanti")
+
+    if not null_equals_null or how == "cross":
+        joined = left.join(right_clean, on=on if how != "cross" else None, how=how)
+        return joined
+
+    # eqNullSafe requires an explicit condition; dedupe key columns manually.
+    rc = right_clean
+    for k in on:
+        rc = rc.withColumnRenamed(k, f"__r_{k}__")
+    cond = reduce(and_, [left[k].eqNullSafe(rc[f"__r_{k}__"]) for k in on])
+    joined = left.join(rc, on=cond, how=how)
+    if semi_or_anti:
+        return joined  # semi/anti keep only left columns; nothing to drop
+    # Keep a single key column. For right/full joins the left key may be
+    # null where only the right side matched — coalesce the pair.
+    for k in on:
+        rk = f"__r_{k}__"
+        if how in ("right", "rightouter", "full", "fullouter", "outer"):
+            joined = joined.withColumn(k, F.coalesce(left[k], joined[rk]))
+        joined = joined.drop(rk)
+    return joined

@@ -1,0 +1,87 @@
+"""Parquet sources for the synthetic star schema (see TESTDATA.md).
+
+The reference library has no I/O layer at all — tables arrive via
+``pa.Table.from_pydict`` in caller code (reference ``test_func.py:5-8``);
+file reading is delegated to pyarrow outside the repo. Here the scan IS the
+engine's front door: ``spark.read.parquet`` gives columnar reads, predicate
+pushdown, column pruning, and partition pruning for free, all of which
+matter at 100 TB (the reference's eager whole-table materialization cannot
+scale past one node's RAM).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region=5 rows, nation=25 rows even at 100 TB — they are fixed-cardinality).
+BROADCASTABLE = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) — Spark reads them as int64 ns
+    (``spark.sql.legacy.parquet.nanosAsLong``); we restore them to µs
+    timestamps. Footer-only read, negligible cost."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one star-schema table from parquet."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Defensive runtime confs — the caller's session may not come from our
+    # factory (e.g. the correctness driver builds its own). Both are
+    # runtime-settable SQL confs.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for c in ns_cols:
+        # integer division keeps full precision (ns values exceed 2^53)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Register each table as a temp view so operators can be written in SQL."""
+    for name in names:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
