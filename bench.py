@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is materialized through the no-op sink (``format("noop")``) so
+the full plan executes distributed without collecting results to the
+driver — the standard way to benchmark Spark plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyarrow_ops_spark.session import get_spark  # noqa: E402
+from pyarrow_ops_spark.entry_queries import QUERIES  # noqa: E402
+
+# Headline set: the compare.py analog plus one query per operator family.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "micro_pipeline",
+    "join_inner_mxn",
+    "join_broadcast_agg",
+    "dedup_keep_first",
+    "dedup_keep_drop",
+    "groupby_sum_all",
+    "groupby_median",
+    "filters_conjunction",
+    "json_str_to_table",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(app_name="pyarrow_ops_spark_bench")
+
+    timings: dict[str, float] = {}
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    # Warm the JVM/codegen once with the cheapest query so the first timed
+    # run doesn't pay session startup.
+    QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

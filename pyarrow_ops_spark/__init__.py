@@ -27,6 +27,37 @@ from pyarrow_ops_spark.operators.join import join
 from pyarrow_ops_spark.operators.head import head
 from pyarrow_ops_spark.functions.jsons import str_to_table
 from pyarrow_ops_spark.ml.cleaner import TableCleaner
+from pyarrow_ops_spark.operators.window import top_k, running_agg, lag_lead
+from pyarrow_ops_spark.functions.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from pyarrow_ops_spark.functions.similarity import (
+    cosine_topk,
+    similarity_join,
+    lsh_topk,
+)
+from pyarrow_ops_spark.functions.text import (
+    text_stats,
+    token_count,
+    quality_score,
+    lang_guess,
+    fingerprint,
+)
+from pyarrow_ops_spark.functions.multimodal import (
+    with_media_metadata,
+    extract_features,
+)
+from pyarrow_ops_spark.streaming.windows import (
+    tumbling_counts,
+    sliding_counts,
+    sessionize_batch,
+    stream_tumbling_counts,
+)
 
 __all__ = [
     "get_spark",
@@ -43,6 +74,29 @@ __all__ = [
     "head",
     "str_to_table",
     "TableCleaner",
+    "top_k",
+    "running_agg",
+    "lag_lead",
+    "dedup_exact",
+    "exact_duplicates",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "cosine_topk",
+    "similarity_join",
+    "lsh_topk",
+    "text_stats",
+    "token_count",
+    "quality_score",
+    "lang_guess",
+    "fingerprint",
+    "with_media_metadata",
+    "extract_features",
+    "tumbling_counts",
+    "sliding_counts",
+    "sessionize_batch",
+    "stream_tumbling_counts",
 ]
 
 __version__ = "0.1.0"

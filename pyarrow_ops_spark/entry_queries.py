@@ -405,3 +405,441 @@ def q_micro_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         j, on=["l_orderkey"], keep="first", order_by=["l_linenumber", "l_quantity"]
     )
     return groupby(d, "o_custkey").mean(["l_quantity"])
+
+
+# ---------------------------------------------------------------------------
+# Window functions (reference TODO README.md:94) + sort/limit + set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk",
+    f"""
+    SELECT {_ORDERS_COLS}, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+        FROM orders) t
+    WHERE rank <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — row_number window, one shuffle on the
+    partition key."""
+    from pyarrow_ops_spark.operators.window import top_k
+
+    orders = load_table(spark, "orders", sf_dir)
+    return top_k(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+        descending=False,  # explicit desc already encoded in order_by
+        rank_col="rank",
+    )
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           sum(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+    FROM lineitem
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per supplier over ship order (total order via the
+    unique-ish suffix keys so both engines agree on prefix sums; l_quantity
+    is integral-valued so the sums are FP-exact)."""
+    from pyarrow_ops_spark.operators.window import running_agg
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = running_agg(
+        li,
+        partition_by=["l_suppkey"],
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        agg_col="l_quantity",
+        out_col="running_qty",
+    )
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "running_qty"
+    )
+
+
+@query(
+    "sort_limit_topn",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition
+    top-N then a k-row merge on the driver, no full sort at any scale."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "setops_intersect_except",
+    """
+    WITH big AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000),
+         urgent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)
+    UNION ALL
+    SELECT c_custkey, 'big_only' AS tag FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent)
+    """,
+)
+def q_setops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except / union — absent in the reference (SURVEY §2.2
+    'Set ops'), native in Spark."""
+    orders = load_table(spark, "orders", sf_dir)
+    big = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = big.intersect(urgent).withColumn("tag", F.lit("both"))
+    big_only = big.exceptAll(urgent).withColumn("tag", F.lit("big_only"))
+    return both.unionByName(big_only)
+
+
+@query(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup grouping sets — absent in the reference (SURVEY §2.2
+    'Aggregations')."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark scan for distinct
+    pivot values at 100 TB)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# North star: text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    r"""
+    SELECT doc_id, lang, source,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars_actual,
+           round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 4) AS letter_ratio,
+           round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                 / len(string_split_regex(trim(text), '\s+')), 4) AS avg_word_len,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/letter-ratio metrics + md5 fingerprint —
+    pure column expressions, single map-only stage."""
+    from pyarrow_ops_spark.functions.text import (
+        token_count,
+        letter_ratio,
+        avg_word_length,
+        fingerprint,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(letter_ratio("text"), 4).alias("letter_ratio"),
+        F.round(avg_word_length("text"), 4).alias("avg_word_len"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+@query(
+    "text_lang_guess",
+    r"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS s_de,
+               len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS s_en,
+               len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS s_es,
+               len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             ELSE 'fr'
+           END AS guessed
+    FROM s
+    """,
+)
+def q_text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language heuristic (ties resolve in alphabetical
+    language order in both engines)."""
+    from pyarrow_ops_spark.functions.text import lang_guess
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", "lang", lang_guess("text").alias("guessed"))
+
+
+# ---------------------------------------------------------------------------
+# North star: deduplication over documents
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.85
+    """
+
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized fingerprint — the
+    shuffle carries 16-byte digests, never the documents."""
+    from pyarrow_ops_spark.functions.dedup import exact_duplicates
+
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_duplicates(docs)
+
+
+@query("dedup_jaccard_brute", _JACCARD_ORACLE)
+def q_dedup_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 3-gram Jaccard pairs >= 0.85 (O(n²) baseline — the
+    oracle semantics for the LSH path below)."""
+    from pyarrow_ops_spark.functions.dedup import jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return jaccard_pairs(docs, threshold=0.85)
+
+
+@query("dedup_minhash_lsh", _JACCARD_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified — same oracle as the
+    brute-force: with 64 hashes / 16 bands the per-pair miss probability at
+    j>=0.85 is ~7e-6, so LSH output == brute force on this corpus. The LSH
+    candidate join is linear in corpus size (the 100 TB path)."""
+    from pyarrow_ops_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_lsh_pairs(docs, threshold=0.85)
+
+
+@query("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (Hamming <= 3 over 64-bit signatures,
+    banded 4x16 bits). Rows-only check: the bit-vote UDF semantics are not
+    SQL-expressible in DuckDB."""
+    from pyarrow_ops_spark.functions.dedup import simhash_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# North star: embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_join_threshold",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+    """,
+)
+def q_similarity_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine self-join above a threshold (JVM-side zip_with/
+    aggregate fold over double arrays — no UDF)."""
+    from pyarrow_ops_spark.functions.similarity import similarity_join
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity_join(emb, threshold=0.45)
+
+
+@query(
+    "similarity_topk_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT q_id, vec_id, sim FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               round(list_cosine_similarity(q.v, c.v), 4) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id) AS rn
+        FROM e q JOIN e c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 5) t
+    WHERE rn <= 5
+    """,
+)
+def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 by cosine for query vectors vec_id<5 — broadcast the
+    query set, rank on the rounded similarity (deterministic across
+    engines)."""
+    from pyarrow_ops_spark.functions.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=5)
+
+
+@query("similarity_topk_lsh")
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH bucketing (the scale
+    path; recall < 1 by design, so rows-only — pytest checks recall vs the
+    brute-force baseline)."""
+    from pyarrow_ops_spark.functions.similarity import lsh_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, dim=64, k=5, bits=16, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# North star: multimodal binary columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(1 + ('0x' || substr(md5(text), 1, 2))::INTEGER AS INT) AS width,
+           CAST(1 + ('0x' || substr(md5(text), 3, 2))::INTEGER AS INT) AS height,
+           round(('0x' || substr(md5(text), 5, 2))::INTEGER / 255.0, 6) AS mean_luma
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text bytes stand in for media payloads;
+    mapInPandas feature extraction with the deterministic fake decode
+    (real decode is stubbed — no media libs in this container)."""
+    from pyarrow_ops_spark.functions.multimodal import extract_features
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_features(docs, "payload", "doc_id", fake_decode=True)
+
+
+# ---------------------------------------------------------------------------
+# North star: streaming-shaped windowed aggregation over events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_agg",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event_type — the same transformation the
+    streaming path runs with a watermark (see streaming/windows.py)."""
+    from pyarrow_ops_spark.streaming.windows import tumbling_counts
+
+    ev = load_table(spark, "events", sf_dir)
+    return tumbling_counts(ev, "1 hour")
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM gaps
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           round(sum(value), 4) AS sum_value
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + running sum — the batch
+    twin of streaming session_window."""
+    from pyarrow_ops_spark.streaming.windows import sessionize_batch
+
+    ev = load_table(spark, "events", sf_dir)
+    return sessionize_batch(ev, gap_minutes=30)

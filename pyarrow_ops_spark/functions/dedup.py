@@ -1,0 +1,265 @@
+"""Document deduplication for training-data pipelines: exact, n-gram
+Jaccard, MinHash-LSH, and SimHash (north-star surface; the reference's only
+dedup is row-level ``drop_duplicates``).
+
+Scale design (the point of each variant):
+
+- **Exact**: hash-groupBy on a normalized fingerprint — one shuffle on the
+  16-byte digest, never on the document text.
+- **Brute-force Jaccard**: O(n²) pair join — correct but only for small n;
+  kept as the oracle/baseline.
+- **MinHash-LSH**: the 100 TB path. Shingle → k minhashes → b bands; a
+  candidate pair must share a band bucket, so the join key is the (band,
+  signature) pair and the shuffle is linear in corpus size, not quadratic.
+  Candidates are then verified with exact Jaccard, so the output equals the
+  brute-force result with probability 1 - (1 - t^r)^b per pair (~1e-8 miss
+  at t=0.9 with k=64, b=16, r=4).
+- **SimHash**: 64-bit signature whose Hamming distance tracks cosine
+  similarity of the shingle sets; banded by 4×16-bit chunks for candidate
+  generation. Shingle hashing stays JVM-side (xxhash64); only the
+  bit-vote is a vectorized pandas UDF.
+
+All hash functions are fixed-seed and engine-deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyarrow_ops_spark.functions.text import fingerprint
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the raw text (positions 1..len-n+1),
+    as an array<string> column — pure Catalyst (sequence + transform)."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (as double)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: (fp, canonical_id, n_copies).
+    Shuffles only (digest, id) pairs — the text never moves."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one document per normalized text (the lowest id)."""
+    winners = exact_duplicates(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(winners, on=id_col, how="semi")
+
+
+# ---------------------------------------------------------------------------
+# brute-force n-gram Jaccard pairs (baseline / oracle)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= threshold via an O(n²) self-join.
+    Baseline only — use minhash_lsh_pairs at scale."""
+    sh = df.select(
+        F.col(id_col).alias("id"), char_shingles(text_col, n).alias("grams")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    j = jaccard(F.col("grams_a"), F.col("grams_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(j, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(grams: Column, num_hashes: int = 64) -> list[Column]:
+    """k minhash values: min over shingles of xxhash64(seed_i ++ shingle).
+    Fixed seeds 0..k-1 — deterministic across runs and engines."""
+    return [
+        F.array_min(
+            F.transform(grams, lambda g: F.xxhash64(F.concat(F.lit(f"s{i}:"), g)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact verification.
+
+    Pipeline: shingle -> k minhashes -> b band signatures (hash of r
+    consecutive minhashes) -> explode to (band, sig, id) -> self-join on
+    (band, sig) -> distinct candidate pairs -> exact Jaccard filter.
+
+    The candidate join shuffles only band signatures (linear in corpus);
+    exact verification re-joins the shingle arrays for candidates only.
+    """
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), char_shingles(text_col, n).alias("grams")
+    )
+    sig = sh.select("id", "grams", *minhash_signature(F.col("grams"), num_hashes))
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    # (band_index, band_signature) pairs — explode keeps the shuffle narrow
+    exploded = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
+                for b in range(bands)
+            ])
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.sig")
+    left = exploded.select(F.col("id").alias("id_a"), "band", "sig")
+    right = exploded.select(F.col("id").alias("id_b"), "band", "sig")
+    candidates = (
+        left.join(right, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (shingles re-joined per side)
+    grams_a = sh.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    grams_b = sh.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (
+        candidates.join(grams_a, on="id_a").join(grams_b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Shingle hashing is JVM-side (xxhash64 over the shingle array); the
+    per-bit majority vote runs as a vectorized pandas UDF over the hash
+    arrays (numpy bit unpacking), Arrow-batched.
+    """
+    import numpy as np
+
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(char_shingles(text_col, n), lambda g: F.xxhash64(g)).alias("hashes"),
+    )
+
+    def vote(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for hashes in pdf["hashes"]:
+                h = np.asarray(hashes, dtype=np.uint64)
+                # unpack 64 bits -> (n_shingles, 64) of {0,1}
+                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for i in np.nonzero(votes > 0)[0]:
+                    sig |= np.uint64(1) << np.uint64(i)
+                out.append(np.int64(sig.astype(np.int64)))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return hashed.mapInPandas(vote, schema=f"{id_col} long, simhash long")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash banding (4 × 16-bit chunks: any
+    pair within Hamming distance 3 shares at least one chunk), verified by
+    exact Hamming distance."""
+    sig = simhash(df, id_col, text_col)
+    chunks = sig.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk", "c.val")
+    left = chunks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
+    )
+    right = chunks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "val"
+    )
+    cands = (
+        left.join(right, on=["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,98 @@
+"""Multimodal (binary) column plumbing for training-data pipelines.
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct. The Spark-side machinery — schema, partition-friendly batch
+processing via ``mapInPandas``, deterministic feature extraction — is real
+and tested; the actual media decode is STUBBED (the decode libraries are
+not in this container): ``decode_image`` raises ``NotImplementedError``
+unless given the deterministic-fake flag, which produces a stable fake
+"decoded" feature row from the bytes alone.
+
+At scale: binary payloads stay in executor memory only for the duration of
+one Arrow batch; metadata-only plans (filtering by size/mime before
+decode) never deserialize the payload at all — keep the metadata struct in
+its own columns so Parquet column pruning skips the blob.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = "struct<mime:string,n_bytes:bigint,width:int,height:int>"
+
+
+def with_media_metadata(df: DataFrame, binary_col: str, mime: str = "application/octet-stream") -> DataFrame:
+    """Attach a typed metadata struct computed from the payload (JVM-side:
+    length/hash only — no decode)."""
+    b = F.col(binary_col)
+    return df.withColumn(
+        f"{binary_col}_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(b).cast("bigint").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> dict:
+    """STUB: real decode needs an image library not present here.
+
+    With ``fake=True`` returns a deterministic pseudo-decode derived from
+    the bytes (stable across engines/runs) so the distributed plumbing can
+    be exercised end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library not available in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    digest = hashlib.md5(payload).digest()
+    return {
+        "width": 1 + digest[0],
+        "height": 1 + digest[1],
+        "mean_luma": digest[2] / 255.0,
+    }
+
+
+def extract_features(
+    df: DataFrame, binary_col: str, id_col: str, fake_decode: bool = True
+) -> DataFrame:
+    """Per-payload feature extraction over ``mapInPandas``: Arrow batches
+    of (id, payload) in, (id, n_bytes, digest, width, height, mean_luma)
+    out. The batch shape — not per-row UDF calls — is what scales."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(p, fake=fake_decode) for p in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(p) for p in pdf[binary_col]],
+                    "digest": [hashlib.md5(p).hexdigest() for p in pdf[binary_col]],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "mean_luma": [round(f["mean_luma"], 6) for f in feats],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run,
+        schema=f"{id_col} long, n_bytes long, digest string, width int, height int, mean_luma double",
+    )
+
+
+def sample_frames(df: DataFrame, binary_col: str, every_n: int = 30) -> DataFrame:
+    """STUB: video frame sampling requires a media library not available in
+    this environment."""
+    raise NotImplementedError(
+        "video frame sampling requires a media decode library; the Spark "
+        "plumbing pattern is extract_features() with a frame-expanding "
+        "mapInPandas (one input row -> many output rows)"
+    )

@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines (north-star surface).
+
+All metrics are pure Catalyst column expressions — JVM-side, codegen-fused,
+no Python in the hot path — so they run as a single map-only stage over any
+corpus size. The reference has no text operators at all; this extends the
+surface per BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately minimal and deterministic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored proxy: count word pieces + digits + punctuation runs.
+
+    A deterministic regex segmentation (letter runs split every 4 chars is
+    NOT done — just runs), standing in for a real tokenizer: words, numbers
+    and punctuation each count as one token.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+
+
+def letter_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.length(c)
+
+
+def avg_word_length(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"\s+", "")) / token_count(c)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1]: length credit (up to 64
+    tokens), letter ratio, and closeness of mean word length to 5."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_credit = F.least(token_count(c) / F.lit(64.0), F.lit(1.0))
+    wl = avg_word_length(c)
+    wl_credit = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(wl - F.lit(5.0)) / F.lit(5.0))
+    return F.round(0.4 * len_credit + 0.3 * letter_ratio(c) + 0.3 * wl_credit, 4)
+
+
+def stopword_hits(col: Column | str, words: list[str]) -> Column:
+    """Number of tokens that are in ``words`` (exact word matches)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Stopword-vote language heuristic: the language with the most
+    stopword hits wins; ties and zero hits resolve to 'und' (undetermined).
+    Deterministic; resolves ties in fixed language order."""
+    c = F.col(col) if isinstance(col, str) else col
+    scores = [(lang, stopword_hits(c, words)) for lang, words in sorted(STOPWORDS.items())]
+    best = F.greatest(*[s for _, s in scores])
+    # build from last to first so earlier languages win ties
+    expr: Column = F.lit("und")
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lower-cased text (identical in any engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """One row per document with the full metric set."""
+    return df.select(
+        *df.columns,
+        token_count(col).alias("n_tokens"),
+        F.length(F.col(col)).alias("n_chars_actual"),
+        F.round(letter_ratio(col), 4).alias("letter_ratio"),
+        F.round(avg_word_length(col), 4).alias("avg_word_len"),
+        quality_score(col).alias("quality"),
+        fingerprint(col).alias("fp"),
+    )

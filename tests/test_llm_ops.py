@@ -1,0 +1,115 @@
+"""Tests for the north-star pipeline operators: dedup family, similarity
+search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyarrow_ops_spark.functions import dedup as D
+from pyarrow_ops_spark.functions import similarity as S
+from pyarrow_ops_spark.functions import text as TX
+from pyarrow_ops_spark.functions import multimodal as MM
+from pyarrow_ops_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, "documents", SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF_DIR)
+
+
+def test_exact_dedup_identity_when_no_dups(spark, docs):
+    # all 500 texts are distinct → dedup keeps everything
+    assert D.dedup_exact(docs).count() == docs.count()
+
+
+def test_exact_dedup_collapses_planted_copy(spark, docs):
+    one = docs.limit(1)
+    dup = one.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dup = docs.unionByName(dup)
+    assert D.dedup_exact(with_dup).count() == docs.count()
+    dups = D.exact_duplicates(with_dup).filter(F.col("n_copies") > 1)
+    assert dups.count() == 1
+
+
+def test_minhash_lsh_equals_bruteforce(docs):
+    brute = {
+        (r.id_a, r.id_b) for r in D.jaccard_pairs(docs, 0.85).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, 0.85).collect()
+    }
+    assert brute, "fixture should contain planted near-dups"
+    assert lsh == brute
+
+
+def test_simhash_identical_texts_zero_hamming(spark, docs):
+    one = docs.limit(1)
+    dup = one.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    pair = one.unionByName(dup)
+    out = D.simhash_pairs(pair, max_hamming=0)
+    assert out.count() == 1
+    assert out.collect()[0].hamming == 0
+
+
+def test_lsh_topk_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.q_id, r.vec_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in S.lsh_topk(emb, queries, dim=64, k=5, bits=16, bands=4).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_text_metrics_simple_string(spark):
+    df = spark.createDataFrame([("hello world  again",)], ["text"])
+    row = df.select(
+        TX.token_count("text").alias("t"),
+        TX.fingerprint("text").alias("fp"),
+        TX.lang_guess("text").alias("lang"),
+    ).collect()[0]
+    assert row.t == 3
+    import hashlib
+
+    assert row.fp == hashlib.md5(b"hello world again").hexdigest()
+    assert row.lang == "und"  # no stopwords
+
+
+def test_lang_guess_votes(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of the house",), ("der hund und die katze ist da",)],
+        ["text"],
+    )
+    got = [r.lang for r in df.select(TX.lang_guess("text").alias("lang")).collect()]
+    assert got == ["en", "de"]
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"bytes", fake=False)
+
+
+def test_multimodal_fake_features_deterministic(spark):
+    df = spark.createDataFrame([(1, b"abc"), (2, b"abc")], "id long, payload binary")
+    out = MM.extract_features(df, "payload", "id").collect()
+    a, b = sorted(out, key=lambda r: r.id)
+    assert a.digest == b.digest and a.width == b.width and a.mean_luma == b.mean_luma
+    assert a.n_bytes == 3
+
+
+def test_media_metadata_struct(spark):
+    df = spark.createDataFrame([(1, b"abcd")], "id long, payload binary")
+    out = MM.with_media_metadata(df, "payload", mime="image/png").collect()[0]
+    assert out.payload_meta.mime == "image/png"
+    assert out.payload_meta.n_bytes == 4
