@@ -33,6 +33,15 @@ BENCH_QUERIES = [
     "groupby_median",
     "filters_conjunction",
     "json_str_to_table",
+    # extension surface
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "window_topk",
+    "asof_join_clicks",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_stats",
 ]
 
 

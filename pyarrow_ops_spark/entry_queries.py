@@ -631,7 +631,7 @@ def q_text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_ORACLE = r"""
     WITH sh AS (
         SELECT doc_id,
-               list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS grams
+               list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS grams
         FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -639,7 +639,7 @@ _JACCARD_ORACLE = r"""
                  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.85
+                (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.8
     """
 
 
@@ -663,24 +663,26 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_jaccard_brute", _JACCARD_ORACLE)
 def q_dedup_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force 3-gram Jaccard pairs >= 0.85 (O(n²) baseline — the
+    """Brute-force 5-gram Jaccard pairs >= 0.8 (O(n²) baseline — the
     oracle semantics for the LSH path below)."""
     from pyarrow_ops_spark.functions.dedup import jaccard_pairs
 
     docs = load_table(spark, "documents", sf_dir)
-    return jaccard_pairs(docs, threshold=0.85)
+    return jaccard_pairs(docs, threshold=0.8, n=5)
 
 
 @query("dedup_minhash_lsh", _JACCARD_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified — same oracle as the
-    brute-force: with 64 hashes / 16 bands the per-pair miss probability at
-    j>=0.85 is ~7e-6, so LSH output == brute force on this corpus. The LSH
-    candidate join is linear in corpus size (the 100 TB path)."""
+    brute-force: with 80 hashes / 16 bands (r=5) the per-pair miss
+    probability at j>=0.9 is ~8e-7, so LSH output == brute force on this
+    corpus, while the banded candidate join is linear in corpus size (the
+    100 TB path). 5-gram shingles keep the word-soup baseline similarity
+    (<=0.35) far from the banding threshold."""
     from pyarrow_ops_spark.functions.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, "documents", sf_dir)
-    return minhash_lsh_pairs(docs, threshold=0.85)
+    return minhash_lsh_pairs(docs, threshold=0.8, n=5)
 
 
 @query("dedup_simhash")
@@ -843,3 +845,333 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return sessionize_batch(ev, gap_minutes=30)
+
+
+@query(
+    "events_sliding_agg",
+    """
+    WITH shifted AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - (k * INTERVAL '30 minutes') AS window_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+        WHERE ts < time_bucket(INTERVAL '30 minutes', ts) - (k * INTERVAL '30 minutes') + INTERVAL '1 hour'
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM shifted GROUP BY 1, 2
+    """,
+)
+def q_events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows (each event lands in 2 windows)."""
+    from pyarrow_ops_spark.streaming.windows import sliding_counts
+
+    ev = load_table(spark, "events", sf_dir)
+    return sliding_counts(ev, "1 hour", "30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (absent in reference AND core Spark — composed from
+# union + window; DuckDB validates with its native ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_clicks",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_id AS click_id_asof, c.ts AS ts_asof
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before it —
+    single shuffle + window scan (no quadratic range join); checked against
+    DuckDB's native ASOF JOIN."""
+    from pyarrow_ops_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_id"],
+        direction="backward",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deeper TPC-H-style multi-join analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+)
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: 3-way join with filters pushed to all scans; the
+    customer dim is broadcast."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_shipdate") > "1995-03-15")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        li, li.l_orderkey == orders.o_orderkey
+    )
+    return j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    ).select("l_orderkey", "revenue", "o_orderdate")
+
+
+@query(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n.n_name
+    """,
+)
+def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: fact table joins broadcast dims
+    (customer/nation/region); only the orders⋈lineitem join shuffles."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "having_filter_after_groupby",
+    """
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+)
+def q_having_filter_after_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — the reference composes filters() after groupby (SURVEY
+    §2.2); same composition here, one aggregation + post-filter."""
+    orders = load_table(spark, "orders", sf_dir)
+    agg = groupby(orders, "o_custkey").df.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+    )
+    return filters(agg, ("n_orders", ">=", 15))
+
+
+@query(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "union_distinct",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union + distinct (SURVEY §2.2 'Set ops')."""
+    a = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# ML cleaner as a query (encode paths are deterministic SQL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_clean_encode",
+    """
+    SELECT c_custkey,
+           CASE c_mktsegment
+             WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2 WHEN 'FURNITURE' THEN 3
+             ELSE 0 END AS c_mktsegment,
+           c_mktsegment = 'AUTOMOBILE' AS c_mktsegment_AUTOMOBILE,
+           c_mktsegment = 'BUILDING' AS c_mktsegment_BUILDING,
+           c_mktsegment = 'FURNITURE' AS c_mktsegment_FURNITURE,
+           c_mktsegment = 'HOUSEHOLD' AS c_mktsegment_HOUSEHOLD,
+           c_mktsegment = 'MACHINERY' AS c_mktsegment_MACHINERY
+    FROM customer
+    """,
+)
+def q_ml_clean_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableCleaner label + one-hot encoding over customer (explicit
+    categories → fully deterministic; fit-free plan, map-only stage)."""
+    from pyarrow_ops_spark.ml.cleaner import TableCleaner
+
+    cust = load_table(spark, "customer", sf_dir)
+    cleaner = TableCleaner()
+    cleaner.register_label(
+        "c_mktsegment", categories=["AUTOMOBILE", "BUILDING", "FURNITURE"]
+    )
+    cleaner.register_one_hot(
+        "c_mktsegment",
+        categories=[
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+        ],
+    )
+    return _ml_with_key(cust, cleaner)
+
+
+def _ml_with_key(cust: DataFrame, cleaner) -> DataFrame:
+    """Keep the key column alongside the cleaned outputs."""
+    exprs = [F.col("c_custkey")]
+    for col in cleaner.columns:
+        for out_name, expr in col.transform_exprs():
+            exprs.append(expr.alias(out_name))
+    return cust.select(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-callable aggregation + approximate aggs (rows-only: not
+# SQL-expressible / approximate by design)
+# ---------------------------------------------------------------------------
+
+
+@query("groupby_aggregate_callable")
+def q_groupby_aggregate_callable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's de-facto UDAF (group.py:39-48): arbitrary numpy
+    callable per group via applyInPandas. Rows-only: Python semantics, by
+    construction not expressible as DuckDB SQL."""
+    import numpy as np
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_quantity", "l_discount"
+    )
+    return groupby(li, "l_returnflag").aggregate(
+        {"l_quantity": np.median, "l_discount": lambda a: float(np.quantile(a, 0.9))}
+    )
+
+
+@query("approx_distinct_quantile")
+def q_approx_distinct_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ count-distinct, GK quantile sketch) —
+    the 100 TB substitutes for exact distinct/median. Approximate by
+    design → rows-only."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (north-star text analysis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_pieces,
+           len(string_split_regex(trim(text), '\s+')) AS n_words
+    FROM documents
+    """,
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style piece counting (letter runs / digit runs /
+    punctuation) next to whitespace word counts."""
+    from pyarrow_ops_spark.functions.text import bpe_ish_token_count, token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count("text").alias("n_pieces"),
+        token_count("text").alias("n_words"),
+    )

@@ -112,12 +112,21 @@ def jaccard_pairs(
 
 
 def minhash_signature(grams: Column, num_hashes: int = 64) -> list[Column]:
-    """k minhash values: min over shingles of xxhash64(seed_i ++ shingle).
-    Fixed seeds 0..k-1 — deterministic across runs and engines."""
+    """k minhash values with fixed seeds 0..k-1 — deterministic across runs
+    and engines.
+
+    Takes the string-shingle array; for repeated use prefer hashing the
+    shingles once into longs and calling ``_minhash_from_hashes``."""
+    base = F.transform(grams, lambda g: F.xxhash64(g))
     return [
-        F.array_min(
-            F.transform(grams, lambda g: F.xxhash64(F.concat(F.lit(f"s{i}:"), g)))
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(i)))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def _minhash_from_hashes(hashes: Column, num_hashes: int) -> list[Column]:
+    return [
+        F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i)))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
 
@@ -127,8 +136,8 @@ def minhash_lsh_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 64,
+    n: int = 5,
+    num_hashes: int = 80,
     bands: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact verification.
@@ -141,10 +150,18 @@ def minhash_lsh_pairs(
     exact verification re-joins the shingle arrays for candidates only.
     """
     rows = num_hashes // bands
-    sh = df.select(
+    # Spread the hash-heavy signature computation across all cores: a small
+    # single-file scan arrives as ONE partition; at real scale the file
+    # splits provide this parallelism for free.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(parallelism).select(
         F.col(id_col).alias("id"), char_shingles(text_col, n).alias("grams")
     )
-    sig = sh.select("id", "grams", *minhash_signature(F.col("grams"), num_hashes))
+    # hash string shingles ONCE; the k signature slots re-mix longs
+    hashed = sh.select(
+        "id", "grams", F.transform("grams", lambda g: F.xxhash64(g)).alias("hashes")
+    )
+    sig = hashed.select("id", *_minhash_from_hashes(F.col("hashes"), num_hashes))
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
@@ -160,12 +177,30 @@ def minhash_lsh_pairs(
             ])
         ).alias("bs"),
     ).select("id", "bs.band", "bs.sig")
-    left = exploded.select(F.col("id").alias("id_a"), "band", "sig")
-    right = exploded.select(F.col("id").alias("id_b"), "band", "sig")
+    # Bucket-local pair generation instead of a self-join: ONE pass over the
+    # signatures (a self-join would execute the whole signature pipeline
+    # twice), one shuffle on (band, sig), pairs generated inside each
+    # bucket. Degenerate buckets (>max_bucket ids) are dropped — a bucket
+    # that catches thousands of docs carries no near-dup signal, only
+    # O(bucket²) pair blowup.
+    max_bucket = 10_000
+    buckets = (
+        exploded.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     candidates = (
-        left.join(right, on=["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # verify candidates with exact Jaccard (shingles re-joined per side)
@@ -246,16 +281,34 @@ def simhash_pairs(
             ])
         ).alias("c"),
     ).select("id", "simhash", "c.chunk", "c.val")
-    left = chunks.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
+    # bucket-local pair generation (same rationale as minhash_lsh_pairs:
+    # one pass over the signature pipeline, no self-join recompute)
+    buckets = (
+        chunks.groupBy("chunk", "val")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
     )
-    right = chunks.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "val"
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["simhash"].alias("sh_a"),
+                    y["simhash"].alias("sh_b"),
+                ),
+            ),
+        )
     )
     cands = (
-        left.join(right, on=["chunk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -26,6 +26,33 @@ from pyspark.sql import types as T
 _PARSED = "__parsed__"
 
 
+def _type_of(value) -> T.DataType:
+    if isinstance(value, bool):
+        return T.BooleanType()
+    if isinstance(value, int):
+        return T.LongType()
+    if isinstance(value, float):
+        return T.DoubleType()
+    if isinstance(value, dict):
+        return T.StructType(
+            [T.StructField(k, _type_of(v), True) for k, v in value.items()]
+        )
+    if isinstance(value, list):
+        elem = _type_of(value[0]) if value else T.StringType()
+        return T.ArrayType(elem, True)
+    return T.StringType()  # str and null
+
+
+def _schema_from_record(record_json: str) -> T.StructType:
+    """Schema of one JSON object string, inferred driver-side."""
+    import json
+
+    obj = json.loads(record_json)
+    if not isinstance(obj, dict):
+        raise ValueError(f"expected a JSON object, got: {record_json[:80]!r}")
+    return T.StructType([T.StructField(k, _type_of(v), True) for k, v in obj.items()])
+
+
 def str_to_table(
     df: DataFrame,
     col: str,
@@ -41,9 +68,10 @@ def str_to_table(
         first = df.select(col).filter(F.col(col).isNotNull()).limit(1).collect()
         if not first:
             return df if keep_input else df.drop(col)
-        resolved = df.sparkSession.range(1).select(
-            F.schema_of_json(F.lit(first[0][0])).alias("s")
-        ).collect()[0]["s"]
+        # first-record inference in pure Python (no extra Spark job) — this
+        # IS the reference's semantics: columns come from the first
+        # record's keys (jsons.py:8)
+        resolved = _schema_from_record(first[0][0])
     else:  # 'infer': sample all records like spark.read.json
         resolved = (
             df.sparkSession.read.json(

@@ -1,0 +1,56 @@
+"""Physical-plan inspection helpers.
+
+The scale contract of every operator ("filter reaches the scan", "dim join
+broadcasts", "no extra shuffle") is asserted in tests via these helpers —
+plan shape is part of the public behavior, not an implementation detail.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """Concatenated PushedFilters contents across the plan's scans (filter
+    expressions contain commas, so no per-filter splitting)."""
+    plan = formatted_plan(df)
+    return "; ".join(
+        m.group(1).strip() for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan)
+    )
+
+
+def plan_nodes(df: DataFrame) -> list[tuple[str, str]]:
+    """(node_name, block_text) per physical operator in the formatted
+    plan's detail section."""
+    plan = formatted_plan(df)
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    out = []
+    for b in blocks:
+        m = re.match(r"\((\d+)\) (\S+)", b)
+        if m:
+            out.append((m.group(2), b))
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange operators (excluding broadcast exchanges and
+    AQE-reused ones)."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    plan = formatted_plan(df)
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))

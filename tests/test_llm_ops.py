@@ -40,10 +40,10 @@ def test_exact_dedup_collapses_planted_copy(spark, docs):
 
 def test_minhash_lsh_equals_bruteforce(docs):
     brute = {
-        (r.id_a, r.id_b) for r in D.jaccard_pairs(docs, 0.85).collect()
+        (r.id_a, r.id_b) for r in D.jaccard_pairs(docs, 0.8, n=5).collect()
     }
     lsh = {
-        (r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, 0.85).collect()
+        (r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, 0.8, n=5).collect()
     }
     assert brute, "fixture should contain planted near-dups"
     assert lsh == brute

@@ -1,0 +1,75 @@
+"""Plan-shape assertions: the scale contract of each operator.
+
+These tests pin the physical plan properties that make the engine viable
+at 100 TB — if a refactor silently un-pushes a filter or turns a broadcast
+join into a shuffle, they fail."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyarrow_ops_spark.entry_queries import QUERIES
+from pyarrow_ops_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    shuffle_count,
+)
+from tests.conftest import SF_DIR
+
+
+def test_filters_reach_parquet_scan(spark):
+    df = QUERIES["filters_conjunction"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert "EqualTo(l_returnflag,A)" in pushed
+    assert "LessThan(l_quantity,30.0)" in pushed
+    assert "In(l_linestatus" in pushed
+
+
+def test_q1_scan_prunes_columns(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # only the 7 needed columns are read, not all 11
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+    assert "LessThanOrEqual(l_shipdate" in pushed_filters(df)
+
+
+def test_q1_single_shuffle(spark):
+    # partial + final hash aggregate → exactly one exchange
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    assert shuffle_count(df) == 1
+
+
+def test_dim_join_broadcasts(spark):
+    assert has_broadcast_join(QUERIES["join_broadcast_agg"](spark, SF_DIR))
+    assert has_broadcast_join(QUERIES["q5_nation_revenue"](spark, SF_DIR))
+
+
+def test_dedup_uses_window_group_limit(spark):
+    # Spark 3.5+ pushes a WindowGroupLimit below the exchange for
+    # row_number()<=k — map-side pre-filtering of the dedup window
+    df = QUERIES["dedup_keep_first"](spark, SF_DIR)
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_sort_limit_is_take_ordered(spark):
+    df = QUERIES["sort_limit_topn"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    from pyarrow_ops_spark.plans.inspect import plan_nodes
+
+    df = QUERIES["dedup_exact_docs"](spark, SF_DIR)
+    # the exchange carries the md5 fingerprint, not the text column
+    exchanges = [b for name, b in plan_nodes(df) if name == "Exchange"]
+    assert exchanges, "expected a hash exchange in the plan"
+    assert all("text#" not in b for b in exchanges)
+
+
+def test_asof_join_single_shuffle(spark):
+    # union + window ⇒ one hash exchange on the key, no range join blowup
+    df = QUERIES["asof_join_clicks"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
