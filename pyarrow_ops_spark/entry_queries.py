@@ -748,6 +748,42 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+@query(
+    "similarity_near_dup",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    p AS (
+        SELECT a.vec_id, b.vec_id AS nbr
+        FROM e a JOIN e b ON round(list_cosine_similarity(a.v, b.v), 4) >= 0.8
+    )
+    SELECT vec_id, min(nbr) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           min(nbr) != vec_id AS is_duplicate
+    FROM p GROUP BY vec_id
+    """,
+)
+def q_similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup assignment: canonical id = min id among
+    cosine>=0.8 neighbors (self included) — the training-data dedup rule."""
+    from pyarrow_ops_spark.functions.similarity import embedding_near_dup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_near_dup(emb, threshold=0.8)
+
+
+@query("similarity_topk_ivf")
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: KMeans cells + n_probe nearest cells per
+    query (recall < 1 by design → rows-only; pytest checks recall vs the
+    brute force)."""
+    from pyarrow_ops_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4)
+
+
 @query("similarity_topk_lsh")
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH bucketing (the scale
@@ -1156,6 +1192,54 @@ def q_approx_distinct_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_quality",
+    r"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS lr,
+               length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                   / len(string_split_regex(trim(text), '\s+')) AS wl
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * least(n_tokens / 64.0, 1.0)
+                 + 0.3 * lr
+                 + 0.3 * greatest(0.0, 1.0 - abs(wl - 5.0) / 5.0), 4) AS quality
+    FROM m
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length credit + letter ratio + word-length
+    credit) — the filter column a training pipeline thresholds on."""
+    from pyarrow_ops_spark.functions.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "explode_word_count",
+    r"""
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+    WHERE regexp_matches(word, '^[a-z]+$')
+    GROUP BY word
+    """,
+)
+def q_explode_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies: explode (lateral array flatten) + hash agg
+    — the generator/UNNEST surface (absent in the reference)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "text_bpe_tokens",
     r"""
     SELECT doc_id,
@@ -1174,4 +1258,199 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         bpe_ish_token_count("text").alias("n_pieces"),
         token_count("text").alias("n_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join, Q6, extended aggs, cross/full joins, date & string functions
+# ---------------------------------------------------------------------------
+
+_PRICE_BANDS = [
+    ("p0_100k", 0.0, 100_000.0),
+    ("p100_200k", 100_000.0, 200_000.0),
+    ("p200_300k", 200_000.0, 300_000.0),
+    ("p300k_up", 300_000.0, 1e12),
+]
+
+
+@query(
+    "range_join_price_bands",
+    f"""
+    SELECT b.band, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN (VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS)})
+         b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join against a broadcast interval dim — map-only
+    BroadcastNestedLoopJoin, no fact-side shuffle (SURVEY §2.2 'Joins')."""
+    from pyarrow_ops_spark.operators.join import range_join
+
+    orders = load_table(spark, "orders", sf_dir).select("o_totalprice")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    j = range_join(orders, bands, "o_totalprice", "lo", "hi")
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: pure filter + global agg — every predicate pushes
+    to the parquet scan, result is one row (partial aggs, no shuffle of
+    data rows)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    f = filters(
+        li,
+        [
+            ("l_shipdate", ">=", "1994-01-01"),
+            ("l_shipdate", "<", "1995-01-01"),
+            ("l_discount", ">=", 0.05),
+            ("l_discount", "<=", 0.07),
+            ("l_quantity", "<", 24),
+        ],
+    )
+    return f.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+@query(
+    "groupby_stddev_minmax",
+    """
+    SELECT l_returnflag,
+           round(stddev(l_extendedprice), 4) AS price_sd,
+           min(l_extendedprice) AS price_min,
+           max(l_extendedprice) AS price_max
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_groupby_stddev_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended agg registry beyond the reference's five: sample stddev +
+    min/max in one hash aggregation."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev("l_extendedprice"), 4).alias("price_sd"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+    )
+
+
+@query(
+    "cross_join_dims",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(r.r_regionkey = n.n_regionkey AS BOOLEAN) AS is_member
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two (small) dims — the reference never shipped
+    cross join (README TODO); only ever sane between broadcast-size
+    inputs."""
+    from pyarrow_ops_spark.operators.join import join
+
+    region = load_table(spark, "region", sf_dir).select("r_name", "r_regionkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_name", "n_regionkey")
+    out = join(region, nation, on=[], how="cross")
+    return out.select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_member"),
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT coalesce(c.ck, o.ck) AS c_custkey, c.c_name, o.o_orderkey
+    FROM (SELECT c_custkey AS ck, c_name FROM customer WHERE c_custkey % 3 = 0) c
+    FULL JOIN (SELECT o_custkey AS ck, o_orderkey FROM orders WHERE o_custkey % 3 = 1) o
+      ON c.ck = o.ck
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with disjoint key slices so both null sides appear;
+    the key column is coalesced to appear once (align_tables rule carried
+    to outer joins)."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey"), "c_name")
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_custkey") % 3 == 1)
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    )
+    out = join(cust, orders, on=["c_custkey"], how="full")
+    return out.select("c_custkey", "c_name", "o_orderkey")
+
+
+@query(
+    "date_parts_agg",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface (year/month extraction) + agg — the reference
+    has zero date functions (SURVEY §2.2 'Scalar functions')."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           upper(substr(c_name, 1, 8)) AS name_prefix,
+           CAST(length(c_name) AS INT) AS name_len,
+           concat(c_mktsegment, '#', lpad(CAST(c_custkey AS VARCHAR), 8, '0')) AS seg_key,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           CAST(contains(c_mktsegment, 'BUIL') AS BOOLEAN) AS is_building
+    FROM customer
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: upper/substr/length/concat/lpad/
+    regexp_extract/contains — all JVM-side codegen expressions."""
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat(
+            F.col("c_mktsegment"),
+            F.lit("#"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0"),
+        ).alias("seg_key"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.col("c_mktsegment").contains("BUIL").alias("is_building"),
     )

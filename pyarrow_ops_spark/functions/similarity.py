@@ -96,6 +96,103 @@ def similarity_join(
     )
 
 
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate assignment: every vector maps to a
+    canonical id = the smallest id among its neighbors with cosine >=
+    threshold (itself included, so every row appears exactly once).
+
+    Output: (vec_id, canonical_id, n_neighbors, is_duplicate). This is the
+    single-hop union-find approximation used by training-data dedup: rows
+    with ``is_duplicate`` are dropped, keeping one representative per
+    near-dup cluster. The exact self-join baseline is quadratic; at scale
+    the pair generation swaps in ``lsh_signature`` bucketing (see
+    ``lsh_topk``) with identical verification semantics."""
+    e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 4)
+    pairs = a.join(b, sim >= F.lit(threshold)).select(
+        F.col("id_a").alias(id_col), F.col("id_b").alias("nbr")
+    )
+    return pairs.groupBy(id_col).agg(
+        F.min("nbr").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+    ).withColumn("is_duplicate", F.col("canonical_id") != F.col(id_col))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: KMeans centroids
+    partition the corpus; each query probes only the ``n_probe`` nearest
+    cells and ranks candidates by exact cosine.
+
+    Scale story: train KMeans on a sample (``train_fraction``), assign the
+    full corpus in one map pass, and persist the assignment as the index —
+    the per-query scan drops from |corpus| to ~n_probe/n_clusters of it.
+    Centroids live on the driver (n_clusters × dim floats) and broadcast.
+    Recall < 1 by design; pytest checks recall against ``cosine_topk``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    query_id_col = query_id_col or id_col
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("c_vec"))
+    feats = c.withColumn("fv", array_to_vector("c_vec"))
+    train = feats if train_fraction >= 1.0 else feats.sample(train_fraction, seed=seed)
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="fv", predictionCol="cluster"
+    ).fit(train)
+    assigned = model.transform(feats).select(id_col, "c_vec", "cluster")
+
+    spark = corpus.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cluster int, center array<double>",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec")
+    )
+    probe_w = W.partitionBy("q_id").orderBy(F.col("centroid_sim").desc(), F.col("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(centers))
+        .select(
+            "q_id", "q_vec", "cluster",
+            cosine(F.col("q_vec"), F.col("center")).alias("centroid_sim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("q_id", "q_vec", "cluster")
+    )
+    cands = assigned.join(F.broadcast(probes), on="cluster").filter(
+        F.col("q_id") != F.col(id_col)
+    )
+    sims = cands.select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def _hyperplane(dim: int, bit: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane component values in
     [-1, 1), derived from a splitmix-style integer mix of (dim, bit) — no

@@ -105,3 +105,31 @@ def join(
             joined = joined.withColumn(k, F.coalesce(left[k], joined[rk]))
         joined = joined.drop(rk)
     return joined
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    extra_on: Sequence[str] | None = None,
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Band/range join: match ``left.value_col`` into ``[right.lo_col,
+    right.hi_col)`` intervals, optionally AND-ed with equi-keys
+    ``extra_on``.
+
+    Absent in the reference (SURVEY §2.2 'Joins'). Scale story: interval
+    dimension tables (price bands, date calendars, IP ranges) are small —
+    broadcast them and the range join is a map-only
+    BroadcastNestedLoopJoin, no shuffle of the fact side. With
+    ``extra_on`` equi-keys Catalyst plans a hash join with the range as a
+    post-condition instead. A big×big pure-range join should be rewritten
+    by bucketing the value into interval-aligned grid cells first."""
+    r = F.broadcast(right) if broadcast_right else right
+    cond = (left[value_col] >= r[lo_col]) & (left[value_col] < r[hi_col])
+    for k in extra_on or []:
+        cond = cond & (left[k] == r[k])
+    return left.join(r, on=cond, how=how)

@@ -72,6 +72,45 @@ def test_lsh_topk_recall_vs_bruteforce(emb):
     assert recall >= 0.2, f"LSH recall collapsed: {recall}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.q_id, r.vec_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in S.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_topk_full_probe_equals_bruteforce(emb):
+    # probing every cell degenerates to the exact scan → identical output
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = {
+        (r.q_id, r.vec_id) for r in S.cosine_topk(emb, queries, k=3).collect()
+    }
+    full = {
+        (r.q_id, r.vec_id)
+        for r in S.ivf_topk(emb, queries, k=3, n_clusters=4, n_probe=4).collect()
+    }
+    assert full == brute
+
+
+def test_embedding_near_dup_covers_all_and_planted_dup(emb):
+    one = emb.limit(1)
+    dup = one.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    with_dup = emb.unionByName(dup)
+    out = S.embedding_near_dup(with_dup, threshold=0.999).collect()
+    # every vector appears exactly once (self-similarity = 1 >= threshold)
+    assert len(out) == with_dup.count()
+    by_id = {r.vec_id: r for r in out}
+    planted = by_id[1_000_000 + one.collect()[0].vec_id]
+    assert planted.is_duplicate and planted.canonical_id == one.collect()[0].vec_id
+
+
 def test_text_metrics_simple_string(spark):
     df = spark.createDataFrame([("hello world  again",)], ["text"])
     row = df.select(
