@@ -93,9 +93,12 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs with shingle-Jaccard >= threshold via an O(n²) self-join.
     Baseline only — use minhash_lsh_pairs at scale."""
+    from pyspark import StorageLevel
+
+    # both join sides reuse the shingle relation — materialize it once
     sh = df.select(
         F.col(id_col).alias("id"), char_shingles(text_col, n).alias("grams")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -149,14 +152,20 @@ def minhash_lsh_pairs(
     The candidate join shuffles only band signatures (linear in corpus);
     exact verification re-joins the shingle arrays for candidates only.
     """
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
     # Spread the hash-heavy signature computation across all cores: a small
     # single-file scan arrives as ONE partition; at real scale the file
     # splits provide this parallelism for free.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # The shingle relation feeds THREE branches of one DAG (signature →
+    # candidates, plus both sides of the exact-Jaccard verification) —
+    # persist it so shingling runs once, spilling to disk if it outgrows
+    # executor memory (at 100 TB you'd checkpoint this to storage instead).
     sh = df.repartition(parallelism).select(
         F.col(id_col).alias("id"), char_shingles(text_col, n).alias("grams")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # hash string shingles ONCE; the k signature slots re-mix longs
     hashed = sh.select(
         "id", "grams", F.transform("grams", lambda g: F.xxhash64(g)).alias("hashes")

@@ -85,3 +85,58 @@ def register_views(
     """Register each table as a temp view so operators can be written in SQL."""
     for name in names:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Generic sources/sinks (the reference has none — SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Read a file source. CSV defaults to header+inferSchema only when no
+    explicit schema is given — at scale ALWAYS pass a schema: inference
+    runs an extra full scan of the data before the real job."""
+    if format not in _FORMATS:
+        raise ValueError(f"unsupported source format {format!r}; one of {_FORMATS}")
+    reader = spark.read.format(format)
+    if format == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+        if schema is None:
+            reader = reader.option("inferSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Write a DataFrame to a file sink. ``partition_by`` produces
+    hive-style directory partitioning — the layout that enables partition
+    pruning on later scans (the 100 TB reason to partition by a low-
+    cardinality filter column like date)."""
+    if format not in _FORMATS:
+        raise ValueError(f"unsupported sink format {format!r}; one of {_FORMATS}")
+    writer = df.write.format(format).mode(mode)
+    if format == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)

@@ -53,3 +53,58 @@ def test_sessionize_covers_all_events(spark):
     assert sum(r.n_events for r in sess.collect()) == ev.count()
     # session bounds are ordered
     assert all(r.session_start <= r.session_end for r in sess.collect())
+
+
+def test_stateful_running_totals_match_batch(spark):
+    from pyspark.sql import functions as F
+    from pyarrow_ops_spark.streaming.stateful import (
+        running_user_totals,
+        stream_events,
+    )
+
+    ev = load_table(spark, "events", SF_DIR)
+    batch = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    stream = running_user_totals(stream_events(spark, SF_DIR))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # last emission per user == final state == batch totals
+        got = spark.sql(
+            "SELECT user_id, max_by(n_events, n_events) AS n, "
+            "max_by(sum_value, n_events) AS total "
+            "FROM stateful_out GROUP BY user_id"
+        )
+        final = {r.user_id: (r.n, round(r.total, 4)) for r in got.collect()}
+        assert final == batch
+    finally:
+        q.stop()
+
+
+def test_stream_session_window_covers_all_events(spark):
+    from pyarrow_ops_spark.streaming.stateful import stream_session_windows
+
+    ev = load_table(spark, "events", SF_DIR)
+    stream = stream_session_windows(spark, SF_DIR, gap="30 minutes", watermark="10 hours")
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM session_out").collect()
+        assert sum(r.n_events for r in got) == ev.count()
+        assert all(r.session_start < r.session_end for r in got)
+    finally:
+        q.stop()
