@@ -1261,6 +1261,63 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id, value,
+           lag(event_id) OVER w AS event_id_lag1,
+           lead(event_id) OVER w AS event_id_lead1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a total per-user order — one shuffle on user_id."""
+    from pyarrow_ops_spark.operators.window import lag_lead
+
+    ev = load_table(spark, "events", sf_dir)
+    out = lag_lead(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        col="event_id",
+        offsets=[1, -1],
+    )
+    return out.select(
+        "user_id", "event_id", "value", "event_id_lag1", "event_id_lead1"
+    )
+
+
+@query(
+    "ml_impute_clip",
+    """
+    WITH src AS (
+        SELECT event_id, CASE WHEN value < 0.2 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    stats AS (SELECT avg(v) AS m, min(v) AS lo, max(v) AS hi FROM src)
+    SELECT event_id,
+           round(least(greatest(coalesce(v, stats.m), stats.lo), stats.hi), 4) AS v
+    FROM src, stats
+    """,
+)
+def q_ml_impute_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableCleaner numeric path: fit (one aggregation scan) learns
+    mean/min/max over a column with planted nulls; transform is a map-only
+    coalesce+clip expression (reference ml.py:6-7, 38-41)."""
+    from pyarrow_ops_spark.ml.cleaner import TableCleaner
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.when(F.col("value") < 0.2, None).otherwise(F.col("value")).alias("v"),
+    )
+    cleaner = TableCleaner()
+    cleaner.register_numeric("v", impute="mean", clip=True)
+    cleaner.fit(ev)
+    (name, expr) = cleaner.columns[0].transform_exprs()[0]
+    return ev.select("event_id", F.round(expr, 4).alias(name))
+
+
 # ---------------------------------------------------------------------------
 # Range join, Q6, extended aggs, cross/full joins, date & string functions
 # ---------------------------------------------------------------------------
