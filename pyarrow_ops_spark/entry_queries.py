@@ -1262,6 +1262,86 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "filters_like_between_null",
+    """
+    SELECT p_partkey, p_name, p_type, p_size, p_retailprice
+    FROM part
+    WHERE p_type LIKE '%BRASS%'
+      AND p_size BETWEEN 10 AND 30
+      AND p_name IS NOT NULL
+      AND NOT (p_retailprice < 1000)
+    """,
+)
+def q_filters_like_between_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / BETWEEN / null-test / NOT predicates — beyond the
+    reference's 9 ops (SURVEY §2.2 'Predicates'); still ONE Catalyst
+    Filter, pushed to the scan."""
+    part = load_table(spark, "part", sf_dir)
+    out = filters(
+        part,
+        [
+            ("p_type", "like", "%BRASS%"),
+            ("p_size", "between", (10, 30)),
+            ("p_name", "is not null", None),
+            {"not": ("p_retailprice", "<", 1000)},
+        ],
+    )
+    return out.select("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
+
+
+@query(
+    "supplier_nation_revenue",
+    """
+    SELECT n.n_name, s.s_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, s.s_name
+    """,
+)
+def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-rollup revenue: fact ⋈ broadcast supplier ⋈ broadcast
+    nation — only the aggregation shuffles, keyed by (nation, supplier)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    j = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    return j.groupBy("n_name", "s_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "groupby_collect_sorted",
+    """
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_groupby_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set into a sorted array — array-valued aggregation output
+    (absent in the reference; sorted so both engines agree exactly)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@query(
     "window_lag_lead",
     """
     SELECT user_id, event_id, value,

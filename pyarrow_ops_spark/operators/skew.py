@@ -1,0 +1,100 @@
+"""Skew mitigation: salted aggregation and salted joins.
+
+AQE (``spark.sql.adaptive.skewJoin``) splits skewed partitions at runtime
+and is the first line of defense — these explicit rewrites are for the
+cases AQE can't fix:
+
+- ``salted_agg``: a single hot group (one key holding 10% of 100 TB) still
+  lands on one reducer even after AQE splits the partition, because the
+  final aggregation needs all rows of a key together. Salting splits the
+  key into ``n_salts`` sub-keys, aggregates partially, then merges the
+  sub-aggregates — the hot key's work spreads over ``n_salts`` reducers and
+  the final pass only touches #groups × n_salts rows.
+- ``salted_join``: a big⋈medium join where one left key dominates and the
+  right side is too big to broadcast. The left side gets a random salt in
+  [0, n_salts); the right side is replicated n_salts times with every salt
+  value; joining on (key, salt) spreads the hot key across reducers at the
+  cost of an n_salts× replication of the right side. Only worth it for
+  genuine hot keys — measure first.
+
+Both are semantics-preserving: tests assert equality with the unsalted
+plans. Only algebraic aggregates (sum/count/min/max) can be merged in
+``salted_agg``; avg is derived as sum/count.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt__"
+
+# (partial expr, merge fn) per supported aggregate
+_MERGEABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    by: Sequence[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation: ``aggs`` maps output column ->
+    "fn(col)" with fn in sum/count/min/max/avg (e.g. {"total": "sum(x)"}).
+    Result columns match a plain ``df.groupBy(by).agg(...)``."""
+    parsed = {}
+    for out, spec in aggs.items():
+        fn, _, col = spec.rstrip(")").partition("(")
+        if fn not in _MERGEABLE and fn != "avg":
+            raise ValueError(f"unsupported salted agg {fn!r}")
+        parsed[out] = (fn, col)
+
+    salted = df.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+    partial_exprs, final_exprs = [], []
+    for out, (fn, col) in parsed.items():
+        if fn == "avg":  # derive from mergeable sum + count
+            partial_exprs += [
+                F.sum(col).alias(f"{out}__s"),
+                F.count(F.lit(1)).alias(f"{out}__c"),
+            ]
+            final_exprs += [
+                (F.sum(f"{out}__s") / F.sum(f"{out}__c")).alias(out)
+            ]
+        else:
+            partial, merge = _MERGEABLE[fn]
+            partial_exprs.append(partial(col).alias(f"{out}__p"))
+            final_exprs.append(merge(f"{out}__p").alias(out))
+    partial = salted.groupBy(*by, _SALT).agg(*partial_exprs)
+    return partial.groupBy(*by).agg(*final_exprs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Inner/left equi-join with the left side's hot keys spread across
+    ``n_salts`` reducers; the right side is exploded ``n_salts``×."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (right side is replicated)")
+    on = list(on)
+    # Salt from the full left row (deterministic per row content); which
+    # salt a row gets is irrelevant — the right side carries every salt.
+    l = left.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    r = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
+    )
+    return l.join(r, on=on + [_SALT], how=how).drop(_SALT)

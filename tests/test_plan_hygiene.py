@@ -73,3 +73,40 @@ def test_asof_join_single_shuffle(spark):
     plan = formatted_plan(df)
     assert "Window" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    df = QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    for frag in ("l_shipdate", "l_discount", "LessThan(l_quantity,24.0)"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_range_join_broadcasts_interval_dim(spark):
+    # fact side must NOT shuffle: the interval dim broadcasts into a
+    # nested-loop join, then one exchange for the final aggregation
+    df = QUERIES["range_join_price_bands"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert shuffle_count(df) == 1
+
+
+def test_supplier_rollup_broadcasts_both_dims(spark):
+    from pyarrow_ops_spark.plans.inspect import plan_nodes
+
+    df = QUERIES["supplier_nation_revenue"](spark, SF_DIR)
+    joins = [n for n, _ in plan_nodes(df) if "Join" in n]
+    assert joins == ["BroadcastHashJoin", "BroadcastHashJoin"]
+    assert shuffle_count(df) == 1  # only the final aggregation shuffles
+
+
+def test_string_funcs_map_only(spark):
+    # pure scalar expressions: no exchange anywhere in the plan
+    df = QUERIES["string_funcs"](spark, SF_DIR)
+    assert shuffle_count(df) == 0
+
+
+def test_ml_impute_transform_map_only(spark):
+    # after fit, the transform is a map-only projection over the scan
+    df = QUERIES["ml_impute_clip"](spark, SF_DIR)
+    assert shuffle_count(df) == 0

@@ -1,0 +1,84 @@
+"""Salted aggregation/join must be semantics-preserving vs the plain plans,
+including on a deliberately skewed key distribution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyarrow_ops_spark.operators.skew import salted_agg, salted_join
+from pyarrow_ops_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def rows(df):
+    out = []
+    for r in df.collect():
+        out.append(tuple(round(v, 6) if isinstance(v, float) else v for v in r))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # ~90% of lineitem rows collapse onto one hot key
+    li = load_table(spark, "lineitem", SF_DIR)
+    return li.withColumn(
+        "k", F.when(F.col("l_orderkey") % 10 != 0, F.lit(0)).otherwise(F.col("l_orderkey"))
+    )
+
+
+def test_salted_agg_equals_plain(spark, skewed):
+    plain = skewed.groupBy("k").agg(
+        F.sum("l_quantity").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.avg("l_discount").alias("avg_disc"),
+    )
+    salted = salted_agg(
+        skewed,
+        ["k"],
+        {
+            "total": "sum(l_quantity)",
+            "n": "count()",
+            "lo": "min(l_extendedprice)",
+            "hi": "max(l_extendedprice)",
+            "avg_disc": "avg(l_discount)",
+        },
+        n_salts=8,
+    )
+    assert rows(salted.select("k", "total", "n", "lo", "hi", "avg_disc")) == rows(
+        plain.select("k", "total", "n", "lo", "hi", "avg_disc")
+    )
+
+
+def test_salted_agg_rejects_nonmergeable(spark, skewed):
+    with pytest.raises(ValueError):
+        salted_agg(skewed, ["k"], {"m": "median(l_quantity)"})
+
+
+def test_salted_join_equals_plain(spark, skewed):
+    left = skewed.select("k", "l_quantity")
+    right = (
+        skewed.groupBy("k").agg(F.count(F.lit(1)).alias("k_rows"))
+    )
+    plain = left.join(right, on=["k"])
+    salted = salted_join(left, right, on=["k"], n_salts=8)
+    assert salted.count() == plain.count()
+    assert rows(salted.groupBy("k").agg(F.sum("k_rows").alias("s"))) == rows(
+        plain.groupBy("k").agg(F.sum("k_rows").alias("s"))
+    )
+
+
+def test_salted_join_left_keeps_unmatched(spark, skewed):
+    left = skewed.select("k", "l_quantity").limit(100)
+    right = (
+        skewed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("k_rows"))
+        .filter(F.col("k") != 0)  # drop the hot key from the right side
+    )
+    out = salted_join(left, right, on=["k"], n_salts=4, how="left")
+    assert out.count() == 100
+    assert out.filter(F.col("k_rows").isNull()).count() == left.filter(
+        F.col("k") == 0
+    ).count()
