@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     # extension surface
     "q3_shipping_priority",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "supplier_nation_revenue",
+    "range_join_price_bands",
     "window_topk",
     "asof_join_clicks",
     "events_sessionize",

@@ -19,11 +19,20 @@ multimodal (binary) column plumbing, and a Structured Streaming slice.
 """
 
 from pyarrow_ops_spark.session import get_spark, stop_spark
-from pyarrow_ops_spark.sources.tables import load_table, load_tables, register_views
+from pyarrow_ops_spark.sources.tables import (
+    load_table,
+    load_tables,
+    register_views,
+    read_source,
+    write_sink,
+)
+from pyarrow_ops_spark.sources.bucketing import read_bucketed, write_bucketed
 from pyarrow_ops_spark.operators.filters import filters, compile_predicate
 from pyarrow_ops_spark.operators.dedup import drop_duplicates
 from pyarrow_ops_spark.operators.group import groupby, Grouping
-from pyarrow_ops_spark.operators.join import join
+from pyarrow_ops_spark.operators.join import join, range_join
+from pyarrow_ops_spark.operators.asof import asof_join
+from pyarrow_ops_spark.operators.skew import salted_agg, salted_join
 from pyarrow_ops_spark.operators.head import head
 from pyarrow_ops_spark.functions.jsons import str_to_table
 from pyarrow_ops_spark.ml.cleaner import TableCleaner
@@ -40,6 +49,8 @@ from pyarrow_ops_spark.functions.similarity import (
     cosine_topk,
     similarity_join,
     lsh_topk,
+    ivf_topk,
+    embedding_near_dup,
 )
 from pyarrow_ops_spark.functions.text import (
     text_stats,
@@ -58,6 +69,11 @@ from pyarrow_ops_spark.streaming.windows import (
     sessionize_batch,
     stream_tumbling_counts,
 )
+from pyarrow_ops_spark.streaming.stateful import (
+    running_user_totals,
+    stream_events,
+    stream_session_windows,
+)
 
 __all__ = [
     "get_spark",
@@ -65,12 +81,20 @@ __all__ = [
     "load_table",
     "load_tables",
     "register_views",
+    "read_source",
+    "write_sink",
+    "read_bucketed",
+    "write_bucketed",
     "filters",
     "compile_predicate",
     "drop_duplicates",
     "groupby",
     "Grouping",
     "join",
+    "range_join",
+    "asof_join",
+    "salted_agg",
+    "salted_join",
     "head",
     "str_to_table",
     "TableCleaner",
@@ -86,6 +110,8 @@ __all__ = [
     "cosine_topk",
     "similarity_join",
     "lsh_topk",
+    "ivf_topk",
+    "embedding_near_dup",
     "text_stats",
     "token_count",
     "quality_score",
@@ -97,6 +123,9 @@ __all__ = [
     "sliding_counts",
     "sessionize_batch",
     "stream_tumbling_counts",
+    "running_user_totals",
+    "stream_events",
+    "stream_session_windows",
 ]
 
 __version__ = "0.1.0"

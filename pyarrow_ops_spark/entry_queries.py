@@ -1044,6 +1044,47 @@ def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           sum(l.l_quantity) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: aggregate → HAVING → semi-style join back to the
+    fact — the 'big orders' set is tiny after the HAVING, so it broadcasts
+    and the lineitem table is filtered before the wide join."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    j = (
+        li.join(F.broadcast(big), on="l_orderkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return j.groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice").agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+
+
+@query(
     "having_filter_after_groupby",
     """
     SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
@@ -1560,6 +1601,40 @@ def q_date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
+    )
+
+
+@query(
+    "skew_salted_agg",
+    """
+    WITH s AS (
+        SELECT CASE WHEN l_orderkey % 10 != 0 THEN 0 ELSE l_orderkey END AS k,
+               l_quantity, l_extendedprice
+        FROM lineitem
+    )
+    SELECT k, sum(l_quantity) AS total, CAST(count(*) AS BIGINT) AS n,
+           max(l_extendedprice) AS hi
+    FROM s GROUP BY k
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation on a 90%-hot key — identical results
+    to a plain GROUP BY (the oracle), but the hot key's partial
+    aggregation spreads over n_salts reducers instead of one."""
+    from pyarrow_ops_spark.operators.skew import salted_agg
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return salted_agg(
+        li,
+        ["k"],
+        {"total": "sum(l_quantity)", "n": "count()", "hi": "max(l_extendedprice)"},
+        n_salts=8,
     )
 
 

@@ -159,3 +159,13 @@ def test_empty_table_all_operators(spark, animals):
     assert groupby(empty, ["Animal"]).sum().count() == 0
     right = spark.createDataFrame([("Falcon", 1)], ["Animal", "Age"])
     assert join(empty, right, on=["Animal"]).count() == 0
+
+
+def test_head_prints_rows_and_empty_message(spark, animals, capsys):
+    from pyarrow_ops_spark import head
+
+    head(animals, n=2)
+    out = capsys.readouterr().out
+    assert "Animal" in out and out.count("\n") >= 4  # header + 2 rows boxed
+    head(animals.filter("`Max Speed` > 1e9"))
+    assert "No data in table" in capsys.readouterr().out
