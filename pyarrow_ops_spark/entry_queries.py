@@ -954,6 +954,44 @@ def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "interval_join_attribution",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(count(c.event_id) AS BIGINT) AS clicks_30m
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window interval join: clicks in the 30 min before each
+    purchase. The equi-key (user_id) drives a hash join; the time bounds
+    are post-conditions — NOT a nested-loop: per-user data co-locates in
+    one shuffle and the interval check is a filter."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.c_ts > purchases.ts - F.expr("INTERVAL 30 MINUTES"))
+        & (clicks.c_ts <= purchases.ts),
+        how="left",
+    )
+    return j.groupBy("event_id", "user_id", "ts").agg(
+        F.count("c_event_id").alias("clicks_30m")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deeper TPC-H-style multi-join analytics
 # ---------------------------------------------------------------------------

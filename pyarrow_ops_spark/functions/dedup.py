@@ -166,26 +166,30 @@ def minhash_lsh_pairs(
     sh = df.repartition(parallelism).select(
         F.col(id_col).alias("id"), char_shingles(text_col, n).alias("grams")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # hash string shingles ONCE; the k signature slots re-mix longs
+    # hash string shingles ONCE; the k signature slots re-mix longs.
     hashed = sh.select(
-        "id", "grams", F.transform("grams", lambda g: F.xxhash64(g)).alias("hashes")
+        "id", F.transform("grams", lambda g: F.xxhash64(g)).alias("hashes")
     )
-    sig = hashed.select("id", *_minhash_from_hashes(F.col("hashes"), num_hashes))
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    # (band_index, band_signature) pairs — explode keeps the shuffle narrow
-    exploded = banded.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
-                for b in range(bands)
-            ])
-        ).alias("bs"),
-    ).select("id", "bs.band", "bs.sig")
+
+    # Band signatures as ONE nested array expression (runtime loops over
+    # band/slot indices) instead of k unrolled minhash columns: the
+    # unrolled form generates an enormous whole-stage-codegen class whose
+    # janino compilation costs seconds on the first execution — more than
+    # the hashing itself at moderate corpus sizes. Each minhash slot
+    # (min over shingles of xxhash64(h, slot)) is computed exactly once;
+    # slots fold into their band's signature via an xxhash64 chain.
+    def slot_min(slot: Column) -> Column:
+        return F.array_min(F.transform(F.col("hashes"), lambda h: F.xxhash64(h, slot)))
+
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.aggregate(
+            F.sequence(F.lit(0), F.lit(rows - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: F.xxhash64(acc, slot_min(b * F.lit(rows) + j)),
+        ),
+    )
+    exploded = hashed.select("id", F.posexplode(sigs).alias("band", "sig"))
     # Bucket-local pair generation instead of a self-join: ONE pass over the
     # signatures (a self-join would execute the whole signature pipeline
     # twice), one shuffle on (band, sig), pairs generated inside each
