@@ -955,6 +955,41 @@ def q_asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_frontend_q4",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1994-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_frontend_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog through the SQL front door: identical text runs on
+    the registered views (spark.sql) and on DuckDB — the engine has a full
+    SQL surface, not just the DataFrame API. EXISTS plans as a left-semi
+    hash join."""
+    from pyarrow_ops_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, names=("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1994-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
     "interval_join_attribution",
     """
     SELECT p.event_id, p.user_id, p.ts,
