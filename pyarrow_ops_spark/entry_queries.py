@@ -469,6 +469,40 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch_us(o_orderdate)
+               RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 2)
+               AS trailing_30d
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each order's trailing-30-day spend per customer.
+    RANGE frames include peer rows (equal order keys) identically in both
+    engines, so the result is deterministic without a total order."""
+    us_30d = 30 * 86400 * 1_000_000
+    # o_orderdate is TIMESTAMP_NTZ; the session is pinned to UTC so the
+    # cast to an instant is the identity — unix_micros then gives the
+    # numeric ordering a RANGE frame needs
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz")))
+        .rangeBetween(-us_30d, 0)
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+    )
+
+
+@query(
     "sort_limit_topn",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
