@@ -719,6 +719,41 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.8, n=5)
 
 
+@query(
+    "dedup_clusters_lsh",
+    r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS grams
+        FROM documents
+    ),
+    p AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.8
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, p.dst FROM reach JOIN p ON reach.r = p.src
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id, min(r) != node AS is_duplicate
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup DECISION: LSH pairs -> transitive connected
+    components (iterative min-label propagation) -> one representative per
+    cluster. Oracle = DuckDB recursive-CTE reachability over the exact
+    Jaccard pair set — similarity is not transitive, so this is strictly
+    stronger than the pair queries above."""
+    from pyarrow_ops_spark.functions.dedup import dedup_clusters
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup_clusters(docs, threshold=0.8)
+
+
 @query("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (Hamming <= 3 over 64-bit signatures,

@@ -232,6 +232,98 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components: near-dup pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``(node, component)`` where component = the smallest node id reachable
+    through the edge set.
+
+    Near-dup PAIRS are not a dedup decision — similarity is not
+    transitive, so A~B and B~C must collapse into one cluster {A,B,C}
+    with a single kept representative. This is the standard large-scale
+    construction (MapReduce-CC / GraphFrames do the same shape): each
+    iteration is one join + one aggregation, converging in O(graph
+    diameter) rounds — near-dup clusters are tiny and tight, so 3-5
+    rounds in practice. ``localCheckpoint`` truncates the growing lineage
+    each round (at cluster scale use reliable ``checkpoint`` to storage).
+    """
+    from pyspark import StorageLevel
+
+    both = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        both.select("n")
+        .distinct()
+        .withColumn("label", F.col("n"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        lbl_m = labels.select(F.col("n").alias("lm"), "label")
+        nbr_min = (
+            both.join(lbl_m, on=F.col("m") == F.col("lm"), how="inner")
+            .select(F.col("n").alias("nn"), "label")
+            .groupBy("nn")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on=F.col("n") == F.col("nn"), how="left")
+            .select(
+                "n",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage; also materializes
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), on="n")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels.select(F.col("n").alias("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Full near-dup dedup decision: MinHash-LSH pairs -> transitive
+    clusters -> one row per document with its cluster representative.
+    Output: (doc_id, canonical_id, is_duplicate); documents with no
+    near-dup keep themselves."""
+    pairs = minhash_lsh_pairs(df, threshold, id_col, text_col, n)
+    comps = connected_components(pairs, "id_a", "id_b")
+    out = df.select(id_col).join(
+        comps, on=F.col(id_col) == F.col("node"), how="left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+    ).withColumn("is_duplicate", F.col("canonical_id") != F.col(id_col))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -72,6 +72,39 @@ def test_lsh_topk_recall_vs_bruteforce(emb):
     assert recall >= 0.2, f"LSH recall collapsed: {recall}"
 
 
+def test_connected_components_chain_and_isolated(spark):
+    # chain 1-2-3 + pair (10,11) + self-contained pair (20,21): three comps
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (21, 20)], "id_a long, id_b long"
+    )
+    comps = {r.node: r.component for r in D.connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_transitive(spark, docs):
+    # plant two extra near-identical copies of one doc (A~B, A~C): they
+    # must all land in ONE cluster, and the number of kept representatives
+    # must not grow vs the unmodified corpus (which already contains
+    # planted near-dup pairs of its own)
+    base = docs.limit(1)
+    b = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    c = base.withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    with_dups = docs.unionByName(b).unionByName(c)
+    orig_kept = D.dedup_clusters(docs, threshold=0.8).filter(
+        ~F.col("is_duplicate")
+    ).count()
+    out = D.dedup_clusters(with_dups, threshold=0.8)
+    base_id = base.collect()[0].doc_id
+    clustered = {r.doc_id: r for r in out.collect()}
+    assert len(clustered) == with_dups.count()
+    canon = clustered[base_id].canonical_id
+    for planted in (base_id + 1_000_000, base_id + 2_000_000):
+        assert clustered[planted].canonical_id == canon  # transitive cluster
+        assert clustered[planted].is_duplicate
+    n_kept = sum(1 for r in clustered.values() if not r.is_duplicate)
+    assert n_kept == orig_kept  # copies added no new representatives
+
+
 def test_ivf_topk_recall_vs_bruteforce(emb):
     queries = emb.filter(F.col("vec_id") < 5)
     brute = {
