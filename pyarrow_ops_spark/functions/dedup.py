@@ -345,18 +345,31 @@ def simhash(
     )
 
     def vote(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized across the whole Arrow batch: flatten every document's
+        # hash array into one vector, unpack bits once, and segment-reduce
+        # the votes per document with add.reduceat — no per-document Python
+        # loop (each doc's shingle hashes are contiguous in the flattened
+        # order, so reduceat's segment offsets are exact).
         for pdf in batches:
-            out = []
-            for hashes in pdf["hashes"]:
-                h = np.asarray(hashes, dtype=np.uint64)
-                # unpack 64 bits -> (n_shingles, 64) of {0,1}
-                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for i in np.nonzero(votes > 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(i)
-                out.append(np.int64(sig.astype(np.int64)))
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+            arrs = [np.asarray(a, dtype=np.uint64) for a in pdf["hashes"]]
+            if not arrs:
+                yield pd.DataFrame({id_col: pdf[id_col], "simhash": []})
+                continue
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            flat = np.concatenate(arrs)
+            # (total_shingles, 64) of {-1, +1}
+            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            votes_all = 2 * bits.astype(np.int64) - 1
+            offsets = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            votes = np.add.reduceat(votes_all, offsets, axis=0)  # (n_docs, 64)
+            sig_bits = (votes > 0).astype(np.uint64)
+            sigs = (sig_bits << np.arange(64, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": sigs.astype(np.int64)}
+            )
 
     return hashed.mapInPandas(vote, schema=f"{id_col} long, simhash long")
 

@@ -7,9 +7,14 @@ record become null.
 
 Spark-first re-expression:
 
-- ``schema='first'`` (reference parity): infer with ``F.schema_of_json`` on
-  the first non-null record, then ``F.from_json`` over the whole column —
-  one distributed pass, schema resolved at plan time.
+- ``schema='first'`` (reference parity): infer from the first non-null
+  record, then ``F.from_json`` over the whole column — one distributed
+  pass, schema resolved at plan time. DOCUMENTED DIVERGENCE: a key whose
+  first value is a JSON int maps to LongType, so a later float for the
+  same key parses to null; the reference accumulates *values* from every
+  record, so pyarrow promotes such a column to double and keeps it. Use
+  ``schema='infer'`` (full-column inference, late floats widen the type)
+  or an explicit schema when records mix int/float in one key.
 - ``schema='infer'`` (documented improvement, SURVEY §4.3.3): full-column
   inference via ``spark.read.json`` sampling every record, so late-appearing
   keys survive.
@@ -73,11 +78,24 @@ def str_to_table(
         # record's keys (jsons.py:8)
         resolved = _schema_from_record(first[0][0])
     else:  # 'infer': sample all records like spark.read.json
-        resolved = (
-            df.sparkSession.read.json(
-                df.select(col).filter(F.col(col).isNotNull()).rdd.map(lambda r: r[0])
-            ).schema
+        strings = df.select(F.col(col).cast("string").alias("value")).filter(
+            F.col("value").isNotNull()
         )
+        try:
+            # Stay JVM-side: hand the string column to DataFrameReader.json
+            # as a Dataset[String] via py4j — the inference scan runs fully
+            # in the JVM (no Python row pickling, Arrow path intact).
+            spark = df.sparkSession
+            jds = getattr(strings._jdf, "as")(
+                spark._jvm.org.apache.spark.sql.Encoders.STRING()
+            )
+            jschema = spark._jsparkSession.read().json(jds).schema()
+            resolved = T._parse_datatype_json_string(jschema.json())
+        except Exception:
+            # Spark Connect / API drift fallback: the pickled-RDD path
+            resolved = df.sparkSession.read.json(
+                strings.rdd.map(lambda r: r[0])
+            ).schema
 
     parsed = df.withColumn(_PARSED, F.from_json(F.col(col), resolved))
     out_cols = [c for c in df.columns if keep_input or c != col]

@@ -187,17 +187,41 @@ class TableCleaner:
             for col in self.columns:
                 if isinstance(col, NumericalColumn) and not col.measured:
                     col.set_stats(stats)
-        for col in self.columns:
-            if isinstance(col, CategoricalColumn) and not col.measured:
-                learned = (
-                    df.withColumn(_RID, F.monotonically_increasing_id())
-                    .filter(F.col(col.name).isNotNull())
-                    .groupBy(F.col(col.name).cast("string").alias("cat"))
-                    .agg(F.min(_RID).alias("first_seen"))
-                    .orderBy("first_seen")
-                    .collect()
-                )
-                col.set_categories([r["cat"] for r in learned])
+        # ONE job learns every unmeasured categorical: stack (column, value)
+        # pairs with a map-side explode, then a single grouped aggregation
+        # finds each value's first appearance. The old shape ran one
+        # distinct-scan per column — k registered categoricals cost k full
+        # passes over the table.
+        unmeasured = [
+            col
+            for col in self.columns
+            if isinstance(col, CategoricalColumn) and not col.measured
+        ]
+        if unmeasured:
+            stacked = df.withColumn(_RID, F.monotonically_increasing_id()).select(
+                F.col(_RID),
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(col.name).alias("col"),
+                            F.col(col.name).cast("string").alias("cat"),
+                        )
+                        for col in unmeasured
+                    ])
+                ).alias("kv"),
+            )
+            learned = (
+                stacked.filter(F.col("kv.cat").isNotNull())
+                .groupBy("kv.col", "kv.cat")
+                .agg(F.min(_RID).alias("first_seen"))
+                .orderBy("first_seen")
+                .collect()
+            )
+            by_col: dict[str, list[str]] = {}
+            for r in learned:
+                by_col.setdefault(r["col"], []).append(r["cat"])
+            for col in unmeasured:
+                col.set_categories(by_col.get(col.name, []))
         return self
 
     # -- transform (reference ml.py:104-121) --------------------------------
@@ -217,7 +241,15 @@ class TableCleaner:
         for col in self.columns:
             for out_name, expr in col.transform_exprs():
                 exprs.append(expr.alias(out_name))
-        with_rid = df.withColumn(_RID, F.monotonically_increasing_id())
+        # Row id = content hash, NOT monotonically_increasing_id: X and y are
+        # separate plans evaluated in separate jobs, and mono ids are only
+        # stable when the upstream plan is deterministic and shuffle-free —
+        # sample()/AQE-coalesced inputs would silently misalign features and
+        # labels. A hash of the full row depends on values alone, so both
+        # evaluations agree under any physical plan.
+        with_rid = df.withColumn(
+            _RID, F.xxhash64(*[F.col(c) for c in df.columns])
+        )
         X = with_rid.select(*exprs, F.col(_RID))
         if label:
             return X, with_rid.select(F.col(label), F.col(_RID))
@@ -236,10 +268,13 @@ class TableCleaner:
 
         A hash of the hidden row id (xxhash64, seeded) gives every row the
         same train/test assignment in X and y without any join or shuffle —
-        a map-only split that scales to any size.
+        a map-only split that scales to any size. The row id from
+        ``clean_table`` is a content hash, so the X/y assignments agree
+        under any physical plan (AQE, sampling, shuffles).
         """
         if _RID not in X.columns:
-            X = X.withColumn(_RID, F.monotonically_increasing_id())
+            # standalone-X fallback: content-hash the visible columns
+            X = X.withColumn(_RID, F.xxhash64(*[F.col(c) for c in X.columns]))
         threshold = int((1.0 - test_size) * (2**32))
         mask = (F.pmod(F.xxhash64(F.col(_RID), F.lit(seed)), F.lit(2**32))) < threshold
         X_train = X.filter(mask).drop(_RID)

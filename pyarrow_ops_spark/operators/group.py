@@ -119,7 +119,11 @@ class Grouping:
 
     # -- arbitrary-callable aggregation (the reference's de-facto UDAF) -----
 
-    def aggregate(self, methods: Mapping[str, Callable[[Any], Any]]) -> DataFrame:
+    def aggregate(
+        self,
+        methods: Mapping[str, Callable[[Any], Any]],
+        return_types: Mapping[str, T.DataType | str] | None = None,
+    ) -> DataFrame:
         """Apply an arbitrary Python callable to each group's values of each
         column (reference ``group.py:39-48``).
 
@@ -127,29 +131,53 @@ class Grouping:
         as a numpy array (matching the reference's ``np.split`` slices), the
         callable reduces them to a scalar. Arrow-batched; scales as long as
         single groups fit in executor memory.
+
+        ``return_types`` pins the output Spark type per column (DDL string
+        or DataType) — REQUIRED for callables with side effects, callables
+        whose return type depends on the actual values, or exotic input
+        types; columns not listed fall back to probing the callable with a
+        tiny fabricated array of the input column's dtype.
         """
         import numpy as np
 
         by = self.by
         items = list(methods.items())
+        return_types = dict(return_types or {})
 
         # Result dtype mirrors the reference's behavior of letting the
-        # callable's numpy result drive the output type (group.py:45-47):
-        # probe the callable with a tiny array of the input column's dtype.
+        # callable's numpy result drive the output type (group.py:45-47).
         out_fields = [self.df.schema[c] for c in by]
         for c, fn in items:
+            if c in return_types:
+                rt = return_types[c]
+                spark_t = (
+                    T._parse_datatype_string(rt) if isinstance(rt, str) else rt
+                )
+                out_fields.append(T.StructField(c, spark_t, True))
+                continue
             in_type = self.df.schema[c].dataType
             if isinstance(in_type, (T.LongType, T.IntegerType, T.ShortType)):
                 probe = np.array([1, 2], dtype="int64")
+            elif isinstance(in_type, T.StringType):
+                probe = np.array(["a", "b"], dtype=object)
+            elif isinstance(in_type, (T.TimestampType, T.TimestampNTZType)):
+                probe = np.array(
+                    ["2000-01-01T00:00:00", "2000-01-01T00:00:01"],
+                    dtype="datetime64[us]",
+                )
+            elif isinstance(in_type, T.BooleanType):
+                probe = np.array([True, False])
             else:
                 probe = np.array([1.0, 2.0], dtype="float64")
             probed = fn(probe)
             if isinstance(probed, (bool, np.bool_)):
-                spark_t: T.DataType = T.BooleanType()
+                spark_t = T.BooleanType()
             elif isinstance(probed, (int, np.integer)):
                 spark_t = T.LongType()
             elif isinstance(probed, str):
                 spark_t = T.StringType()
+            elif isinstance(probed, np.datetime64):
+                spark_t = T.TimestampNTZType()
             else:
                 spark_t = T.DoubleType()
             out_fields.append(T.StructField(c, spark_t, True))

@@ -31,10 +31,15 @@ from pyspark.sql import functions as F
 
 _SALT = "__salt__"
 
-# (partial expr, merge fn) per supported aggregate
+# (partial expr, merge fn) per supported aggregate. count("") / count("*") /
+# count("1") count rows; count(col) counts non-null values of col, matching
+# SQL COUNT semantics so the result equals a plain df.groupBy(by).agg(...).
 _MERGEABLE = {
     "sum": (F.sum, F.sum),
-    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "count": (
+        lambda c: F.count(F.lit(1)) if c in ("", "*", "1") else F.count(c),
+        F.sum,
+    ),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }
@@ -61,10 +66,10 @@ def salted_agg(
     )
     partial_exprs, final_exprs = [], []
     for out, (fn, col) in parsed.items():
-        if fn == "avg":  # derive from mergeable sum + count
+        if fn == "avg":  # derive from mergeable sum + non-null count
             partial_exprs += [
                 F.sum(col).alias(f"{out}__s"),
-                F.count(F.lit(1)).alias(f"{out}__c"),
+                F.count(col).alias(f"{out}__c"),
             ]
             final_exprs += [
                 (F.sum(f"{out}__s") / F.sum(f"{out}__c")).alias(out)

@@ -144,6 +144,93 @@ def test_embedding_near_dup_covers_all_and_planted_dup(emb):
     assert planted.is_duplicate and planted.canonical_id == one.collect()[0].vec_id
 
 
+@pytest.fixture(scope="module")
+def emb_with_dups(emb):
+    """Corpus + perturbed copies (cos ~0.9999) of every 10th vector — the
+    fixture embeddings are near-orthogonal (max pairwise cosine ~0.51), so
+    genuine near-dups must be planted."""
+    out = emb.select("vec_id", "embedding")
+    for off in (1_000_000, 2_000_000):
+        pert = out.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 10_000)).select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x * (1 + 0.01 * F.sin(x.cast("double") * 100))).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+        out = out.unionByName(pert)
+    return out
+
+
+def test_embedding_near_dup_lsh_equals_exact(emb_with_dups):
+    exact = sorted(
+        tuple(r)
+        for r in S.embedding_near_dup(emb_with_dups, threshold=0.9).collect()
+    )
+    lsh = sorted(
+        tuple(r)
+        for r in S.embedding_near_dup(
+            emb_with_dups, threshold=0.9, method="lsh", dim=64
+        ).collect()
+    )
+    assert lsh == exact
+    assert any(r[3] for r in exact), "planted near-dups should be flagged"
+
+
+def test_embedding_lsh_pairs_equal_exact_join(emb_with_dups):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.similarity_join(emb_with_dups, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_lsh_pairs(emb_with_dups, 0.9, dim=64).collect()
+    }
+    assert exact and lsh == exact
+
+
+def test_embedding_clusters_lsh_equals_exact(emb_with_dups):
+    lsh = sorted(
+        tuple(r)
+        for r in S.embedding_dedup_clusters(
+            emb_with_dups, threshold=0.9, dim=64, method="lsh"
+        ).collect()
+    )
+    exact = sorted(
+        tuple(r)
+        for r in S.embedding_dedup_clusters(
+            emb_with_dups, threshold=0.9, method="exact"
+        ).collect()
+    )
+    assert lsh == exact
+    # two copies of each planted original -> 3-node transitive clusters
+    comps = {}
+    for vec_id, canon, isdup in lsh:
+        comps.setdefault(canon, set()).add(vec_id)
+    assert any(len(m) == 3 for m in comps.values())
+
+
+def test_simhash_matches_bruteforce_hamming(spark, docs):
+    """The banded candidate path must find exactly the pairs a brute-force
+    Hamming scan over the signatures finds (banding guarantees coverage at
+    Hamming <= 3 with 4 chunks)."""
+    sample = docs.limit(60)
+    sig = D.simhash(sample).collect()
+    brute = set()
+    for i, a in enumerate(sig):
+        for b in sig[i + 1 :]:
+            x, y = sorted((a.doc_id, b.doc_id))
+            if bin((a.simhash ^ b.simhash) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3:
+                brute.add((x, y))
+    banded = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in D.simhash_pairs(sample, max_hamming=3).collect()
+    }
+    assert banded == brute
+
+
 def test_text_metrics_simple_string(spark):
     df = spark.createDataFrame([("hello world  again",)], ["text"])
     row = df.select(

@@ -89,3 +89,43 @@ def test_invalid_impute_raises():
     cleaner = TableCleaner()
     with pytest.raises(Exception, match="not a valid impute"):
         cleaner.register_numeric("x", impute="banana")
+
+
+def test_fit_categoricals_single_pass(spark, train):
+    """Fitting k categoricals costs ONE aggregation query (the stacked
+    explode), not k distinct-scans: the Spark job count must not grow with
+    the number of registered categoricals (AQE splits one query into a few
+    stage-jobs, so compare counts rather than pinning an absolute)."""
+
+    def job_count(group: str, cleaner: TableCleaner) -> int:
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group)
+        try:
+            cleaner.fit(train)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    one = TableCleaner()
+    one.register_label("Animal")
+    two = TableCleaner()
+    two.register_label("Animal")
+    two.register_one_hot("Animal")
+    n_one = job_count("fit-one-cat", one)
+    n_two = job_count("fit-two-cats", two)
+    assert n_two == n_one, f"2 categoricals ran {n_two} jobs vs {n_one} for 1"
+    assert two.columns[0].categories == ["Unknown", "Falcon", "Parrot"]
+    assert two.columns[1].categories == ["Falcon", "Parrot"]
+
+
+def test_split_alignment_survives_nondeterministic_source(spark, train):
+    """X/y row ids are content hashes, so a sampled (nondeterministic)
+    source still yields aligned train/test features and labels."""
+    src = train.sample(0.9, seed=7)
+    cleaner = TableCleaner()
+    cleaner.register_numeric("Max Speed", impute="mean", clip=True)
+    X, y = cleaner.clean_table(src, label="Animal")
+    X_train, X_test, y_train, y_test = cleaner.split(X, y, test_size=0.4)
+    assert X_train.count() == y_train.count()
+    assert X_test.count() == y_test.count()
+    assert X_train.count() + X_test.count() == src.count()

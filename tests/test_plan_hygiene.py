@@ -110,3 +110,12 @@ def test_ml_impute_transform_map_only(spark):
     # after fit, the transform is a map-only projection over the scan
     df = QUERIES["ml_impute_clip"](spark, SF_DIR)
     assert shuffle_count(df) == 0
+
+
+def test_embedding_lsh_near_dup_no_quadratic_join(spark):
+    # the LSH decision path must never fall back to a cartesian/nested-loop
+    # pair join — candidates come from the bucket-local explode
+    df = QUERIES["embedding_near_dup_lsh"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -105,6 +105,25 @@ def test_groupby_aggregate_callable(animals):
     assert abs(got["Parrot"] - 74.0 / 3) < 1e-9
 
 
+def test_groupby_aggregate_callable_string_col_and_explicit_type(animals):
+    # string column: the probe must not fabricate numerics; and an explicit
+    # return_types entry must override probing entirely (needed for
+    # callables whose type depends on actual values)
+    out = groupby(animals, ["Animal"]).aggregate(
+        {"Max Speed": lambda a: float(a.max())},
+        return_types={"Max Speed": "double"},
+    )
+    got = dict(rows(out))
+    assert got["Falcon"] == 380.0
+    from pyspark.sql import functions as F
+
+    str_agg = groupby(
+        animals.withColumn("tag", F.concat(F.col("Animal"), F.lit("!"))), ["Animal"]
+    ).aggregate({"tag": lambda a: max(a)})
+    tags = dict(rows(str_agg))
+    assert tags["Falcon"] == "Falcon!"
+
+
 def test_groupby_iteration(animals):
     seen = {}
     for key, sub in groupby(animals, ["Animal"]):
@@ -169,3 +188,15 @@ def test_head_prints_rows_and_empty_message(spark, animals, capsys):
     assert "Animal" in out and out.count("\n") >= 4  # header + 2 rows boxed
     head(animals.filter("`Max Speed` > 1e9"))
     assert "No data in table" in capsys.readouterr().out
+
+
+def test_head_caps_line_width(spark, capsys):
+    from pyarrow_ops_spark import head
+
+    wide = spark.createDataFrame([("x" * 500, 1)], "wide string, n long")
+    head(wide, max_width=40)
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    # reference ops.py:79 truncates every rendered line to max_width chars
+    # after the 5-char row-label prefix
+    assert all(len(l) <= 45 for l in lines)
+    assert lines[0].startswith("Row  ")

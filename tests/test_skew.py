@@ -52,6 +52,45 @@ def test_salted_agg_equals_plain(spark, skewed):
     )
 
 
+def test_salted_agg_null_semantics(spark, skewed):
+    """count(col) skips nulls and avg(col) averages non-null values only —
+    the SQL semantics a plain groupBy produces (ADVICE r1: the old partials
+    counted null rows, deflating avg and inflating count on null columns)."""
+    with_nulls = skewed.withColumn(
+        "v", F.when(F.col("l_linenumber") % 3 == 0, F.col("l_quantity"))
+    )  # ~2/3 of v is NULL
+    plain = with_nulls.groupBy("k").agg(
+        F.count("v").alias("n_v"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("v").alias("avg_v"),
+        F.sum("v").alias("sum_v"),
+    )
+    salted = salted_agg(
+        with_nulls,
+        ["k"],
+        {
+            "n_v": "count(v)",
+            "n_rows": "count(*)",
+            "avg_v": "avg(v)",
+            "sum_v": "sum(v)",
+        },
+        n_salts=8,
+    )
+    cols = ["k", "n_v", "n_rows", "avg_v", "sum_v"]
+    assert rows(salted.select(*cols)) == rows(plain.select(*cols))
+
+
+def test_salted_agg_all_null_group_avg_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, 4.0), (2, None)], "k int, v double"
+    )
+    out = {r["k"]: r for r in salted_agg(
+        df, ["k"], {"n": "count(v)", "a": "avg(v)"}, n_salts=4
+    ).collect()}
+    assert out[1]["n"] == 0 and out[1]["a"] is None
+    assert out[2]["n"] == 1 and out[2]["a"] == 4.0
+
+
 def test_salted_agg_rejects_nonmergeable(spark, skewed):
     with pytest.raises(ValueError):
         salted_agg(skewed, ["k"], {"m": "median(l_quantity)"})
