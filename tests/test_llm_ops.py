@@ -231,6 +231,45 @@ def test_simhash_matches_bruteforce_hamming(spark, docs):
     assert banded == brute
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee (k=8, window=16): two texts sharing a substring
+    of length >= window+k-1 = 23 share at least one fingerprint; disjoint
+    random-ish texts share none."""
+    shared = "the quick brown fox jumps!"  # 26 chars > 23
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB CCCC DDDD"),
+            (2, "xyzw " + shared + " qrst uvlm nopq"),
+            (3, "completely different content here with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", TX.winnowed_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert rows[1] & rows[2], "shared substring must yield a shared fingerprint"
+    assert not (rows[1] & rows[3])
+
+
+def test_rolling_hashes_identical_prefix(spark):
+    # same text -> identical hash arrays; k-gram hash depends only on its
+    # window, so a common prefix yields a common hash prefix
+    df = spark.createDataFrame(
+        [(1, "abcdefghijKLMNO"), (2, "abcdefghijXYZUV")], "id long, text string"
+    )
+    got = {
+        r.id: list(r.h)
+        for r in df.select(
+            "id", TX.rolling_hashes("text", k=8).alias("h")
+        ).collect()
+    }
+    assert got[1][:3] == got[2][:3]  # windows fully inside the shared prefix
+    assert got[1] != got[2]
+
+
 def test_text_metrics_simple_string(spark):
     df = spark.createDataFrame([("hello world  again",)], ["text"])
     row = df.select(
