@@ -2074,6 +2074,49 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_winnow_pairs",
+    r"""
+    WITH h AS (
+        SELECT doc_id,
+               [list_reduce(list_transform(range(0, 8),
+                                           j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT)),
+                            (a, b) -> a * 31 + b) % 1000000007
+                for i in range(1, greatest(length(text) - 7, 1) + 1)] AS hashes
+        FROM documents
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(
+                   [list_min(hashes[i : i + 15])
+                    for i in range(1, greatest(len(hashes) - 15, 1) + 1)]) AS fps
+        FROM h
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.fps, b.fps)) AS inter,
+               len(a.fps) AS na, len(b.fps) AS nb
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS winnow_jaccard
+    FROM pairs
+    WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5
+    """,
+)
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs: inverted index on fingerprints
+    -> bucket-local candidate pairs -> exact fingerprint-Jaccard verify.
+    Unlike MinHash-LSH the candidates are EXACT (winnowing guarantee:
+    overlap > 0 implies a shared fingerprint), so the quadratic DuckDB
+    oracle matches deterministically. Linear shuffle on fingerprint values
+    (~|text|/window per doc) — the 100 TB substring-overlap path."""
+    from pyarrow_ops_spark.functions.dedup import winnow_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return winnow_pairs(docs, threshold=0.5, k=8, window=16)
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

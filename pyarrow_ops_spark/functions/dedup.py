@@ -434,3 +434,75 @@ def simhash_pairs(
         cands.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint pairs (substring-overlap near-dup)
+# ---------------------------------------------------------------------------
+
+
+def winnow_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint Jaccard: (id_a, id_b,
+    winnow_jaccard) for every pair with fingerprint-set Jaccard >= threshold.
+
+    Unlike MinHash-LSH this candidate engine is EXACT, not probabilistic:
+    winnowing guarantees any shared substring of length >= window+k-1
+    yields a shared fingerprint, and any pair with nonzero Jaccard shares
+    at least one fingerprint — so the inverted-index candidates cover every
+    qualifying pair and the output equals the O(n²) baseline exactly (the
+    only divergence is the degenerate-bucket cap, which drops fingerprints
+    shared by >max_bucket docs — boilerplate grams carrying no signal).
+
+    Scale shape mirrors ``minhash_lsh_pairs``: one pass computes
+    fingerprints, one shuffle on the fingerprint value builds the inverted
+    index, pairs generate bucket-locally, and exact verification re-joins
+    the (small) fingerprint arrays — everything linear in corpus size plus
+    candidate count. ~|text|/window fingerprints per document keep both the
+    index and the verify join narrow.
+    """
+    from pyspark import StorageLevel
+
+    from pyarrow_ops_spark.functions.text import winnowed_fingerprints
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    fps = df.repartition(parallelism).select(
+        F.col(id_col).alias("id"),
+        winnowed_fingerprints(text_col, k=k, window=window).alias("fps"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    buckets = (
+        fps.select("id", F.explode("fps").alias("fp"))
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    candidates = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    fps_a = fps.select(F.col("id").alias("id_a"), F.col("fps").alias("fps_a"))
+    fps_b = fps.select(F.col("id").alias("id_b"), F.col("fps").alias("fps_b"))
+    j = jaccard(F.col("fps_a"), F.col("fps_b"))
+    return (
+        candidates.join(fps_a, on="id_a").join(fps_b, on="id_b")
+        .select("id_a", "id_b", F.round(j, 4).alias("winnow_jaccard"))
+        .filter(F.col("winnow_jaccard") >= threshold)
+    )

@@ -311,3 +311,43 @@ def test_media_metadata_struct(spark):
     out = MM.with_media_metadata(df, "payload", mime="image/png").collect()[0]
     assert out.payload_meta.mime == "image/png"
     assert out.payload_meta.n_bytes == 4
+
+
+def test_winnow_pairs_equals_bruteforce(spark, docs):
+    """The inverted-index candidate engine is exact: winnow_pairs equals a
+    quadratic self-join over the same fingerprint arrays."""
+    got = {
+        (r.id_a, r.id_b, r.winnow_jaccard)
+        for r in D.winnow_pairs(docs, threshold=0.3).collect()
+    }
+    fps = docs.select(
+        F.col("doc_id").alias("id"),
+        TX.winnowed_fingerprints("text").alias("fps"),
+    )
+    a = fps.select(F.col("id").alias("id_a"), F.col("fps").alias("fps_a"))
+    b = fps.select(F.col("id").alias("id_b"), F.col("fps").alias("fps_b"))
+    brute = {
+        (r.id_a, r.id_b, r.wj)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(D.jaccard(F.col("fps_a"), F.col("fps_b")), 4).alias("wj"),
+        )
+        .filter(F.col("wj") >= 0.3)
+        .collect()
+    }
+    assert got == brute and got
+
+
+def test_winnow_pairs_detects_planted_mutation(spark, docs):
+    # a doc with one flipped character keeps most substrings -> high overlap
+    one = docs.orderBy("doc_id").limit(1)
+    mut = one.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("Z"), F.substr("text", F.lit(2), F.length("text"))).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    pairs = D.winnow_pairs(docs.unionByName(mut.select(docs.columns)), threshold=0.5)
+    hit = pairs.filter(F.col("id_b") == F.col("id_a") + 1_000_000)
+    assert hit.count() == 1
