@@ -23,6 +23,7 @@ from pyarrow_ops_spark.sources.tables import (
     load_table,
     load_tables,
     register_views,
+    sql,
     read_source,
     write_sink,
 )
@@ -81,6 +82,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "register_views",
+    "sql",
     "read_source",
     "write_sink",
     "read_bucketed",

@@ -2117,6 +2117,55 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(docs, threshold=0.5, k=8, window=16)
 
 
+_SQL_FRONTEND_WINDOW = """
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           CAST(RANK() OVER (PARTITION BY s_nationkey
+                             ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT)
+               AS bal_rank,
+           ROUND(s_acctbal - AVG(s_acctbal) OVER (PARTITION BY s_nationkey), 2)
+               AS bal_vs_nation_avg
+    FROM supplier
+"""
+
+
+@query("sql_frontend_window", _SQL_FRONTEND_WINDOW)
+def q_sql_frontend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics through the SQL front door — the SAME string object
+    runs on spark.sql and on DuckDB. RANK + a partition-frame AVG in one
+    Window spec: a single shuffle on s_nationkey serves both functions."""
+    from pyarrow_ops_spark.sources.tables import sql
+
+    return sql(spark, _SQL_FRONTEND_WINDOW, sf_dir, names=("supplier",))
+
+
+_SQL_FRONTEND_TOPN = """
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_top_orders,
+           ROUND(AVG(r.o_totalprice), 2) AS avg_top_price
+    FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+    WHERE r.rn <= 3
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_frontend_topn", _SQL_FRONTEND_TOPN)
+def q_sql_frontend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + per-group top-N + join + aggregate, byte-identical SQL on both
+    engines. Catalyst turns the rn <= 3 post-filter into a map-side
+    WindowGroupLimit before the window shuffle, and AQE broadcast-joins the
+    customer side — declarative SQL gets the same physical plan quality as
+    the hand-built DataFrame queries."""
+    from pyarrow_ops_spark.sources.tables import sql
+
+    return sql(spark, _SQL_FRONTEND_TOPN, sf_dir, names=("orders", "customer"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

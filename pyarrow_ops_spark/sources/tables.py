@@ -140,3 +140,16 @@ def write_sink(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def sql(spark: SparkSession, query: str, sf_dir: str | None = None,
+        names: tuple[str, ...] = TABLE_NAMES) -> DataFrame:
+    """The SQL front door: register the warehouse tables as temp views and
+    run ``query`` through ``spark.sql``. Any ANSI query that runs here runs
+    unchanged on another SQL engine over the same parquet — the
+    ``sql_frontend_*`` registry entries execute byte-identical text on
+    Spark and the DuckDB oracle. View registration is metadata-only (no
+    scan); Catalyst sees through views, so pushdown/pruning/broadcast all
+    apply exactly as in the DataFrame API."""
+    register_views(spark, sf_dir, names)
+    return spark.sql(query)

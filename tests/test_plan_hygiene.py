@@ -119,3 +119,22 @@ def test_embedding_lsh_near_dup_no_quadratic_join(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_frontend_topn_window_group_limit_and_broadcast(spark):
+    # the SQL front door gets the same physical plan quality as the
+    # DataFrame API: map-side WindowGroupLimit below the window shuffle,
+    # broadcast join on the customer dim
+    df = QUERIES["sql_frontend_topn"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winnow_pairs_no_quadratic_join(spark):
+    # candidates come from the fingerprint inverted index, never a
+    # cartesian pair join
+    df = QUERIES["dedup_winnow_pairs"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
