@@ -44,9 +44,11 @@ from pyarrow_ops_spark.functions.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash,
+    winnow_pairs,
     simhash_pairs,
 )
 from pyarrow_ops_spark.functions.similarity import (
+    lsh_threshold_join,
     cosine_topk,
     similarity_join,
     lsh_topk,
@@ -54,6 +56,7 @@ from pyarrow_ops_spark.functions.similarity import (
     embedding_near_dup,
 )
 from pyarrow_ops_spark.functions.text import (
+    winnowed_fingerprints,
     text_stats,
     token_count,
     quality_score,
@@ -83,6 +86,9 @@ __all__ = [
     "load_tables",
     "register_views",
     "sql",
+    "lsh_threshold_join",
+    "winnow_pairs",
+    "winnowed_fingerprints",
     "read_source",
     "write_sink",
     "read_bucketed",

@@ -2117,6 +2117,40 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(docs, threshold=0.5, k=8, window=16)
 
 
+@query(
+    "similarity_threshold_join_lsh",
+    f"""
+    WITH q AS ({_PLANT_SQL}),
+    eq AS (SELECT vec_id AS q_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM q),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+    SELECT eq.q_id, e.vec_id,
+           round(list_cosine_similarity(eq.v, e.v), 4) AS sim
+    FROM eq JOIN e ON round(list_cosine_similarity(eq.v, e.v), 4) >= 0.9
+    """,
+)
+def q_similarity_threshold_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided LSH threshold join (approxSimilarityJoin shape): planted
+    perturbed copies as the query side against the full corpus, banded
+    hyperplane candidates + exact cosine verify, checked against the
+    quadratic DuckDB cross join. Each planted query matches exactly its
+    source vector (cos ~0.9999, per-pair LSH miss ~1e-12); cross pairs on
+    this near-orthogonal corpus stay far below the 0.9 threshold."""
+    from pyarrow_ops_spark.functions.similarity import lsh_threshold_join
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * (1 + 0.01 * F.sin(x.cast("double") * 100))).cast("float"),
+        ).alias("embedding"),
+    )
+    return lsh_threshold_join(q, emb, threshold=0.9, dim=64, query_id_col="vec_id")
+
+
 _SQL_FRONTEND_WINDOW = """
     SELECT s_nationkey, s_suppkey, s_acctbal,
            CAST(RANK() OVER (PARTITION BY s_nationkey

@@ -431,3 +431,80 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def lsh_threshold_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    bits: int = 56,
+    bands: int = 8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Two-sided approximate similarity join (the ``approxSimilarityJoin``
+    shape): every (query, corpus) pair with cosine >= threshold, candidates
+    from a band-bucket equi-join so neither side is scanned per-row of the
+    other. Output: (q_id, <id_col>, sim) — pairs where the two ids denote
+    the same vector are NOT filtered; callers join semantics, not identity.
+
+    This unifies the candidate engine across the similarity surface:
+    ``lsh_topk`` (per-query ranking), ``embedding_lsh_pairs`` (self-join
+    dedup) and this join all reuse ``band_values``. Shape notes vs
+    ``lsh_topk``: the explode carries only (id, band, val) — vectors are
+    re-joined for verification AFTER candidate distinct, so the bucket
+    shuffle moves 3 narrow columns instead of full embeddings (at 1000+
+    dims the vector dominates; this is the difference between shuffling
+    ~20 bytes and ~8 KB per exploded row). Degenerate corpus buckets
+    (> max_bucket members — a band value that stopped discriminating) are
+    dropped, same policy as every bucketed engine here.
+
+    Recall follows the banded-LSH formula in ``embedding_lsh_pairs``:
+    defaults give ~1-1e-12 candidate probability at cosine >= 0.99 and
+    prune near-orthogonal pairs to ~6%."""
+    from pyspark import StorageLevel
+
+    query_id_col = query_id_col or id_col
+    qe = queries.select(
+        F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ce = corpus.select(
+        F.col(id_col).alias("c_id"), _as_double(vec_col).alias("c_vec")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    qb = qe.select(
+        "q_id",
+        F.posexplode(band_values(F.col("q_vec"), dim, bits, bands)).alias(
+            "band", "val"
+        ),
+    )
+    cb = ce.select(
+        "c_id",
+        F.posexplode(band_values(F.col("c_vec"), dim, bits, bands)).alias(
+            "band", "val"
+        ),
+    )
+    live = (
+        cb.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .drop("n")
+    )
+    cands = (
+        qb.join(cb.join(live, on=["band", "val"], how="semi"), on=["band", "val"])
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    return (
+        cands.join(qe, on="q_id")
+        .join(ce, on="c_id")
+        .select(
+            "q_id",
+            F.col("c_id").alias(id_col),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -351,3 +351,38 @@ def test_winnow_pairs_detects_planted_mutation(spark, docs):
     pairs = D.winnow_pairs(docs.unionByName(mut.select(docs.columns)), threshold=0.5)
     hit = pairs.filter(F.col("id_b") == F.col("id_a") + 1_000_000)
     assert hit.count() == 1
+
+
+def test_lsh_threshold_join_equals_exact(spark, emb):
+    """Two-sided LSH threshold join equals the exact quadratic cross join
+    on the planted-dup fixture (cos ~0.9999 pairs: miss prob ~1e-12)."""
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * (1 + 0.01 * F.sin(x.cast("double") * 100))).cast("float"),
+        ).alias("embedding"),
+    )
+    got = {
+        (r.q_id, r.vec_id, r.sim)
+        for r in S.lsh_threshold_join(q, emb, threshold=0.9, dim=64).collect()
+    }
+    qe = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    exact = {
+        (r.q_id, r.vec_id, r.sim)
+        for r in qe.crossJoin(emb)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                S.cosine(
+                    F.col("qv").cast("array<double>"),
+                    F.col("embedding").cast("array<double>"),
+                ),
+                4,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.9)
+        .collect()
+    }
+    assert got == exact and got
