@@ -43,8 +43,11 @@ BENCH_QUERIES = [
     "asof_join_clicks",
     "events_sessionize",
     "dedup_minhash_lsh",
+    "dedup_winnow_pairs",
     "similarity_topk_bruteforce",
+    "similarity_threshold_join_lsh",
     "embedding_near_dup_lsh",
+    "sql_frontend_topn",
     "skew_salted_agg",
     "text_stats",
 ]

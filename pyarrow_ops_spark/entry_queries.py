@@ -2200,6 +2200,139 @@ def q_sql_frontend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql(spark, _SQL_FRONTEND_TOPN, sf_dir, names=("orders", "customer"))
 
 
+_SQL_Q17 = """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("q17_small_quantity_revenue", _SQL_Q17)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: correlated scalar subquery (per-part average
+    quantity) gating a fact-side filter. Catalyst de-correlates the
+    subquery into an aggregate + join — no per-row re-execution, which is
+    the difference between O(n) and O(n·parts) at 100 TB. Byte-identical
+    SQL on both engines."""
+    from pyarrow_ops_spark.sources.tables import sql
+
+    return sql(spark, _SQL_Q17, sf_dir, names=("lineitem", "part"))
+
+
+_SQL_GROUPING_SETS = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           SUM(l_quantity) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("grouping_sets_agg", _SQL_GROUPING_SETS)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers (rollup/cube's
+    general form — one Expand + one aggregation, not four scans)."""
+    from pyarrow_ops_spark.sources.tables import sql
+
+    return sql(spark, _SQL_GROUPING_SETS, sf_dir, names=("lineitem",))
+
+
+@query(
+    "stats_corr_covar",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(var_samp(l_discount), 6) AS var_disc,
+           ROUND(stddev_samp(l_tax), 6) AS std_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (Pearson corr, sample covariance)
+    plus sample variance/stddev — all single-pass partial-aggregable
+    moments, so map-side combine applies like any sum."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.stddev_samp("l_tax"), 6).alias("std_tax"),
+    )
+
+
+@query(
+    "unpivot_metrics",
+    """
+    WITH m AS (
+        SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric, ROUND(AVG(value), 4) AS avg_value,
+           CAST(COUNT(value) AS BIGINT) AS n
+    FROM m GROUP BY metric
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt (wide -> long), then a per-metric profile. Spark's
+    unpivot is a single Expand node — one scan fans out to all metrics
+    (the SQL-oracle UNION ALL shape would scan the table once per
+    metric)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    melted = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return melted.groupBy("metric").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count("value").alias("n"),
+    )
+
+
+@query(
+    "hll_sketch_distinct",
+    """
+    SELECT l_returnflag, TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches-HLL distinct counting: the 100 TB cardinality path.
+    Unlike count(DISTINCT x) (a full shuffle of x), the sketch is a
+    fixed-size partial aggregate — and the BINARY sketch itself is
+    re-aggregatable across partitions/days via hll_union_agg, which exact
+    distinct counts are not. Oracle is the invariant-check pattern: the
+    estimate must land within 5% of exact (HLL lgConfigK=12 gives ~1.6%
+    standard error)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("est"),
+            F.count_distinct("l_orderkey").alias("exact"),
+        )
+        .select(
+            "l_returnflag",
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                <= 0.05 * F.col("exact")
+            ).alias("within_bound"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
