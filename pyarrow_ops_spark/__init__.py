@@ -23,6 +23,7 @@ from pyarrow_ops_spark.sources.tables import (
     load_table,
     load_tables,
     register_views,
+    read_binary_files,
     sql,
     read_source,
     write_sink,
@@ -90,6 +91,7 @@ __all__ = [
     "winnow_pairs",
     "winnowed_fingerprints",
     "read_source",
+    "read_binary_files",
     "write_sink",
     "read_bucketed",
     "write_bucketed",

@@ -153,3 +153,26 @@ def sql(spark: SparkSession, query: str, sf_dir: str | None = None,
     apply exactly as in the DataFrame API."""
     register_views(spark, sf_dir, names)
     return spark.sql(query)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    pattern: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Ingest raw media/blob files as rows via Spark's ``binaryFile``
+    source: (path, modificationTime, length, content binary) — the
+    ingestion front of the multimodal pipeline (pair with
+    ``functions.multimodal.with_media_metadata`` / ``extract_features``).
+
+    Scale notes: the source parallelizes across files (one file is never
+    split), so many small blobs beat one giant tar; metadata-only queries
+    (path/length filters) still read file contents — filter on
+    ``pathGlobFilter`` here instead so pruning happens at listing time."""
+    reader = spark.read.format("binaryFile")
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

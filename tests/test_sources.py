@@ -50,3 +50,24 @@ def test_partitioned_write_prunes(spark, tmp_path_factory):
     # partition pruning: the scan reads only the matching directory
     assert back.count() == orders.filter(F.col("o_year") == 1995).count()
     assert "PartitionFilters: [isnotnull(o_year" in plan or "o_year#" in plan
+
+
+def test_read_binary_files_roundtrip(spark, tmp_path):
+    from pyarrow_ops_spark.sources.tables import read_binary_files
+    from pyarrow_ops_spark.functions.multimodal import with_media_metadata
+
+    payloads = {f"blob_{i}.bin": bytes([i]) * (10 + i) for i in range(4)}
+    (tmp_path / "skip.txt").write_text("not a blob")
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = read_binary_files(spark, str(tmp_path), pattern="*.bin")
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == payloads
+
+    meta = with_media_metadata(df, "content", mime="application/x-blob")
+    got = {
+        r.path.rsplit("/", 1)[-1]: r.content_meta.n_bytes for r in meta.collect()
+    }
+    assert got == {k: len(v) for k, v in payloads.items()}
