@@ -73,6 +73,7 @@ from pyarrow_ops_spark.streaming.windows import (
     sliding_counts,
     sessionize_batch,
     stream_tumbling_counts,
+    stream_dedup,
 )
 from pyarrow_ops_spark.streaming.stateful import (
     running_user_totals,
@@ -133,6 +134,7 @@ __all__ = [
     "sliding_counts",
     "sessionize_batch",
     "stream_tumbling_counts",
+    "stream_dedup",
     "running_user_totals",
     "stream_events",
     "stream_session_windows",

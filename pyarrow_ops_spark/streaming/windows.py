@@ -107,3 +107,23 @@ def stream_tumbling_counts(
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     return tumbling_counts(stream.withWatermark("ts", watermark), duration)
+
+
+def stream_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: keep the first arrival per key, dropping
+    re-deliveries that arrive within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). This is the streaming twin of
+    ``operators.dedup.drop_duplicates(keep='first')`` and the standard
+    guard for at-least-once sources (Kafka replays, file re-lists).
+
+    Scale/state story: unlike plain ``dropDuplicates`` on a stream (whose
+    state grows forever), the watermark bounds state to keys seen within
+    the horizon — state size tracks key arrival rate x horizon, not stream
+    length. Works on any batch DataFrame too (falls back to plain
+    dropDuplicates semantics at the watermark boundary)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -108,3 +108,41 @@ def test_stream_session_window_covers_all_events(spark):
         assert all(r.session_start < r.session_end for r in got)
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
+    """Re-delivered events (same event_id, two micro-batches) survive only
+    once; distinct ids all survive."""
+    from pyarrow_ops_spark.streaming.windows import stream_dedup
+
+    base = [(i, "2024-01-01 10:00:00", float(i)) for i in range(10)]
+    redelivered = [(i, "2024-01-01 10:00:00", float(i)) for i in range(5)]
+    fresh = [(i, "2024-01-01 10:30:00", float(i)) for i in range(10, 15)]
+    schema = "event_id long, ts_s string, value double"
+    d = str(tmp_path / "stream_src")
+    spark.createDataFrame(base, schema).coalesce(1).write.parquet(d)
+    spark.createDataFrame(redelivered + fresh, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    from pyspark.sql import functions as F
+
+    events = raw.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    deduped = stream_dedup(events, ["event_id"], "ts", watermark="2 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.event_id for r in spark.sql("SELECT event_id FROM dedup_out").collect())
+    finally:
+        q.stop()
+    assert got == list(range(15))
