@@ -2358,7 +2358,6 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "groupby_sum_all",
     "groupby_agg_dict",
     "groupby_stddev_minmax",
-    "groupby_collect_sorted",
     "groupby_aggregate_callable",
     "approx_distinct_quantile",
     # join family (reference join.py + every Spark join type + interval/asof)
@@ -2382,7 +2381,6 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     # inside window_running_sum)
     "window_topk",
     "window_running_sum",
-    "window_range_frame",
     # sorts / set ops
     "sort_limit_topn",
     "setops_intersect_except",
@@ -2390,6 +2388,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "rollup_agg",
     "pivot_linestatus",
     "having_filter_after_groupby",
+    "stats_corr_covar",
     # scalar function surface
     "string_funcs",
     "date_parts_agg",
@@ -2397,17 +2396,18 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     # text analysis (LLM pipeline)
     "text_stats",
     "text_lang_guess",
-    "text_quality",
     "text_bpe_tokens",
     "text_winnow_fingerprints",
     # document dedup (LLM pipeline)
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_winnow_pairs",
     "dedup_clusters_lsh",
     # embedding similarity / near-dup (LLM pipeline)
     "embedding_near_dup_lsh",
     "embedding_clusters_lsh",
     "similarity_topk_bruteforce",
+    "similarity_threshold_join_lsh",
     # multimodal plumbing
     "multimodal_features",
     # event streams (batch twins of the streaming path)
