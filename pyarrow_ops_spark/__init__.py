@@ -50,6 +50,7 @@ from pyarrow_ops_spark.functions.dedup import (
 )
 from pyarrow_ops_spark.functions.similarity import (
     lsh_threshold_join,
+    quantize_embeddings,
     cosine_topk,
     similarity_join,
     lsh_topk,
@@ -58,6 +59,7 @@ from pyarrow_ops_spark.functions.similarity import (
 )
 from pyarrow_ops_spark.functions.text import (
     winnowed_fingerprints,
+    vocab_topk,
     text_stats,
     token_count,
     quality_score,
@@ -90,6 +92,8 @@ __all__ = [
     "sql",
     "lsh_threshold_join",
     "winnow_pairs",
+    "quantize_embeddings",
+    "vocab_topk",
     "winnowed_fingerprints",
     "read_source",
     "read_binary_files",

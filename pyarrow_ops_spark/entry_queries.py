@@ -2335,6 +2335,60 @@ def q_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_vocab_topk",
+    r"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 100
+    """,
+)
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 tokens by corpus frequency with a
+    deterministic (count desc, token) tie-break. Map-side combine bounds
+    the shuffle by vocab size; TakeOrderedAndProject avoids a full sort."""
+    from pyarrow_ops_spark.functions.text import vocab_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return vocab_topk(docs, "text", k=100).select(
+        "token", F.col("n").cast("bigint").alias("n")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale,
+           CASE WHEN list_max(list_transform(embedding,
+                                             x -> abs(CAST(x AS DOUBLE)))) = 0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) /
+                         (list_max(list_transform(embedding,
+                                                  y -> abs(CAST(y AS DOUBLE))))
+                          / 127.0) + 0.5) AS INT))
+           END AS codes
+    FROM embeddings
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization (scale = max|x|/127,
+    code = floor(x/scale + 0.5)): the 4x memory/IO compression step before
+    billion-vector ANN. Every step is an exact IEEE double op with no
+    reassociation, so Spark and DuckDB produce BIT-IDENTICAL codes — the
+    oracle is exact, not rounded."""
+    from pyarrow_ops_spark.functions.similarity import quantize_embeddings
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return quantize_embeddings(emb)
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

@@ -593,3 +593,32 @@ def lsh_threshold_join(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector: scale = max|x|/127,
+    code_i = floor(x_i/scale + 0.5). Cuts ANN index memory/scan IO 4x
+    (the standard first compression step before IVF/LSH at billion-vector
+    scale); dequantization error is bounded by scale/2 per element.
+
+    Map-only (no shuffle), fully deterministic: every step (abs-max,
+    divide, +0.5, floor) is an exact IEEE-754 double operation with no
+    reassociation, so any engine computes bit-identical codes — the DuckDB
+    oracle runs the same formula. floor(x+0.5) instead of round():
+    round-half-even vs half-away differs between engines; floor does not.
+    Zero vectors get scale 0 and all-zero codes."""
+    v = _as_double(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    codes = F.when(absmax == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )

@@ -161,3 +161,28 @@ def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         quality_score(col).alias("quality"),
         fingerprint(col).alias("fp"),
     )
+
+
+def vocab_topk(df: DataFrame, col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency, ties broken by token —
+    the vocab-building pass of a tokenizer-training pipeline. Tokens are
+    the BPE-ish pieces (letter runs / digit runs / single punctuation) of
+    the lowercased text.
+
+    Plan shape: explode -> partial-count -> final count -> TakeOrdered.
+    The shuffle carries (token, partial_count) — bounded by vocabulary
+    size per partition, not corpus token count (map-side combine), and
+    top-k is a TakeOrderedAndProject, never a full sort."""
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(k)
+    )

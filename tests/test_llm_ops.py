@@ -386,3 +386,33 @@ def test_lsh_threshold_join_equals_exact(spark, emb):
         .collect()
     }
     assert got == exact and got
+
+
+def test_vocab_topk_deterministic_and_counted(spark):
+    df = spark.createDataFrame(
+        [("the cat sat, the cat ran!",), ("THE dog sat.",)], ["text"]
+    )
+    rows = [(r.token, r.n) for r in TX.vocab_topk(df, "text", k=4).collect()]
+    assert rows[0] == ("the", 3)
+    assert set(rows) >= {("the", 3), ("cat", 2), ("sat", 2)}
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark, emb):
+    q = S.quantize_embeddings(emb)
+    joined = emb.join(q, on="vec_id").select(
+        F.col("embedding").cast("array<double>").alias("v"), "scale", "codes"
+    )
+    row = joined.selectExpr(
+        "max(aggregate(zip_with(v, codes, (x, c) -> abs(x - c * scale)), "
+        "CAST(0.0 AS DOUBLE), (a, e) -> greatest(a, e))) AS max_err",
+        "max(scale) AS max_scale",
+        "max(array_max(transform(codes, c -> abs(c)))) AS max_code",
+    ).collect()[0]
+    assert row.max_code <= 127
+    assert row.max_err <= row.max_scale / 2 + 1e-12
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    r = S.quantize_embeddings(df).collect()[0]
+    assert r.scale == 0.0 and list(r.codes) == [0, 0, 0]
