@@ -2389,6 +2389,90 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb)
 
 
+@query(
+    "pipeline_llm_curation",
+    r"""
+    WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0
+    ),
+    m AS (
+        SELECT doc_id, text,
+               round(0.4 * least(len(string_split_regex(trim(text), '\s+')) / 64.0, 1.0)
+                     + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                              / length(text))
+                     + 0.3 * greatest(0.0, 1.0 -
+                           abs((length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                                / len(string_split_regex(trim(text), '\s+'))) - 5.0)
+                           / 5.0), 4) AS q,
+               len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS s_de,
+               len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS s_en,
+               len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS s_es,
+               len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) AS s_fr,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS toks,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM u
+    ),
+    g AS (
+        SELECT *,
+               CASE
+                 WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                 ELSE 'fr'
+               END AS lang_guessed
+        FROM m
+    ),
+    f AS (SELECT * FROM g WHERE q >= 0.5 AND lang_guessed <> 'und'),
+    keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp)
+    SELECT lang_guessed,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           round(avg(q), 4) AS avg_quality
+    FROM f WHERE doc_id IN (SELECT doc_id FROM keep)
+    GROUP BY lang_guessed
+    """,
+)
+def q_pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composite: the end-to-end training-data curation pipeline —
+    quality scoring + language ID (map-only metrics), quality/language
+    filtering, exact dedup on normalized-text fingerprints (planted copies
+    in-query so the dedup stage is non-vacuous), per-language corpus
+    accounting. One shuffle for the digest dedup, one for the final
+    aggregate; every metric fuses into the scan stage. This is the query
+    shape a 100 TB curation run executes per snapshot."""
+    from pyarrow_ops_spark.functions.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        lang_guess,
+        quality_score,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    u = docs.unionByName(planted)
+    m = u.select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        lang_guess("text").alias("lang_guessed"),
+        bpe_ish_token_count("text").alias("toks"),
+        fingerprint("text").alias("fp"),
+    )
+    f = m.filter((F.col("q") >= 0.5) & (F.col("lang_guessed") != "und"))
+    keep = f.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    kept = f.join(keep, on="doc_id", how="semi")
+    return kept.groupBy("lang_guessed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
@@ -2428,6 +2512,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     # composite/TPC-H pipelines + SQL front door
     "q1_pricing_summary",
     "micro_pipeline",
+    "pipeline_llm_curation",
     "sql_frontend_q4",
     # JSON ingestion (reference client.py str_to_table)
     "json_str_to_table",
@@ -2444,7 +2529,6 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "having_filter_after_groupby",
     "stats_corr_covar",
     # scalar function surface
-    "string_funcs",
     "date_parts_agg",
     "explode_word_count",
     # text analysis (LLM pipeline)

@@ -416,3 +416,24 @@ def test_quantize_zero_vector(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
     r = S.quantize_embeddings(df).collect()[0]
     assert r.scale == 0.0 and list(r.codes) == [0, 0, 0]
+
+
+def test_pipeline_llm_curation_drops_planted_dups(spark):
+    """The curation pipeline's dedup stage must remove all planted exact
+    copies: total kept docs equals the unplanted filtered count."""
+    from pyarrow_ops_spark.entry_queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["pipeline_llm_curation"](spark, SF_DIR)
+    total_kept = sum(r.n_docs for r in out.collect())
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    from pyarrow_ops_spark.functions.text import lang_guess, quality_score
+
+    baseline = (
+        docs.select(
+            quality_score("text").alias("q"), lang_guess("text").alias("g")
+        )
+        .filter((F.col("q") >= 0.5) & (F.col("g") != "und"))
+        .count()
+    )
+    assert total_kept == baseline
