@@ -2464,8 +2464,14 @@ def q_pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint("text").alias("fp"),
     )
     f = m.filter((F.col("q") >= 0.5) & (F.col("lang_guessed") != "und"))
-    keep = f.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    kept = f.join(keep, on="doc_id", how="semi")
+    # dedup via one window pass, NOT a self-semi-join: referencing f twice
+    # would re-run the regex-heavy metrics map stage over the corpus. The
+    # window shuffles only the 5 narrow metric columns (text is already
+    # projected away), then keeps the min-id row per fingerprint.
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    kept = f.withColumn("rn", rn).filter(F.col("rn") == 1)
     return kept.groupBy("lang_guessed").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("toks").cast("bigint").alias("total_tokens"),
