@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "similarity_threshold_join_lsh",
     "embedding_near_dup_lsh",
     "sql_frontend_topn",
+    "pipeline_llm_curation",
     "skew_salted_agg",
     "text_stats",
 ]
