@@ -2480,6 +2480,430 @@ def q_pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H plan-shape analogs: outer-join distributions, scalar subqueries,
+# anti-joins, disjunctive join predicates, correlated-subquery-as-window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_order_count_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join + double aggregation. count(o_orderkey)
+    over the left join yields 0 (not null) for order-less customers — the
+    outer-join/COUNT(col) interaction Q13 exists to test. First agg shuffles
+    on c_custkey; the distribution agg shuffles a few hundred count values."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery + NOT EXISTS anti-join (rich
+    customers with no RECENT orders). The scalar avg is a 1-row broadcast
+    cross join (no driver collect — the value never leaves the cluster);
+    NOT EXISTS is left_anti against the date-filtered orders key projection
+    — the filter pushes to the orders scan, and both anti-join sides
+    shuffle only their key column."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides. Catalyst
+    factors the single-side conjuncts out of the disjunction (CNF
+    conversion), so part gets p_brand IN (...) pushed to its scan and
+    lineitem gets the l_quantity range union pushed to its scan; only the
+    cross-side residual evaluates post-join. part broadcasts."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.8 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit per nation per year; supply cost proxied as
+    80% of retail price — the synthetic schema has no partsupp). Three dims
+    broadcast (part filtered by LIKE before the join, supplier, nation);
+    the only shuffle joins lineitem to orders on orderkey."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.8 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q10_returned_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_q10_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue, top 20 customers. The
+    l_returnflag filter pushes to the lineitem scan; customer/nation
+    broadcast; TakeOrderedAndProject keeps the global sort at top-k cost
+    (per-partition heap + driver merge of 20-row heads, no full sort).
+    Tie-break on c_custkey makes the LIMIT deterministic across engines."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT l_partkey, l_suppkey, unit_cost,
+               min(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+        FROM costs
+    )
+    SELECT p.p_partkey, s.s_name, round(b.unit_cost, 4) AS unit_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.unit_cost = b.best_cost AND p.p_size <= 5
+    """,
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated min-subquery (cheapest supplier per
+    part) rewritten as a window min — one shuffle on l_partkey serves both
+    the per-(part,supplier) aggregate and the per-part window because the
+    window's partition key prefixes the agg key. The unit_cost = best_cost
+    equality is exact: min() returns an actual computed value, and IEEE
+    division is deterministic, so both engines keep identical rows."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = W.partitionBy("l_partkey")
+    best = costs.withColumn("best_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("best_cost")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "s_name", F.round("unit_cost", 4).alias("unit_cost"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (operators/sample.py) — engine-reproducible samples
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_orders",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+    """,
+)
+def q_sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample: keep iff md5(key)[:4] < floor(0.1*2^16)
+    in hex. Unlike df.sample's partition-RNG draw, the SAME rows survive on
+    any engine/partitioning — the oracle literally runs the same predicate.
+    Map-only, no shuffle; composes with scan pushdown of other filters."""
+    from pyarrow_ops_spark.operators.sample import sample_hash
+
+    orders = load_table(spark, "orders", sf_dir)
+    return sample_hash(orders, 0.1, ["o_orderkey"]).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "sample_stratified_events",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 4) <
+          CASE event_type
+              WHEN 'click' THEN '8000'
+              WHEN 'error' THEN '0ccc'
+              WHEN 'view' THEN '4000'
+              ELSE '0000'
+          END
+    """,
+)
+def q_sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (hash analog of sampleBy):
+    50% of clicks, 5% of errors, 25% of views, 0% otherwise — one map-only
+    CASE predicate, single scan, no shuffle, for any number of strata."""
+    from pyarrow_ops_spark.operators.sample import sample_stratified
+
+    ev = load_table(spark, "events", sf_dir)
+    return sample_stratified(
+        ev,
+        "event_type",
+        {"click": 0.5, "error": 0.05, "view": 0.25},
+        ["event_id"],
+    ).select("event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Distribution analytics: fixed-width histogram, windowed quantile buckets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "histogram_totalprice",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a groupBy over floor(x/width) — fully
+    map-side-combined, so the shuffle carries one row per bucket per task
+    no matter the input size. (floor of an IEEE division is deterministic;
+    bucket ids match across engines exactly.)"""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "window_ntile_quartiles",
+    """
+    WITH t AS (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(quartile AS INT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) per order priority + per-quartile stats. The window sorts
+    within each of the 5 priority partitions (parallel across them); the
+    (o_totalprice, o_orderkey) total order makes tile assignment
+    deterministic across engines. For GLOBAL quantiles at 100 TB use
+    approx_percentile/percentile_approx — a single-partition ntile window
+    does not scale; the partitioned form here does."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    t = orders.withColumn("quartile", F.ntile(4).over(w))
+    return t.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids (functions/similarity.py label_centroids)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroids",
+    """
+    WITH e AS (
+        SELECT label,
+               unnest(embedding) AS v,
+               unnest(range(0, len(embedding))) AS pos
+        FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 4) AS avg_v
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids as a flat (label, pos, avg) relation — the IVF
+    training step / mean-embedding-per-class reduction. posexplode fans out
+    rows x dim but map-side combine collapses them before the exchange:
+    the shuffle carries n_labels x dim partial sums per task, ~constant."""
+    from pyarrow_ops_spark.functions.similarity import label_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return label_centroids(emb, "label", "embedding")
+
+
+# ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
 

@@ -622,3 +622,27 @@ def quantize_embeddings(
         scale.alias("scale"),
         codes.alias("codes"),
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid as a flat (label, pos, avg_v) relation — the
+    training step of IVF and the usual "mean embedding per cluster/class"
+    reduction in curation pipelines.
+
+    posexplode multiplies rows x dim, but partial aggregation (map-side
+    combine) runs BEFORE the shuffle, so the exchange carries only
+    n_labels x dim partial sums per task regardless of input size — at
+    100 TB the shuffle is a few thousand rows. A nested array output would
+    shave the explode but lose map-side combine (no partial agg over
+    array-typed accumulators in Catalyst) and oracle comparability; flat
+    wins on both.
+    """
+    return (
+        df.select(label_col, F.posexplode(_as_double(vec_col)).alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(F.round(F.avg("v"), 4).alias("avg_v"))
+    )

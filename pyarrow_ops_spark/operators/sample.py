@@ -1,0 +1,87 @@
+"""Deterministic, engine-reproducible sampling.
+
+``df.sample`` draws from a per-partition RNG, so the sampled row set depends
+on partitioning and differs run-to-run once AQE or a repartition moves rows.
+At 100 TB that nondeterminism makes sampled pipelines unauditable: an A/B
+comparison of two curation runs can't share a sample. These operators derive
+the keep decision from a content hash of key columns instead — the same rows
+fall out on any engine, any partitioning, any cluster size. (The reference
+gets reproducibility from numpy's seeded RNG on one machine; a distributed
+engine needs the decision to be a pure function of the row.)
+
+Scale design: the predicate is a map-only Catalyst expression (md5 + a
+string compare) — no shuffle, no RNG state, fuses into the scan stage and
+composes with pushdown of sargable predicates around it.
+
+The hash is the first 16 bits of ``md5(concat_ws('|', keys))`` compared
+against ``floor(fraction * 2**16)`` rendered as 4 lowercase hex digits —
+byte-identical semantics in any engine with md5 (the DuckDB oracles in
+entry_queries.py run the same expression), with ~2**-16 fraction
+granularity.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_BITS = 16
+
+
+def _bucket(key_cols: Sequence[str], seed: str) -> Column:
+    """First 4 hex chars of md5 over the salted, '|'-joined key columns."""
+    salted = [F.lit(seed)] if seed else []
+    salted += [F.col(c).cast("string") for c in key_cols]
+    return F.substring(F.md5(F.concat_ws("|", *salted)), 1, 4)
+
+
+def _threshold(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    n = int(fraction * (1 << _HASH_BITS))
+    # 'g' sorts after every 4-digit hex string, so fraction=1.0 keeps all
+    # rows ('10000' would NOT: it is 5 chars and '1' < 'f' lexicographically)
+    return "g" if n >= (1 << _HASH_BITS) else format(n, "04x")
+
+
+def sample_hash(
+    df: DataFrame,
+    fraction: float,
+    key_cols: Sequence[str],
+    seed: str = "",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically per key content.
+
+    Rows with equal keys always land together (in or out) — giving
+    consistent entity-level samples across tables that share the key.
+    ``seed`` rotates to an independent sample without touching the keys.
+    """
+    threshold = _threshold(fraction)  # validates range even when keeping all
+    if fraction >= 1.0:
+        return df
+    return df.filter(_bucket(key_cols, seed) < F.lit(threshold))
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_cols: Sequence[str],
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the hash analog of ``sampleBy``).
+
+    ``fractions`` maps a stratum value to its keep rate; strata absent from
+    the map keep ``default_fraction``. One map-only predicate — the CASE
+    picks the threshold, the hash picks the row — so a 100-stratum sample
+    still costs a single scan with no shuffle.
+    """
+    thresh = F.lit(_threshold(default_fraction))
+    for value, fraction in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(_threshold(fraction))
+        ).otherwise(thresh)
+    return df.filter(_bucket(key_cols, seed) < thresh)

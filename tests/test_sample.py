@@ -1,0 +1,71 @@
+"""Deterministic sampling: partitioning-invariance, fraction edges, strata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyarrow_ops_spark.operators.sample import sample_hash, sample_stratified
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    return spark.range(0, 5000).withColumn(
+        "grp", (F.col("id") % 4).cast("string")
+    )
+
+
+def test_sample_hash_partitioning_invariant(spark, nums):
+    a = sorted(r.id for r in sample_hash(nums, 0.2, ["id"]).collect())
+    b = sorted(
+        r.id for r in sample_hash(nums.repartition(17), 0.2, ["id"]).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_sample_hash_rate_close(spark, nums):
+    n = sample_hash(nums, 0.25, ["id"]).count()
+    assert abs(n / 5000 - 0.25) < 0.03
+
+
+def test_sample_hash_edges(spark, nums):
+    assert sample_hash(nums, 1.0, ["id"]).count() == 5000
+    assert sample_hash(nums, 0.0, ["id"]).count() == 0
+    with pytest.raises(ValueError):
+        sample_hash(nums, 1.5, ["id"])
+
+
+def test_sample_hash_seed_rotates(spark, nums):
+    a = {r.id for r in sample_hash(nums, 0.2, ["id"]).collect()}
+    b = {r.id for r in sample_hash(nums, 0.2, ["id"], seed="v2").collect()}
+    assert a != b  # independent draws
+    # same seed -> same rows
+    c = {r.id for r in sample_hash(nums, 0.2, ["id"], seed="v2").collect()}
+    assert b == c
+
+
+def test_sample_stratified_rates_and_default(spark, nums):
+    out = sample_stratified(
+        nums, "grp", {"0": 1.0, "1": 0.5, "2": 0.0}, ["id"]
+    )
+    by_grp = {
+        r.grp: r.n
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_grp.get("0") == 1250  # fraction 1.0 keeps every row
+    assert by_grp.get("2") is None  # fraction 0.0 keeps none
+    assert by_grp.get("3") is None  # default_fraction=0.0
+    assert abs(by_grp["1"] / 1250 - 0.5) < 0.06
+
+
+def test_sample_stratified_consistent_with_plain(spark, nums):
+    """A stratum sampled at rate r contains exactly sample_hash(r) rows."""
+    strat = {
+        r.id
+        for r in sample_stratified(nums, "grp", {"1": 0.3}, ["id"]).collect()
+    }
+    plain = {
+        r.id
+        for r in sample_hash(nums.filter(F.col("grp") == "1"), 0.3, ["id"]).collect()
+    }
+    assert strat == plain
