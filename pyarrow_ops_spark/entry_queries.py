@@ -2725,11 +2725,15 @@ def q_q10_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: the correlated min-subquery (cheapest supplier per
-    part) rewritten as a window min — one shuffle on l_partkey serves both
-    the per-(part,supplier) aggregate and the per-part window because the
-    window's partition key prefixes the agg key. The unit_cost = best_cost
-    equality is exact: min() returns an actual computed value, and IEEE
-    division is deterministic, so both engines keep identical rows."""
+    part) rewritten as a window min. Two exchanges, both cheap: the first
+    runs AFTER map-side partial aggregation (each task emits at most one
+    row per (part,supplier) it saw, not raw lineitems); the second
+    repartitions the already-aggregated ~|part|x|supplier-per-part| relation
+    for the per-part window. Collapsing to one shuffle (repartition by
+    l_partkey up front) would move RAW rows with no combine — worse at
+    100 TB. The unit_cost = best_cost equality is exact: min() returns an
+    actual computed value and IEEE division is deterministic, so both
+    engines keep identical rows."""
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
@@ -2946,10 +2950,12 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "sql_frontend_q4",
     # JSON ingestion (reference client.py str_to_table)
     "json_str_to_table",
-    # window functions (rank, running frame, RANGE frame; lag/lead ride
-    # inside window_running_sum)
+    # window functions (window_topk pins rank + TakeOrdered; running-sum /
+    # lag-lead / RANGE-frame twins stay pytest-oracle-covered after the cap)
     "window_topk",
-    "window_running_sum",
+    # deterministic sampling (engine-reproducible hash sample, per-stratum
+    # rates — the stratified form exercises the plain hash path too)
+    "sample_stratified_events",
     # sorts / set ops
     "sort_limit_topn",
     "setops_intersect_except",
