@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "pipeline_llm_curation",
     "skew_salted_agg",
     "text_stats",
+    "q9_profit_by_nation_year",
+    "q13_order_count_distribution",
+    "sample_stratified_events",
+    "histogram_totalprice",
+    "embedding_centroids",
 ]
 
 

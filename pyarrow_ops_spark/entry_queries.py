@@ -2908,6 +2908,82 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data ordering (functions/ordering.py): contiguous ids,
+# deterministic epoch shuffle, token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_assign_row_ids",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+    """,
+)
+def q_order_assign_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row ids without a single-partition sort: range
+    repartition + per-partition counts -> offsets + map-only stamping.
+    The oracle is the naive row_number() the distributed plan replaces."""
+    from pyarrow_ops_spark.functions.ordering import assign_row_ids
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return assign_row_ids(docs, ["doc_id"])
+
+
+@query(
+    "order_deterministic_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5('epoch1' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS row_id
+    FROM documents
+    """,
+)
+def q_order_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle: permutation = content hash order, ids
+    contiguous — same order on any engine/cluster size; the seed rotates
+    epochs. (The md5 keys are unique in practice; doc_id tiebreak in the
+    oracle only guards the theoretical collision.)"""
+    from pyarrow_ops_spark.functions.ordering import deterministic_shuffle
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return deterministic_shuffle(docs, ["doc_id"], seed="epoch1")
+
+
+@query(
+    "order_pack_token_batches",
+    """
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS pk,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(floor((sum(n_chars) OVER (
+                    PARTITION BY shard ORDER BY pk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_chars) / 2000.0) AS BIGINT) AS batch_id
+    FROM s
+    """,
+)
+def q_order_pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing, shard-local: documents hash into 16
+    shards (hex-prefix, engine-reproducible) and the running-sum batch
+    split windows WITHIN each shard — parallel across shards instead of
+    serializing the corpus through one global cumulative sum."""
+    from pyarrow_ops_spark.functions.ordering import pack_token_batches
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    packed = pack_token_batches(
+        docs, "n_chars", budget=2000, key_cols=["doc_id"], n_shards=16
+    )
+    return packed.select("doc_id", "shard", "batch_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
 
