@@ -2984,6 +2984,97 @@ def q_order_pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Decontamination + PII scrubbing (functions/dedup.py, functions/text.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_decontaminate",
+    r"""
+    WITH test AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc'
+    )
+    SELECT doc_id, n_chars FROM documents
+    WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+          NOT IN (SELECT fp FROM test)
+    """,
+)
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every train document whose
+    normalized-text fingerprint appears in the eval set (here a
+    deterministic 5% hash sample, so the overlap is genuine and
+    reproducible). Anti-join on 16-byte digests; the small distinct test
+    side broadcasts, making train a single map-side pass."""
+    from pyarrow_ops_spark.functions.dedup import decontaminate
+    from pyarrow_ops_spark.operators.sample import sample_hash
+
+    docs = load_table(spark, "documents", sf_dir)
+    test = sample_hash(docs, 0.05, ["doc_id"])
+    return decontaminate(docs, test).select("doc_id", "n_chars")
+
+
+@query(
+    "text_scrub_pii",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || CASE
+                   WHEN doc_id % 7 = 0
+                       THEN ' contact bob' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                   WHEN doc_id % 11 = 0
+                       THEN ' see https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+                   WHEN doc_id % 5 = 0
+                       THEN ' ref 1234 5678 9012'
+                   ELSE ''
+               END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+               '[0-9][0-9 \-]{6,}[0-9]', '<NUM>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails/URLs/long digit runs redacted with a pure
+    Catalyst regexp chain (map-only, fuses into the scan). PII spans are
+    planted in-query (deterministic per doc_id) so the scrub is
+    non-vacuous; the oracle runs the same three regexes."""
+    from pyarrow_ops_spark.functions.text import scrub_pii
+
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact bob"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" see https://ex.com/p/"), F.col("doc_id").cast("string")
+                ),
+            )
+            .when(F.col("doc_id") % 5 == 0, F.lit(" ref 1234 5678 9012"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return aug.select("doc_id", scrub_pii("text").alias("scrubbed"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
 

@@ -530,3 +530,29 @@ def winnow_pairs(
         .select("id_a", "id_b", F.round(j, 4).alias("winnow_jaccard"))
         .filter(F.col("winnow_jaccard") >= threshold)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    test_text_col: str | None = None,
+) -> DataFrame:
+    """Remove from ``train`` every document whose normalized-text
+    fingerprint appears in ``test`` — benchmark/eval decontamination, the
+    cross-corpus twin of exact dedup.
+
+    Scale shape: the anti-join ships 16-byte digests only (text never
+    shuffles), and the distinct test-side fingerprint set is tiny relative
+    to train, so AQE turns the anti-join into a broadcast — train is a
+    single map-side pass. Near-dup decontamination (paraphrased leaks)
+    composes the same way from ``minhash_lsh_pairs`` over the union.
+    """
+    from pyarrow_ops_spark.functions.text import fingerprint
+
+    test_fps = (
+        test.select(fingerprint(test_text_col or text_col).alias("__fp"))
+        .distinct()
+    )
+    keyed = train.withColumn("__fp", fingerprint(text_col))
+    return keyed.join(test_fps, on="__fp", how="left_anti").drop("__fp")

@@ -186,3 +186,17 @@ def vocab_topk(df: DataFrame, col: str = "text", k: int = 100) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(k)
     )
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact common PII-shaped spans: emails -> <EMAIL>, URLs -> <URL>,
+    long digit runs (phones, ids, card numbers) -> <NUM>. Pure Catalyst
+    regexp_replace chain — map-only, fuses into the scan, no shuffle.
+    The patterns are deliberately engine-portable (no lookarounds): the
+    same three regexes run verbatim in the DuckDB oracle (global-replace
+    flag there; Spark replaces globally by default)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    c = F.regexp_replace(c, r"https?://[^\s]+", "<URL>")
+    c = F.regexp_replace(c, r"[0-9][0-9 \-]{6,}[0-9]", "<NUM>")
+    return c

@@ -437,3 +437,39 @@ def test_pipeline_llm_curation_drops_planted_dups(spark):
         .count()
     )
     assert total_kept == baseline
+
+
+def test_decontaminate_removes_all_test_fingerprints(spark):
+    from pyarrow_ops_spark.functions.dedup import decontaminate
+    from pyarrow_ops_spark.functions.text import fingerprint
+    from pyarrow_ops_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    test = docs.limit(20)
+    clean = decontaminate(docs, test)
+    leaked = clean.select(fingerprint("text").alias("fp")).join(
+        test.select(fingerprint("text").alias("fp")).distinct(), on="fp", how="semi"
+    )
+    assert leaked.count() == 0
+    assert clean.count() < docs.count()  # non-vacuous
+
+
+def test_scrub_pii_redacts_planted_spans(spark):
+    from pyarrow_ops_spark.functions.text import scrub_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+spam@foo-bar.co.uk today"),
+            (2, "docs at https://example.com/a?q=1#frag end"),
+            (3, "card 4111 1111-1111 1111 exp"),
+            (4, "clean text stays clean"),
+        ],
+        ["id", "text"],
+    )
+    got = {r.id: r.s for r in df.select("id", scrub_pii("text").alias("s")).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "docs at <URL> end"
+    assert got[3] == "card <NUM> exp"
+    assert got[4] == "clean text stays clean"
