@@ -200,3 +200,99 @@ def scrub_pii(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"https?://[^\s]+", "<URL>")
     c = F.regexp_replace(c, r"[0-9][0-9 \-]{6,}[0-9]", "<NUM>")
     return c
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size word chunks — the context-
+    window packing precursor of a training pipeline (long doc -> N training
+    examples of <= ``chunk_words`` tokens, consecutive chunks sharing
+    ``overlap`` words).
+
+    Plan shape: split -> sequence of chunk starts -> posexplode -> slice.
+    Map-only modulo the explode (no shuffle, no Python): a 100 TB corpus
+    chunks in one generate-stage that fuses with the scan, and output size
+    is input size * (1 + overlap/(chunk-overlap)) — linear, bounded.
+
+    The final chunk of a document may be shorter than ``chunk_words``;
+    every word lands in at least one chunk (starts step by
+    ``chunk_words - overlap`` while < word count).
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError(f"need 0 <= overlap < chunk_words, got {overlap}/{chunk_words}")
+    step = chunk_words - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - F.lit(1), F.lit(0)), F.lit(step)
+    )
+    exploded = df.select(
+        F.col(id_col), words.alias("__words"), F.posexplode(starts).alias("chunk_id", "__start")
+    )
+    piece = F.slice(F.col("__words"), F.col("__start") + F.lit(1), chunk_words)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics: duplicate-word
+    fraction, top-word fraction, and top-bigram fraction per document —
+    the signals used to drop boilerplate/spam before training.
+
+    Plan shape: two explode -> (doc, gram) count -> per-doc roll-ups,
+    joined on ``id_col``. Both aggregations get map-side partial combine,
+    so the shuffle carries (doc, distinct-gram, count) — bounded by
+    distinct grams per doc, not corpus tokens. No Python, no windows over
+    unordered rows (bigrams come from the word array, preserving order).
+    """
+    words_arr = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    words = df.select(F.col(id_col), F.explode(words_arr).alias("w"))
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    ws = wc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").alias("__top_w"),
+    )
+
+    bigrams = F.when(
+        F.size(words_arr) >= 2,
+        _bind(
+            words_arr,
+            lambda ws_: F.transform(
+                F.sequence(F.lit(1), F.size(ws_) - F.lit(1), F.lit(1)),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws_, i), F.element_at(ws_, i + F.lit(1))
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = df.select(F.col(id_col), F.explode(bigrams).alias("b"))
+    bc = bg.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+    bs = bc.groupBy(id_col).agg(
+        F.sum("c").alias("__n_bi"), F.max("c").alias("__top_b")
+    )
+
+    out = ws.join(bs, on=id_col, how="left")
+    return out.select(
+        id_col,
+        "n_words",
+        "n_distinct",
+        F.round((F.col("n_words") - F.col("n_distinct")) / F.col("n_words"), 4).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("__top_w") / F.col("n_words"), 4).alias("top_word_frac"),
+        F.round(
+            F.coalesce(F.col("__top_b") / F.col("__n_bi"), F.lit(0.0)), 4
+        ).alias("top_bigram_frac"),
+    )

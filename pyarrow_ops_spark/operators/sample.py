@@ -85,3 +85,56 @@ def sample_stratified(
             F.col(strata_col) == F.lit(value), F.lit(_threshold(fraction))
         ).otherwise(thresh)
     return df.filter(_bucket(key_cols, seed) < thresh)
+
+
+def _hex_threshold(numer: int, denom: int) -> str:
+    """Hex compare-threshold for keep-fraction numer/denom, derived with
+    pure integer arithmetic (floor((numer << 16) / denom)) so any engine
+    reproduces it exactly — no float rounding at the boundary."""
+    n = (numer << _HASH_BITS) // denom
+    return "g" if n >= (1 << _HASH_BITS) else format(n, "04x")
+
+
+def mix_sources(
+    df: DataFrame,
+    strata_col: str,
+    weights: Mapping[str, int],
+    key_cols: Sequence[str],
+    seed: str = "",
+) -> DataFrame:
+    """Rebalance a corpus to an integer weight mixture by downsampling —
+    the domain-mixing step of a training-data pipeline ("2 parts web, 1
+    part code, 1 part books"). Strata absent from ``weights`` are dropped.
+
+    The largest feasible output keeps ``w_s * K`` rows of stratum ``s``
+    where ``K = min_s floor(n_s / w_s)`` — no stratum is oversampled. The
+    per-stratum keep decision is the same content-hash predicate as
+    ``sample_hash`` with threshold ``floor(w_s*K*2^16/n_s)`` — integer
+    math end-to-end, so the DuckDB oracle derives identical thresholds
+    from its own counts.
+
+    Scale design: one count-per-stratum aggregation (map-side combined;
+    result is #strata rows, collected to the driver like any dimension
+    stat), then a single map-only CASE+hash filter over the corpus — no
+    shuffle of the data itself, composes with scan pushdown.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive integers, got {weights}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[0] in weights
+    }
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(f"strata absent from data: {missing}")
+    k = min(counts[s] // w for s, w in weights.items())
+    thresh = F.lit(None).cast("string")
+    for value, w in sorted(weights.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value),
+            F.lit(_hex_threshold(w * k, counts[value])),
+        ).otherwise(thresh)
+    return df.filter(_bucket(key_cols, seed) < thresh)

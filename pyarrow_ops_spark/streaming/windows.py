@@ -58,8 +58,12 @@ def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond epoch keeps sub-second gaps exact (cast-to-seconds would
-    # truncate and disagree with fractional-second engines)
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    # truncate and disagree with fractional-second engines). unix_micros
+    # requires an instant (rejects TIMESTAMP_NTZ, which parquet scans can
+    # yield); under the session's pinned UTC zone the NTZ->LTZ cast is the
+    # identity on the wall-clock value, so gaps are unaffected.
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = micros - F.lag(micros).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
