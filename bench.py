@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "sample_stratified_events",
     "histogram_totalprice",
     "embedding_centroids",
+    # round-3 additions: curation ops + the full cluster decision
+    "text_chunk_documents",
+    "text_repetition_stats",
+    "mix_sources_events",
+    "dedup_clusters_lsh",
 ]
 
 

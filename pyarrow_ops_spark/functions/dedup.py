@@ -241,6 +241,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     ``(node, component)`` where component = the smallest node id reachable
@@ -252,24 +253,48 @@ def connected_components(
     construction (MapReduce-CC / GraphFrames do the same shape): each
     iteration is one join + one aggregation, converging in O(graph
     diameter) rounds — near-dup clusters are tiny and tight, so 3-5
-    rounds in practice. ``localCheckpoint`` truncates the growing lineage
-    each round (at cluster scale use reliable ``checkpoint`` to storage).
+    rounds in practice.
+
+    Lineage is truncated each round: with ``checkpoint_dir`` set, via a
+    RELIABLE checkpoint to that storage path (survives executor loss —
+    what a 1000-executor run wants); otherwise via ``localCheckpoint``
+    (executor-local blocks, fine single-node). Convergence is detected by
+    the per-round sum of labels: min-label propagation only ever lowers a
+    label, so an unchanged sum means a fixed point — one cached-scan agg
+    per round instead of a labels⋈labels comparison join.
+
+    After the call, ``connected_components.last_stats`` holds
+    ``{"iterations": n, "converged": bool}`` for observability.
     """
     from pyspark import StorageLevel
 
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    # Materialize the edge list BEFORE mirroring it: the union's two
+    # branches are otherwise two full executions of the (potentially
+    # expensive) upstream pair-generation DAG — for the LSH dedup
+    # pipelines that doubled the whole candidate+verify cost. An eager
+    # checkpoint (not a lazy persist) guarantees exactly-once execution:
+    # lazy cache blocks fill per-partition DURING the first job, so the
+    # two union branches race and each can recompute the DAG.
+    edges_p = _truncate(edges.select(F.col(src).alias("n"), F.col(dst).alias("m")))
     both = (
-        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
-        .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        edges_p.unionByName(edges_p.select(F.col("m").alias("n"), F.col("n").alias("m")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        both.select("n")
-        .distinct()
-        .withColumn("label", F.col("n"))
-        .localCheckpoint()
-    )
+    labels = _truncate(both.select("n").distinct().withColumn("label", F.col("n")))
+    # decimal accumulator: exact at any node count (sum(long) could overflow)
+    label_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    iterations, converged = 0, False
     for _ in range(max_iter):
+        iterations += 1
         lbl_m = labels.select(F.col("n").alias("lm"), "label")
         nbr_min = (
             both.join(lbl_m, on=F.col("m") == F.col("lm"), how="inner")
@@ -277,26 +302,25 @@ def connected_components(
             .groupBy("nn")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, on=F.col("n") == F.col("nn"), how="left")
-            .select(
+        labels = _truncate(
+            labels.join(nbr_min, on=F.col("n") == F.col("nn"), how="left").select(
                 "n",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()  # truncate lineage; also materializes
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), on="n")
-            .filter(F.col("a.label") != F.col("b.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if new_sum == label_sum:
+            converged = True
             break
+        label_sum = new_sum
+    connected_components.last_stats = {
+        "iterations": iterations,
+        "converged": converged,
+    }
     both.unpersist()
     return labels.select(F.col("n").alias("node"), F.col("label").alias("component"))
 

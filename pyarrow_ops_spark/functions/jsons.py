@@ -1,23 +1,24 @@
 """Parse a string column of JSON objects into typed columns.
 
 Reference semantics (``/root/reference/pyarrow_ops/jsons.py:5-8``):
-``str_to_table`` builds the schema from the FIRST record only — keys that
+``str_to_table`` takes its COLUMNS from the first record's keys — keys that
 appear only in later records are silently dropped; keys missing from a
-record become null.
+record become null — but its TYPES from every record's values (the column
+lists go through ``pa.Table.from_pydict``, so pyarrow promotes an
+int-then-float key to double instead of nulling the floats).
 
 Spark-first re-expression:
 
-- ``schema='first'`` (reference parity): infer from the first non-null
-  record, then ``F.from_json`` over the whole column — one distributed
-  pass, schema resolved at plan time. DOCUMENTED DIVERGENCE: a key whose
-  first value is a JSON int maps to LongType, so a later float for the
-  same key parses to null; the reference accumulates *values* from every
-  record, so pyarrow promotes such a column to double and keeps it. Use
-  ``schema='infer'`` (full-column inference, late floats widen the type)
-  or an explicit schema when records mix int/float in one key.
+- ``schema='first'`` (reference parity): key set + order from the first
+  non-null record, field types from a full-column JVM-side inference pass
+  (``DataFrameReader.json`` over the string column — the same promotion
+  rules as pyarrow's value-based inference: all-int stays long, mixed
+  int/float widens to double, late nulls stay nullable). Then one
+  distributed ``F.from_json`` over the whole column. The inference scan is
+  an extra pass; at 100 TB pass an explicit schema instead.
 - ``schema='infer'`` (documented improvement, SURVEY §4.3.3): full-column
   inference via ``spark.read.json`` sampling every record, so late-appearing
-  keys survive.
+  keys survive too.
 - explicit ``StructType``/DDL string: no inference pass at all — the right
   choice at 100 TB.
 """
@@ -58,6 +59,26 @@ def _schema_from_record(record_json: str) -> T.StructType:
     return T.StructType([T.StructField(k, _type_of(v), True) for k, v in obj.items()])
 
 
+def _infer_full(df: DataFrame, col: str) -> T.StructType:
+    """Full-column JSON schema inference, JVM-side when possible."""
+    strings = df.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    try:
+        # Stay JVM-side: hand the string column to DataFrameReader.json
+        # as a Dataset[String] via py4j — the inference scan runs fully
+        # in the JVM (no Python row pickling, Arrow path intact).
+        spark = df.sparkSession
+        jds = getattr(strings._jdf, "as")(
+            spark._jvm.org.apache.spark.sql.Encoders.STRING()
+        )
+        jschema = spark._jsparkSession.read().json(jds).schema()
+        return T._parse_datatype_json_string(jschema.json())
+    except Exception:
+        # Spark Connect / API drift fallback: the pickled-RDD path
+        return df.sparkSession.read.json(strings.rdd.map(lambda r: r[0])).schema
+
+
 def str_to_table(
     df: DataFrame,
     col: str,
@@ -73,29 +94,16 @@ def str_to_table(
         first = df.select(col).filter(F.col(col).isNotNull()).limit(1).collect()
         if not first:
             return df if keep_input else df.drop(col)
-        # first-record inference in pure Python (no extra Spark job) — this
-        # IS the reference's semantics: columns come from the first
-        # record's keys (jsons.py:8)
-        resolved = _schema_from_record(first[0][0])
-    else:  # 'infer': sample all records like spark.read.json
-        strings = df.select(F.col(col).cast("string").alias("value")).filter(
-            F.col("value").isNotNull()
+        # Reference semantics split (jsons.py:8): columns = the FIRST
+        # record's keys, types = inference over ALL values (so an
+        # int-then-float key widens to double instead of nulling floats).
+        first_schema = _schema_from_record(first[0][0])
+        inferred = {f.name: f for f in _infer_full(df, col).fields}
+        resolved = T.StructType(
+            [inferred.get(f.name, f) for f in first_schema.fields]
         )
-        try:
-            # Stay JVM-side: hand the string column to DataFrameReader.json
-            # as a Dataset[String] via py4j — the inference scan runs fully
-            # in the JVM (no Python row pickling, Arrow path intact).
-            spark = df.sparkSession
-            jds = getattr(strings._jdf, "as")(
-                spark._jvm.org.apache.spark.sql.Encoders.STRING()
-            )
-            jschema = spark._jsparkSession.read().json(jds).schema()
-            resolved = T._parse_datatype_json_string(jschema.json())
-        except Exception:
-            # Spark Connect / API drift fallback: the pickled-RDD path
-            resolved = df.sparkSession.read.json(
-                strings.rdd.map(lambda r: r[0])
-            ).schema
+    else:  # 'infer': sample all records like spark.read.json
+        resolved = _infer_full(df, col)
 
     parsed = df.withColumn(_PARSED, F.from_json(F.col(col), resolved))
     out_cols = [c for c in df.columns if keep_input or c != col]

@@ -128,14 +128,17 @@ def embedding_lsh_pairs(
     buckets), bands up for recall at lower thresholds."""
     from pyspark import StorageLevel
 
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     # The vector relation feeds the signature pass and both verification
-    # sides — persist so the parquet scan + cast happen once.
-    e = (
-        corpus.repartition(parallelism)
-        .select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # sides — persist so the parquet scan + cast happen once. No blanket
+    # repartition: the signature matmul is memory-bandwidth-bound (~100
+    # FLOPs/row at 64 dims), so source splits give all the parallelism
+    # needed at scale (parquet row-groups split at maxPartitionBytes), and
+    # on small corpora a 32-way shuffle + 32 Python workers costs far more
+    # than the single-batch matmul it spreads (measured: the r2 plan spent
+    # 10 s at sf0.1 on a corpus numpy handles in milliseconds).
+    e = corpus.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     exploded = banded_rows(e, dim, bits, bands)
     # Bucket-local pair generation; degenerate buckets are dropped (a bucket
     # catching thousands of vectors carries no near-dup signal, only

@@ -21,6 +21,19 @@ STOPWORDS = {
 }
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Spread a CPU-heavy map stage across cores. A small single-file scan
+    arrives as ONE partition, so every regex in the metric projection runs
+    on one core; at real scale parquet row-group splits provide the
+    parallelism for free, so this only repartitions when the scan has
+    fewer partitions than the cluster's default parallelism — on a big
+    input it is a no-op (no shuffle)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count."""
     c = F.col(col) if isinstance(col, str) else col
@@ -151,16 +164,62 @@ def winnowed_fingerprints(
 
 
 def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
-    """One row per document with the full metric set."""
-    return df.select(
+    """One row per document with the full metric set.
+
+    Two-step projection: the regex-backed base counts (tokens, letters,
+    non-space chars) are computed ONCE in an inner Project and every
+    derived metric references the alias. Catalyst's CollapseProject leaves
+    multi-referenced non-cheap aliases in place, so each regex runs once
+    per row — the flat single-projection form re-evaluated ``token_count``
+    3× and ``letter_ratio`` 2× per row (the whole cost of this map stage
+    is the regexes). Input is ``spread`` across cores first."""
+    c = F.col(col)
+    base = spread(df).select(
         *df.columns,
-        token_count(col).alias("n_tokens"),
-        F.length(F.col(col)).alias("n_chars_actual"),
-        F.round(letter_ratio(col), 4).alias("letter_ratio"),
-        F.round(avg_word_length(col), 4).alias("avg_word_len"),
-        quality_score(col).alias("quality"),
+        token_count(col).alias("__n_tokens"),
+        F.length(c).alias("__n_chars"),
+        F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).alias("__n_letters"),
+        F.length(F.regexp_replace(c, r"\s+", "")).alias("__n_nonspace"),
+    )
+    lr = F.col("__n_letters") / F.col("__n_chars")
+    wl = F.col("__n_nonspace") / F.col("__n_tokens")
+    len_credit = F.least(F.col("__n_tokens") / F.lit(64.0), F.lit(1.0))
+    wl_credit = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.abs(wl - F.lit(5.0)) / F.lit(5.0)
+    )
+    return base.select(
+        *df.columns,
+        F.col("__n_tokens").alias("n_tokens"),
+        F.col("__n_chars").alias("n_chars_actual"),
+        F.round(lr, 4).alias("letter_ratio"),
+        F.round(wl, 4).alias("avg_word_len"),
+        F.round(0.4 * len_credit + 0.3 * lr + 0.3 * wl_credit, 4).alias("quality"),
         fingerprint(col).alias("fp"),
     )
+
+
+def lang_guess_table(
+    df: DataFrame, col: str = "text", out: str = "guessed"
+) -> DataFrame:
+    """DataFrame form of ``lang_guess``: the per-language stopword hit
+    counts are computed once each in an inner Project (4 regexes/row);
+    the vote CASE references the aliases. The column form evaluates every
+    score twice (once in ``greatest``, once per WHEN)."""
+    langs = sorted(STOPWORDS)
+    base = spread(df).select(
+        *df.columns,
+        *[
+            stopword_hits(col, STOPWORDS[lang]).alias(f"__s_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
+    expr: Column = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when(
+            (F.col(f"__s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return base.select(*df.columns, expr.alias(out))
 
 
 def vocab_topk(df: DataFrame, col: str = "text", k: int = 100) -> DataFrame:
@@ -220,19 +279,31 @@ def chunk_documents(
     is input size * (1 + overlap/(chunk-overlap)) — linear, bounded.
 
     The final chunk of a document may be shorter than ``chunk_words``;
-    every word lands in at least one chunk (starts step by
-    ``chunk_words - overlap`` while < word count).
+    every word lands in at least one chunk. No chunk is fully redundant:
+    a start inside the previous chunk's trailing ``overlap`` would emit a
+    chunk entirely contained in its predecessor (duplicated training
+    data), so the start sequence is capped at ``n_words - overlap - 1``.
+    Empty / whitespace-only / null documents emit no chunks at all.
     """
     if not 0 <= overlap < chunk_words:
         raise ValueError(f"need 0 <= overlap < chunk_words, got {overlap}/{chunk_words}")
     step = chunk_words - overlap
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split('') yields [''] — map blank text to an empty word array so
+    # empty docs produce zero chunks instead of one phantom '' chunk
+    words = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # a start s emits only already-seen words iff s >= n_words - overlap,
+    # so cap the last start at n_words - overlap - 1 (floor 0 keeps the
+    # first chunk of short docs)
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(words) - F.lit(1), F.lit(0)), F.lit(step)
+        F.lit(0),
+        F.greatest(F.size(words) - F.lit(overlap + 1), F.lit(0)),
+        F.lit(step),
     )
     exploded = df.select(
         F.col(id_col), words.alias("__words"), F.posexplode(starts).alias("chunk_id", "__start")
-    )
+    ).filter(F.size(F.col("__words")) > 0)
     piece = F.slice(F.col("__words"), F.col("__start") + F.lit(1), chunk_words)
     return exploded.select(
         id_col,

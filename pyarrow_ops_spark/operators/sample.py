@@ -106,12 +106,18 @@ def mix_sources(
     the domain-mixing step of a training-data pipeline ("2 parts web, 1
     part code, 1 part books"). Strata absent from ``weights`` are dropped.
 
-    The largest feasible output keeps ``w_s * K`` rows of stratum ``s``
-    where ``K = min_s floor(n_s / w_s)`` — no stratum is oversampled. The
-    per-stratum keep decision is the same content-hash predicate as
-    ``sample_hash`` with threshold ``floor(w_s*K*2^16/n_s)`` — integer
-    math end-to-end, so the DuckDB oracle derives identical thresholds
-    from its own counts.
+    The largest feasible output targets ``w_s * K`` rows of stratum ``s``
+    where ``K = min_s floor(n_s / w_s)`` — no stratum is oversampled. Kept
+    counts are APPROXIMATE, not exact: the per-stratum keep decision is
+    the same content-hash predicate as ``sample_hash`` with threshold
+    ``floor(w_s*K*2^16/n_s)``, so realized counts deviate by hash variance
+    plus the ~2^-16 threshold granularity; mixture ratios converge only
+    for large strata (an exact count would need a rank-based top-K per
+    stratum, i.e. a per-stratum sort). Integer math end-to-end, so the
+    DuckDB oracle derives identical thresholds from its own counts.
+
+    Raises ``ValueError`` when any weighted stratum has fewer rows than
+    its weight (``K`` would be 0 and the output silently empty).
 
     Scale design: one count-per-stratum aggregation (map-side combined;
     result is #strata rows, collected to the driver like any dimension
@@ -131,6 +137,13 @@ def mix_sources(
     if missing:
         raise ValueError(f"strata absent from data: {missing}")
     k = min(counts[s] // w for s, w in weights.items())
+    if k == 0:
+        starved = sorted(s for s, w in weights.items() if counts[s] < w)
+        raise ValueError(
+            f"mixture infeasible: strata {starved} have fewer rows than their "
+            f"weight (counts={ {s: counts[s] for s in starved} }); the largest "
+            "feasible mixture multiple K is 0, which would keep nothing"
+        )
     thresh = F.lit(None).cast("string")
     for value, w in sorted(weights.items()):
         thresh = F.when(

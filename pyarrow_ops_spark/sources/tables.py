@@ -73,6 +73,48 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def stream_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """The file-source streaming twin of ``load_table``: same path, same
+    schema, same timestamp handling. Timestamp conversion is CONDITIONAL,
+    exactly like the batch loader — only columns whose on-disk parquet type
+    is TIMESTAMP(NANOS) (which Spark reads back as int64 under
+    ``nanosAsLong``) get the ``timestamp_micros(div 1000)`` wrap; columns
+    already stored as timestamp[us] (every driver-generated
+    ``events.parquet``) stream through untouched."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", f"{name}.parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(sf_dir)
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Watermarks require TIMESTAMP (with local time zone); parquet
+    # timestamp[us] reads back as TIMESTAMP_NTZ. Under the pinned UTC
+    # session zone the NTZ->LTZ cast is the identity on the wall-clock
+    # value, so windows/gaps are unaffected.
+    for f in stream.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            stream = stream.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return stream
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:

@@ -17,12 +17,10 @@ OOMs in an hour.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyarrow_ops_spark.sources.tables import load_table
+from pyarrow_ops_spark.sources.tables import load_table, stream_table
 
 
 def attribution_join(
@@ -76,19 +74,8 @@ def stream_events_by_type(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """File-streamed events of one type, prefixed and watermarked, ready
-    for ``attribution_join``. (ts is int64 nanos on disk — converted the
-    same way ``stream_tumbling_counts`` does; ``load_table`` sets the
-    required runtime confs.)"""
-    load_table(spark, "events", sf_dir)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    for ``attribution_join``. Timestamp handling is conditional on the
+    on-disk parquet type, exactly like the batch loader (``stream_table``)."""
+    stream = stream_table(spark, "events", sf_dir)
     filtered = _prefix(stream.filter(F.col("event_type") == event_type), tag)
     return filtered.withWatermark(f"{tag}_ts", watermark)

@@ -17,13 +17,11 @@ don't have this repo on sys.path can deserialize it.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from pyarrow_ops_spark.sources.tables import load_table
+from pyarrow_ops_spark.sources.tables import stream_table
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 _STATE_SCHEMA = "n bigint, total double"
@@ -60,19 +58,9 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def stream_events(spark, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """The events table as a file-source stream (same ns-timestamp fix as
-    the batch loader)."""
-    load_table(spark, "events", sf_dir)  # sets runtime confs
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    """The events table as a file-source stream (same conditional
+    timestamp handling as the batch loader — see ``stream_table``)."""
+    return stream_table(spark, "events", sf_dir, max_files_per_trigger)
 
 
 def stream_session_windows(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyarrow_ops_spark.sources.tables import load_table
+from pyarrow_ops_spark.sources.tables import stream_table
 
 
 def _windowed(df: DataFrame, duration: str, slide: str | None = None) -> DataFrame:
@@ -95,21 +95,7 @@ def stream_tumbling_counts(
     """Streaming variant: parquet source streamed file-by-file, watermarked
     tumbling aggregation. Returns the streaming DataFrame (caller attaches
     a sink; tests use format('memory') + processAllAvailable)."""
-    import os
-
-    # raw on-disk schema (ts is int64 nanos — see sources/tables.py);
-    # loading once through load_table also sets the needed runtime confs
-    load_table(spark, "events", sf_dir)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = stream_table(spark, "events", sf_dir)
     return tumbling_counts(stream.withWatermark("ts", watermark), duration)
 
 

@@ -473,3 +473,84 @@ def test_scrub_pii_redacts_planted_spans(spark):
     assert got[2] == "docs at <URL> end"
     assert got[3] == "card <NUM> exp"
     assert got[4] == "clean text stays clean"
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents / repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_covers_all_words_no_redundant_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = TX.chunk_documents(docs, chunk_words=8, overlap=2)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in out.collect())
+    )
+    # doc 1: starts 0 and 6 (cap = 10 - 3 = 7); chunk 1 adds w8, w9
+    assert rows == [
+        (1, 0, "w0 w1 w2 w3 w4 w5 w6 w7", 8),
+        (1, 1, "w6 w7 w8 w9", 4),
+        (2, 0, "a b", 2),
+    ]
+
+
+def test_chunk_documents_exact_fit_single_chunk(spark):
+    # 8 words, chunk=8, overlap=2: the old start sequence emitted a fully
+    # redundant 'w6 w7' tail chunk — now a single chunk
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(8)))], "doc_id long, text string"
+    )
+    out = TX.chunk_documents(docs, chunk_words=8, overlap=2).collect()
+    assert len(out) == 1 and out[0].n_tokens == 8
+
+
+def test_chunk_documents_empty_and_null_emit_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+    )
+    assert TX.chunk_documents(docs).count() == 0
+
+
+def test_chunk_documents_bad_overlap_raises(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        TX.chunk_documents(docs, chunk_words=4, overlap=4)
+
+
+def test_repetition_stats_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 4 words, 2 distinct, top 'a'x3; bigrams: 'a a'x2, 'a b'
+            (2, "x y z"),            # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in TX.repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_distinct) == (4, 2)
+    assert r1.dup_word_frac == 0.5
+    assert r1.top_word_frac == 0.75
+    assert r1.top_bigram_frac == round(2 / 3, 4)
+    r2 = rows[2]
+    assert r2.dup_word_frac == 0.0 and r2.top_bigram_frac == 0.5
+
+
+def test_connected_components_stats_and_reliable_checkpoint(spark, tmp_path):
+    # chain 1-2-3 + isolated pair: converges, reports stats; the reliable
+    # checkpoint path (checkpoint_dir) produces identical components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    local = {r.node: r.component for r in D.connected_components(edges).collect()}
+    stats = D.connected_components.last_stats
+    assert stats["converged"] and 1 <= stats["iterations"] <= 4
+    reliable = {
+        r.node: r.component
+        for r in D.connected_components(
+            edges, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    }
+    assert local == reliable == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

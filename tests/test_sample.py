@@ -69,3 +69,64 @@ def test_sample_stratified_consistent_with_plain(spark, nums):
         for r in sample_hash(nums.filter(F.col("grp") == "1"), 0.3, ["id"]).collect()
     }
     assert strat == plain
+
+
+# ---------------------------------------------------------------------------
+# mix_sources: integer-weight mixture rebalancing
+# ---------------------------------------------------------------------------
+
+
+def test_mix_sources_ratio_and_drop(spark):
+    from pyarrow_ops_spark.operators.sample import mix_sources
+
+    rows = (
+        [(i, "web") for i in range(4000)]
+        + [(i + 10_000, "code") for i in range(1000)]
+        + [(i + 20_000, "books") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = mix_sources(df, "domain", {"web": 2, "code": 1}, ["id"])
+    counts = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("id").alias("n")).collect()
+    }
+    # books has no weight -> dropped entirely
+    assert "books" not in counts
+    # K = min(4000//2, 1000//1) = 1000 -> targets web 2000, code 1000;
+    # realized counts are approximate (hash variance + 2^-16 granularity)
+    assert abs(counts["web"] - 2000) < 200
+    assert abs(counts["code"] - 1000) < 120
+    # no stratum oversampled
+    assert counts["web"] <= 4000 and counts["code"] <= 1000
+
+
+def test_mix_sources_infeasible_raises(spark):
+    from pyarrow_ops_spark.operators.sample import mix_sources
+
+    rows = [(i, "web") for i in range(100)] + [(i + 1000, "code") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    with pytest.raises(ValueError, match="infeasible"):
+        mix_sources(df, "domain", {"web": 2, "code": 100}, ["id"])
+
+
+def test_mix_sources_missing_stratum_raises(spark):
+    from pyarrow_ops_spark.operators.sample import mix_sources
+
+    df = spark.createDataFrame([(1, "web")], "id long, domain string")
+    with pytest.raises(ValueError, match="absent"):
+        mix_sources(df, "domain", {"nope": 1}, ["id"])
+
+
+def test_mix_sources_deterministic(spark):
+    from pyarrow_ops_spark.operators.sample import mix_sources
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    a = sorted(r.id for r in mix_sources(df, "domain", {"a": 1, "b": 1}, ["id"]).collect())
+    b = sorted(
+        r.id
+        for r in mix_sources(
+            df.repartition(7), "domain", {"a": 1, "b": 1}, ["id"]
+        ).collect()
+    )
+    assert a == b
