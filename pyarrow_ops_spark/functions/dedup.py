@@ -154,16 +154,18 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    from pyarrow_ops_spark.functions.text import spread
+
     rows = num_hashes // bands
     # Spread the hash-heavy signature computation across all cores: a small
     # single-file scan arrives as ONE partition; at real scale the file
-    # splits provide this parallelism for free.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # splits provide this parallelism for free, so ``spread`` skips the
+    # shuffle when the scan already has enough splits.
     # The shingle relation feeds THREE branches of one DAG (signature →
     # candidates, plus both sides of the exact-Jaccard verification) —
     # persist it so shingling runs once, spilling to disk if it outgrows
     # executor memory (at 100 TB you'd checkpoint this to storage instead).
-    sh = df.repartition(parallelism).select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"), char_shingles(text_col, n).alias("grams")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # hash string shingles ONCE; the k signature slots re-mix longs.
@@ -497,10 +499,9 @@ def winnow_pairs(
     """
     from pyspark import StorageLevel
 
-    from pyarrow_ops_spark.functions.text import winnowed_fingerprints
+    from pyarrow_ops_spark.functions.text import spread, winnowed_fingerprints
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    fps = df.repartition(parallelism).select(
+    fps = spread(df).select(
         F.col(id_col).alias("id"),
         winnowed_fingerprints(text_col, k=k, window=window).alias("fps"),
     ).persist(StorageLevel.MEMORY_AND_DISK)

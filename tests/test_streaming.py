@@ -180,3 +180,60 @@ def test_stream_stream_join_equals_batch(spark):
         assert batch.count() > 0  # non-vacuous
     finally:
         q.stop()
+
+
+def test_foreach_batch_sink_parquet_equals_batch(spark, tmp_path):
+    # stream the events table file-by-file; each micro-batch is appended to
+    # a parquet dir by a BATCH writer; the union of batches == batch load
+    from pyarrow_ops_spark.sources.tables import stream_table
+    from pyarrow_ops_spark.streaming.sinks import foreach_batch_sink
+
+    out_dir = str(tmp_path / "out")
+    seen_batches = []
+
+    def write_batch(bdf, batch_id):
+        seen_batches.append(batch_id)
+        bdf.select("event_id", "event_type", "value").write.mode("append").parquet(out_dir)
+
+    stream = stream_table(spark, "events", SF_DIR)
+    q = foreach_batch_sink(
+        stream, write_batch, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert seen_batches, "no micro-batches ran"
+    got = spark.read.parquet(out_dir)
+    batch = load_table(spark, "events", SF_DIR).select(
+        "event_id", "event_type", "value"
+    )
+    assert rows(got) == rows(batch)
+
+
+def test_available_now_drains_and_stops(spark, tmp_path):
+    # availableNow: processes everything currently in the source, then the
+    # query terminates on its own — finite backfill with streaming code
+    from pyarrow_ops_spark.sources.tables import stream_table
+    from pyarrow_ops_spark.streaming.sinks import run_available_now
+    from pyarrow_ops_spark.streaming.windows import tumbling_counts
+
+    stream = tumbling_counts(
+        stream_table(spark, "events", SF_DIR).withWatermark("ts", "10 hours")
+    )
+    run_available_now(
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="avail_now_out",
+        output_mode="append",
+        timeout_sec=240,
+    )
+    # append mode emits only watermark-finalized windows; with the whole
+    # file drained everything but the tail hour is final
+    got = spark.sql("SELECT * FROM avail_now_out")
+    batch = tumbling_counts(load_table(spark, "events", SF_DIR))
+    assert got.count() > 0
+    assert got.count() <= batch.count()
+    # every emitted row must match its batch twin exactly
+    assert rows(got.join(batch, on=list(got.columns), how="left_anti")) == []
