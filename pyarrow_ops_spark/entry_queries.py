@@ -769,11 +769,48 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (Hamming <= 3 over 64-bit signatures,
     banded 4x16 bits). Rows-only check: the bit-vote UDF semantics are not
-    SQL-expressible in DuckDB."""
+    SQL-expressible in DuckDB — see dedup_simhash_planted for the
+    hash-certified invariant form."""
     from pyarrow_ops_spark.functions.dedup import simhash_pairs
 
     docs = load_table(spark, "documents", sf_dir)
     return simhash_pairs(docs, max_hamming=3)
+
+
+@query(
+    "dedup_simhash_planted",
+    """
+    SELECT doc_id AS id_a,
+           doc_id + 1000000 AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def q_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certifiable SimHash invariant: plant an EXACT copy of every
+    10th document at doc_id + 1e6 and run the full banded SimHash pipeline
+    (xxhash64 shingles -> bit-vote signature -> 4x16-bit chunk buckets ->
+    bucket-local pairs -> exact Hamming verify). Identical text gives an
+    identical signature deterministically — no probabilistic miss — so the
+    pipeline MUST emit (d, d+1e6, hamming=0) for every planted doc, and
+    those are the only pairs whose ids differ by exactly 1e6 (original ids
+    are < 1e6, so an id >= 1e6 is a plant; a plant pairs at offset-1e6
+    only with its own source). The DuckDB oracle is the planted-pair
+    construction itself — xxhash64 never needs a DuckDB twin. The filter
+    keeps the certification sharp: a broken vote/banding/verify stage
+    loses planted pairs (missing rows), a Hamming bug shifts the 0."""
+    from pyarrow_ops_spark.functions.dedup import simhash_pairs
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    pairs = simhash_pairs(planted, max_hamming=3)
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1003,6 +1040,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return extract_features(docs, "payload", "doc_id", fake_decode=True)
+
+
+@query(
+    "multimodal_sample_frames",
+    """
+    WITH v AS (
+        SELECT doc_id, text, 1 + strlen(text) % 256 AS n_frames
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(f.idx AS INT) AS frame_idx,
+           CAST(n_frames AS INT) AS n_frames,
+           md5(text || ':' || CAST(f.idx AS VARCHAR)) AS frame_digest
+    FROM v, LATERAL unnest(range(0, n_frames, 30)) AS f(idx)
+    """,
+)
+def q_multimodal_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame stride-sampling plumbing: one payload row expands to one row
+    per sampled frame (stride 30) via mapInPandas. The deterministic fake
+    decode (n_frames = 1 + n_bytes % 256, per-frame digest
+    md5(payload||':'||idx)) makes the expansion arithmetic exactly
+    oracle-checkable — the DuckDB oracle reproduces stride, bounds, and
+    digests from the same text bytes."""
+    from pyarrow_ops_spark.functions.multimodal import sample_frames
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return sample_frames(docs, "payload", "doc_id", every_n=30)
 
 
 # ---------------------------------------------------------------------------
@@ -1744,17 +1810,24 @@ def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupby_collect_sorted",
     """
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+               AS statuses,
            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_groupby_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set into a sorted array — array-valued aggregation output
-    (absent in the reference; sorted so both engines agree exactly)."""
+    """collect_set into a sorted array — array-valued aggregation (absent
+    in the reference; sorted so both engines agree exactly). The driver row
+    emits the array as a ','-joined string: the correctness harness
+    canonicalizes rows via pandas hashing, which cannot hash list cells
+    (the r3 'unhashable type' err) — array_join preserves exactly the
+    same information (order and elements) in a hashable scalar."""
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
         F.count_distinct("l_suppkey").alias("n_suppliers"),
     )
 
@@ -2372,19 +2445,25 @@ def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_quantize_int8",
     """
-    SELECT vec_id,
-           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
-               AS scale,
-           CASE WHEN list_max(list_transform(embedding,
-                                             x -> abs(CAST(x AS DOUBLE)))) = 0
-                THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE) /
-                         (list_max(list_transform(embedding,
-                                                  y -> abs(CAST(y AS DOUBLE))))
-                          / 127.0) + 0.5) AS INT))
-           END AS codes
-    FROM embeddings
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   / 127.0 AS scale,
+               CASE WHEN list_max(list_transform(embedding,
+                                                 x -> abs(CAST(x AS DOUBLE)))) = 0
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) /
+                             (list_max(list_transform(embedding,
+                                                      y -> abs(CAST(y AS DOUBLE))))
+                              / 127.0) + 0.5) AS INT))
+               END AS codes
+        FROM embeddings
+    )
+    SELECT vec_id, scale,
+           CAST(generate_subscripts(codes, 1) - 1 AS INT) AS pos,
+           unnest(codes) AS code
+    FROM q
     """,
 )
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2392,11 +2471,21 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = floor(x/scale + 0.5)): the 4x memory/IO compression step before
     billion-vector ANN. Every step is an exact IEEE double op with no
     reassociation, so Spark and DuckDB produce BIT-IDENTICAL codes — the
-    oracle is exact, not rounded."""
+    oracle is exact, not rounded.
+
+    The driver row flattens the codes array via posexplode to
+    (vec_id, scale, pos, code): the correctness harness canonicalizes
+    rows with pandas hashing, which cannot hash list cells (the r3
+    'unhashable type' err). Flat rows carry identical information; the
+    library function ``quantize_embeddings`` keeps the array form (see
+    label_centroids in functions/similarity.py for why flat beats nested
+    at the comparison boundary)."""
     from pyarrow_ops_spark.functions.similarity import quantize_embeddings
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return quantize_embeddings(emb)
+    return quantize_embeddings(emb).select(
+        "vec_id", "scale", F.posexplode("codes").alias("pos", "code")
+    )
 
 
 @query(
@@ -3197,6 +3286,56 @@ def q_mix_sources_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return mix_sources(
         ev, "event_type", {"click": 2, "error": 1, "view": 2}, ["event_id"]
+    ).select("event_id", "event_type", "value")
+
+
+@query(
+    "mix_sources_exact",
+    """
+    WITH counts AS (
+        SELECT event_type AS s, count(*) AS n
+        FROM events
+        WHERE event_type IN ('click', 'error', 'view')
+        GROUP BY 1
+    ),
+    w AS (
+        SELECT s, n,
+               CASE s WHEN 'click' THEN 2 WHEN 'error' THEN 1 WHEN 'view' THEN 2 END AS w
+        FROM counts
+    ),
+    kk AS (SELECT min(n // w) AS k FROM w),
+    r AS (
+        SELECT event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rk
+        FROM events
+        WHERE event_type IN ('click', 'error', 'view')
+    )
+    SELECT event_id, event_type, value
+    FROM r, kk
+    WHERE rk <= kk.k * CASE event_type WHEN 'click' THEN 2
+                                       WHEN 'error' THEN 1
+                                       WHEN 'view' THEN 2 END
+    """,
+)
+def q_mix_sources_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count domain mixture: rank rows per stratum by content hash
+    and keep exactly w_s*K — deterministic, engine-reproducible (the DuckDB
+    oracle derives the same K and the same hash ranking). Costs one
+    shuffle+sort on the stratum column vs the map-only approximate mode;
+    the right trade when strata are small (ADVICE r3: a 50-row stratum
+    realized 8 of a 10-row target under hash variance)."""
+    from pyarrow_ops_spark.operators.sample import mix_sources
+
+    ev = load_table(spark, "events", sf_dir)
+    return mix_sources(
+        ev,
+        "event_type",
+        {"click": 2, "error": 1, "view": 2},
+        ["event_id"],
+        exact=True,
     ).select("event_id", "event_type", "value")
 
 

@@ -259,72 +259,102 @@ def connected_components(
 
     Lineage is truncated each round: with ``checkpoint_dir`` set, via a
     RELIABLE checkpoint to that storage path (survives executor loss —
-    what a 1000-executor run wants); otherwise via ``localCheckpoint``
-    (executor-local blocks, fine single-node). Convergence is detected by
-    the per-round sum of labels: min-label propagation only ever lowers a
-    label, so an unchanged sum means a fixed point — one cached-scan agg
-    per round instead of a labels⋈labels comparison join.
+    what a 1000-executor run wants; set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to have the
+    ContextCleaner delete checkpoint files once their DataFrames are
+    garbage-collected — they accumulate otherwise); otherwise via
+    ``localCheckpoint`` (executor-local blocks, fine single-node). The
+    previously-configured checkpoint directory is restored on exit.
+
+    Convergence is detected by the per-round sum of labels: min-label
+    propagation only ever lowers a label, so an unchanged sum means a
+    fixed point. The round's checkpoint is LAZY and the convergence agg is
+    the action that materializes it — ONE job per iteration (an eager
+    checkpoint plus a separate agg was two full passes per round).
 
     After the call, ``connected_components.last_stats`` holds
     ``{"iterations": n, "converged": bool}`` for observability.
     """
     from pyspark import StorageLevel
 
+    sc = edges.sparkSession.sparkContext
+    prev_checkpoint_dir = sc.getCheckpointDir()
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(checkpoint_dir)
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+    def _truncate(df: DataFrame, eager: bool = True) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
 
-    # Materialize the edge list BEFORE mirroring it: the union's two
-    # branches are otherwise two full executions of the (potentially
-    # expensive) upstream pair-generation DAG — for the LSH dedup
-    # pipelines that doubled the whole candidate+verify cost. An eager
-    # checkpoint (not a lazy persist) guarantees exactly-once execution:
-    # lazy cache blocks fill per-partition DURING the first job, so the
-    # two union branches race and each can recompute the DAG.
-    edges_p = _truncate(edges.select(F.col(src).alias("n"), F.col(dst).alias("m")))
-    both = (
-        edges_p.unionByName(edges_p.select(F.col("m").alias("n"), F.col("n").alias("m")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels = _truncate(both.select("n").distinct().withColumn("label", F.col("n")))
-    # decimal accumulator: exact at any node count (sum(long) could overflow)
-    label_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
-    iterations, converged = 0, False
-    for _ in range(max_iter):
-        iterations += 1
-        lbl_m = labels.select(F.col("n").alias("lm"), "label")
-        nbr_min = (
-            both.join(lbl_m, on=F.col("m") == F.col("lm"), how="inner")
-            .select(F.col("n").alias("nn"), "label")
-            .groupBy("nn")
-            .agg(F.min("label").alias("nbr_label"))
+    try:
+        # Materialize the edge list BEFORE mirroring it: the union's two
+        # branches are otherwise two full executions of the (potentially
+        # expensive) upstream pair-generation DAG — for the LSH dedup
+        # pipelines that doubled the whole candidate+verify cost. An eager
+        # checkpoint (not a lazy persist) guarantees exactly-once execution:
+        # lazy cache blocks fill per-partition DURING the first job, so the
+        # two union branches race and each can recompute the DAG.
+        edges_p = _truncate(
+            edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         )
-        labels = _truncate(
-            labels.join(nbr_min, on=F.col("n") == F.col("nn"), how="left").select(
-                "n",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+        both = (
+            edges_p.unionByName(
+                edges_p.select(F.col("m").alias("n"), F.col("n").alias("m"))
             )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        new_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if new_sum == label_sum:
-            converged = True
-            break
-        label_sum = new_sum
-    connected_components.last_stats = {
-        "iterations": iterations,
-        "converged": converged,
-    }
-    both.unpersist()
-    return labels.select(F.col("n").alias("node"), F.col("label").alias("component"))
+        # lazy truncation: the sum agg below is the materializing action
+        labels = _truncate(
+            both.select("n").distinct().withColumn("label", F.col("n")),
+            eager=False,
+        )
+        # decimal accumulator: exact at any node count (sum(long) could
+        # overflow)
+        def _sum(lbls: DataFrame):
+            return lbls.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+
+        label_sum = _sum(labels)
+        iterations, converged = 0, False
+        for _ in range(max_iter):
+            iterations += 1
+            lbl_m = labels.select(F.col("n").alias("lm"), "label")
+            nbr_min = (
+                both.join(lbl_m, on=F.col("m") == F.col("lm"), how="inner")
+                .select(F.col("n").alias("nn"), "label")
+                .groupBy("nn")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            labels = _truncate(
+                labels.join(nbr_min, on=F.col("n") == F.col("nn"), how="left")
+                .select(
+                    "n",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("label"),
+                ),
+                eager=False,
+            )
+            new_sum = _sum(labels)
+            if new_sum == label_sum:
+                converged = True
+                break
+            label_sum = new_sum
+        connected_components.last_stats = {
+            "iterations": iterations,
+            "converged": converged,
+        }
+        both.unpersist()
+        return labels.select(
+            F.col("n").alias("node"), F.col("label").alias("component")
+        )
+    finally:
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(prev_checkpoint_dir)
 
 
 def dedup_clusters(

@@ -59,6 +59,20 @@ def _schema_from_record(record_json: str) -> T.StructType:
     return T.StructType([T.StructField(k, _type_of(v), True) for k, v in obj.items()])
 
 
+def _has_integral(dt: T.DataType) -> bool:
+    """True if any field anywhere in ``dt`` is integral-typed (the only
+    types that full-column inference can widen, to double)."""
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_integral(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_integral(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_integral(dt.keyType) or _has_integral(dt.valueType)
+    return False
+
+
 def _infer_full(df: DataFrame, col: str) -> T.StructType:
     """Full-column JSON schema inference, JVM-side when possible."""
     strings = df.select(F.col(col).cast("string").alias("value")).filter(
@@ -97,11 +111,21 @@ def str_to_table(
         # Reference semantics split (jsons.py:8): columns = the FIRST
         # record's keys, types = inference over ALL values (so an
         # int-then-float key widens to double instead of nulling floats).
+        # The full-column inference pass runs ONLY when the first record
+        # has an integral-typed field somewhere — long -> double is the
+        # only promotion value-based inference can add, so a first record
+        # with no ints already has its final types and the default path
+        # stays a driver-only first-record parse (zero extra jobs).
+        # NOTE: at 100 TB pass an explicit schema; with ints present this
+        # mode scans the whole column once before the real job.
         first_schema = _schema_from_record(first[0][0])
-        inferred = {f.name: f for f in _infer_full(df, col).fields}
-        resolved = T.StructType(
-            [inferred.get(f.name, f) for f in first_schema.fields]
-        )
+        if _has_integral(first_schema):
+            inferred = {f.name: f for f in _infer_full(df, col).fields}
+            resolved = T.StructType(
+                [inferred.get(f.name, f) for f in first_schema.fields]
+            )
+        else:
+            resolved = first_schema
     else:  # 'infer': sample all records like spark.read.json
         resolved = _infer_full(df, col)
 

@@ -107,11 +107,64 @@ def extract_features(
     )
 
 
-def sample_frames(df: DataFrame, binary_col: str, every_n: int = 30) -> DataFrame:
-    """STUB: video frame sampling requires a media library not available in
-    this environment."""
-    raise NotImplementedError(
-        "video frame sampling requires a media decode library; the Spark "
-        "plumbing pattern is extract_features() with a frame-expanding "
-        "mapInPandas (one input row -> many output rows)"
+def sample_frames(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    every_n: int = 30,
+    fake_decode: bool = True,
+    max_frames: int = 256,
+) -> DataFrame:
+    """Video frame stride-sampling over ``mapInPandas``: one input row ->
+    one output row per sampled frame index (0, every_n, 2*every_n, ...
+    < n_frames) — the frame-expanding batch shape a real video pipeline
+    uses (decode once per payload, emit k frames).
+
+    Real decode is stubbed (no media library in this container;
+    ``fake_decode=False`` raises). The deterministic fake derives
+    ``n_frames = 1 + n_bytes % max_frames`` from the payload length and a
+    per-frame digest ``md5(payload || ':' || frame_idx)`` — pure integer/
+    hash math any engine reproduces, so the sampling arithmetic (stride,
+    bounds, last-frame handling) is oracle-checkable exactly like
+    chunk_documents.
+
+    At scale the expansion is bounded: output rows = ceil(n_frames /
+    every_n) per video, and payloads stay inside one Arrow batch."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    # Self-contained closure (no package imports) — see extract_features.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            ids, idxs, nfs, digests = [], [], [], []
+            for id_, payload in zip(pdf[id_col], pdf[binary_col]):
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "video decode requires a media library not available "
+                        "in this environment; pass fake_decode=True for the "
+                        "deterministic stub"
+                    )
+                payload = bytes(payload)
+                n_frames = 1 + len(payload) % max_frames
+                for idx in range(0, n_frames, every_n):
+                    ids.append(id_)
+                    idxs.append(idx)
+                    nfs.append(n_frames)
+                    digests.append(
+                        _hl.md5(payload + b":" + str(idx).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "frame_digest": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run,
+        schema=f"{id_col} long, frame_idx int, n_frames int, frame_digest string",
     )

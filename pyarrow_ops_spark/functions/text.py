@@ -23,13 +23,27 @@ STOPWORDS = {
 
 def spread(df: DataFrame) -> DataFrame:
     """Spread a CPU-heavy map stage across cores. A small single-file scan
-    arrives as ONE partition, so every regex in the metric projection runs
-    on one core; at real scale parquet row-group splits provide the
-    parallelism for free, so this only repartitions when the scan has
-    fewer partitions than the cluster's default parallelism — on a big
-    input it is a no-op (no shuffle)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    arrives as ONE partition (or as byte-range splits of a single row
+    group, only one of which yields rows), so every regex/hash in the map
+    projection runs on one core; at real scale parquet row-group splits
+    provide the parallelism for free, so this repartitions only when the
+    optimizer's size estimate says the scan cannot saturate the cluster
+    (< 64 MiB per core) — on a big input it is a no-op (no shuffle).
+
+    Deliberately avoids ``df.rdd``: the DF->RDD conversion costs ~1 s of
+    py4j/plan warmup on first use, raises on Spark Connect, and partition
+    COUNT is the wrong signal anyway (byte-range splits of one row group
+    count as partitions but carry no rows). Plan-stats probing failures
+    (Connect, API drift) fall back to a no-op — under-parallelism on a
+    tiny input is benign; an unconditional shuffle at 100 TB is not."""
+    try:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return df
+    if size >= parallelism * (64 << 20):
         return df
     return df.repartition(parallelism)
 

@@ -101,6 +101,7 @@ def mix_sources(
     weights: Mapping[str, int],
     key_cols: Sequence[str],
     seed: str = "",
+    exact: bool = False,
 ) -> DataFrame:
     """Rebalance a corpus to an integer weight mixture by downsampling —
     the domain-mixing step of a training-data pipeline ("2 parts web, 1
@@ -119,10 +120,23 @@ def mix_sources(
     Raises ``ValueError`` when any weighted stratum has fewer rows than
     its weight (``K`` would be 0 and the output silently empty).
 
-    Scale design: one count-per-stratum aggregation (map-side combined;
-    result is #strata rows, collected to the driver like any dimension
-    stat), then a single map-only CASE+hash filter over the corpus — no
-    shuffle of the data itself, composes with scan pushdown.
+    ``exact=True`` keeps EXACTLY ``w_s * K`` rows per stratum: rows are
+    ranked within each stratum by (full content hash, key columns) and
+    the top ``w_s * K`` kept — still deterministic and engine-reproducible
+    (the rank order is a pure function of row content), at the cost of one
+    shuffle+sort on ``strata_col``. Use it when strata are small enough
+    that hash variance matters (a 50-row stratum can realize 8 rows where
+    10 were targeted); prefer the default map-only mode for web-scale
+    strata where the deviation is ~sqrt(n) and a per-stratum sort of a
+    multi-TB stratum (plus its key skew) is the real cost. The hash-first
+    sort key also means the exact sample is NOT nested inside the
+    approximate one — they are independent deterministic draws.
+
+    Scale design (default mode): one count-per-stratum aggregation
+    (map-side combined; result is #strata rows, collected to the driver
+    like any dimension stat), then a single map-only CASE+hash filter over
+    the corpus — no shuffle of the data itself, composes with scan
+    pushdown.
     """
     if not weights:
         raise ValueError("weights must be non-empty")
@@ -143,6 +157,24 @@ def mix_sources(
             f"mixture infeasible: strata {starved} have fewer rows than their "
             f"weight (counts={ {s: counts[s] for s in starved} }); the largest "
             "feasible mixture multiple K is 0, which would keep nothing"
+        )
+    if exact:
+        from pyspark.sql import Window
+
+        salted = [F.lit(seed)] if seed else []
+        salted += [F.col(c).cast("string") for c in key_cols]
+        win = Window.partitionBy(strata_col).orderBy(
+            F.md5(F.concat_ws("|", *salted)), *[F.col(c) for c in key_cols]
+        )
+        target = F.lit(None).cast("long")
+        for value, w in sorted(weights.items()):
+            target = F.when(
+                F.col(strata_col) == F.lit(value), F.lit(w * k)
+            ).otherwise(target)
+        return (
+            df.withColumn("__rk", F.row_number().over(win))
+            .filter(F.col("__rk") <= target)
+            .drop("__rk")
         )
     thresh = F.lit(None).cast("string")
     for value, w in sorted(weights.items()):

@@ -66,10 +66,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     for c in ns_cols:
         # integer division keeps full precision (ns values exceed 2^53)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Schema parity with stream_table: parquet timestamp[us] reads back as
+    # TIMESTAMP_NTZ; cast to TIMESTAMP (LTZ) exactly like the streaming
+    # twin so batch/stream comparisons share one schema. Under the pinned
+    # UTC session zone the cast is the identity on the wall-clock value.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

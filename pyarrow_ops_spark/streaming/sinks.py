@@ -74,4 +74,13 @@ def run_available_now(
     else:
         writer = writer.format(format).queryName(query_name)
     q = writer.outputMode(output_mode).start()
-    q.awaitTermination(timeout_sec)
+    # awaitTermination(timeout) returns False on timeout with the query
+    # STILL RUNNING — returning then would leak the stream and let callers
+    # read a partially-drained sink as if the backfill completed. Stop the
+    # query and fail loudly instead.
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_sec}s; "
+            "query stopped — sink contents are partial"
+        )

@@ -554,3 +554,43 @@ def test_connected_components_stats_and_reliable_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert local == reliable == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_sample_frames_stride_and_digest(spark):
+    import hashlib
+
+    from pyarrow_ops_spark.functions.multimodal import sample_frames
+
+    payloads = [b"x" * 5, b"y" * 64, b"z" * 255]  # n_frames = 6, 65, 256
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "vid long, payload binary"
+    )
+    rows = sample_frames(df, "payload", "vid", every_n=30).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.vid, []).append(r)
+    # stride arithmetic: indices 0, 30, 60, ... < n_frames
+    assert sorted(r.frame_idx for r in by_vid[0]) == [0]          # n_frames=6
+    assert sorted(r.frame_idx for r in by_vid[1]) == [0, 30, 60]  # n_frames=65
+    assert sorted(r.frame_idx for r in by_vid[2]) == list(range(0, 256, 30))
+    assert {r.n_frames for r in by_vid[2]} == {256}
+    # per-frame digest is the documented deterministic function
+    r0 = next(r for r in by_vid[1] if r.frame_idx == 30)
+    assert r0.frame_digest == hashlib.md5(b"y" * 64 + b":30").hexdigest()
+
+
+def test_sample_frames_real_decode_stubbed(spark):
+    from pyarrow_ops_spark.functions.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"abc")], "vid long, payload binary")
+    out = sample_frames(df, "payload", "vid", fake_decode=False)
+    with pytest.raises(Exception, match="NotImplementedError|media library"):
+        out.collect()
+
+
+def test_sample_frames_bad_stride_raises(spark):
+    from pyarrow_ops_spark.functions.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"abc")], "vid long, payload binary")
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(df, "payload", "vid", every_n=0)

@@ -130,3 +130,41 @@ def test_mix_sources_deterministic(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_mix_sources_exact_counts(spark):
+    from pyarrow_ops_spark.operators.sample import mix_sources
+
+    # small strata: the r3 ADVICE case where hash variance realizes 8 of a
+    # 10-row target — exact mode must hit the targets dead on
+    rows = (
+        [(i, "web") for i in range(50)]
+        + [(i + 1000, "code") for i in range(37)]
+        + [(i + 2000, "books") for i in range(11)]
+    )
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = mix_sources(df, "domain", {"web": 2, "code": 1}, ["id"], exact=True)
+    counts = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("id").alias("n")).collect()
+    }
+    # K = min(50//2, 37//1) = 25 -> web exactly 50, code exactly 25
+    assert counts == {"web": 50, "code": 25}
+
+
+def test_mix_sources_exact_deterministic_across_partitioning(spark):
+    from pyarrow_ops_spark.operators.sample import mix_sources
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    a = sorted(
+        r.id
+        for r in mix_sources(df, "domain", {"a": 2, "b": 1}, ["id"], exact=True).collect()
+    )
+    b = sorted(
+        r.id
+        for r in mix_sources(
+            df.repartition(7), "domain", {"a": 2, "b": 1}, ["id"], exact=True
+        ).collect()
+    )
+    assert a == b
