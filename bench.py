@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "text_repetition_stats",
     "mix_sources_events",
     "dedup_clusters_lsh",
+    # round-4 additions: exact mixture + multimodal frame plumbing
+    "mix_sources_exact",
+    "multimodal_sample_frames",
 ]
 
 

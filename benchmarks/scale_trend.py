@@ -1,0 +1,127 @@
+"""Scale-trend benchmark: the headline queries at sf0.1 AND a derived
+10x scale factor ("sf1"), to show how wall-time grows with data size.
+
+The driver ships testdata only up to sf0.1, so the sf1 input is derived:
+each table is unioned with itself 10x, shifting every id-like key by a
+disjoint offset per replica (text/embedding payloads repeat, keys stay
+unique — join/agg cardinalities scale like real data; dedup-family
+queries see 10x corpora with 10x the planted-duplicate structure). Data
+is staged once as parquet under /tmp/spark_graft_sf1 and reused.
+
+For a linear-scale engine, per-query time at 10x data should grow well
+under 10x on a fixed 32-core box ONLY for queries whose sf0.1 cost is
+dominated by fixed overhead (job floor, codegen); scan/shuffle-bound
+queries should grow ~linearly. Superlinear growth flags a plan that
+would not survive 100 TB.
+
+Run:  python benchmarks/scale_trend.py [query ...]
+Prints one JSON line:
+  {"sf0.1": {q: sec}, "sf1": {q: sec}, "ratio": {q: x}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyarrow_ops_spark.session import get_spark  # noqa: E402
+from pyarrow_ops_spark.entry_queries import QUERIES  # noqa: E402
+from pyarrow_ops_spark.sources.tables import TABLE_NAMES, load_table  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/spark_graft_sf1"
+REPLICAS = 10
+
+# id-like columns to shift per replica so keys stay unique and join/agg
+# cardinalities scale (FK columns shift with their PK so joins still hit)
+_SHIFT = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],  # part/supp keys keep dims joinable
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # region/nation: fixed-cardinality dims, replicated rows deduped
+}
+
+_OFFSET = 10_000_000
+
+
+def build_sf1(spark) -> None:
+    os.makedirs(SF1, exist_ok=True)
+    for name in TABLE_NAMES:
+        out = os.path.join(SF1, f"{name}.parquet")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue
+        base = load_table(spark, name, SF01)
+        if name in ("region", "nation"):
+            base.write.mode("overwrite").parquet(out)
+            continue
+        shift_cols = _SHIFT.get(name, [])
+        parts = []
+        for r in range(REPLICAS):
+            df = base
+            for c in shift_cols:
+                df = df.withColumn(c, F.col(c) + F.lit(r * _OFFSET))
+            parts.append(df)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(out)
+
+
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_profit_by_nation_year",
+    "join_inner_mxn",
+    "groupby_sum_all",
+    "window_topk",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_winnow_pairs",
+    "dedup_clusters_lsh",
+    "embedding_near_dup_lsh",
+    "similarity_threshold_join_lsh",
+    "text_stats",
+    "text_repetition_stats",
+    "text_chunk_documents",
+    "pipeline_llm_curation",
+    "mix_sources_events",
+    "order_pack_token_batches",
+]
+
+
+def timed(spark, name: str, sf_dir: str) -> float:
+    best = None
+    for _ in range(2):  # record the steady-state (second) run, like bench.py
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    return round(best, 3)
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark(app_name="scale_trend")
+    build_sf1(spark)
+    r01, r1, ratio = {}, {}, {}
+    for n in names:
+        r01[n] = timed(spark, n, SF01)
+        r1[n] = timed(spark, n, SF1)
+        ratio[n] = round(r1[n] / r01[n], 2) if r01[n] else None
+    print(json.dumps({"sf0.1": r01, "sf1": r1, "ratio": ratio}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
