@@ -47,6 +47,16 @@ from pyarrow_ops_spark.functions.dedup import (
     simhash,
     winnow_pairs,
     simhash_pairs,
+    decontaminate,
+    ngram_overlap,
+    ngram_decontaminate,
+)
+from pyarrow_ops_spark.operators.sample import (
+    sample_hash,
+    sample_stratified,
+    sample_per_key,
+    token_budget_sample,
+    mix_sources,
 )
 from pyarrow_ops_spark.functions.similarity import (
     lsh_threshold_join,
@@ -63,6 +73,7 @@ from pyarrow_ops_spark.functions.text import (
     text_stats,
     token_count,
     quality_score,
+    quality_filter,
     lang_guess,
     fingerprint,
 )
@@ -118,6 +129,15 @@ __all__ = [
     "lag_lead",
     "dedup_exact",
     "exact_duplicates",
+    "decontaminate",
+    "ngram_overlap",
+    "ngram_decontaminate",
+    "sample_hash",
+    "sample_stratified",
+    "sample_per_key",
+    "token_budget_sample",
+    "mix_sources",
+    "quality_filter",
     "jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash",

@@ -3340,6 +3340,161 @@ def q_mix_sources_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: n-gram eval decontamination, per-key exact sampling,
+# token-budget mixtures, Gopher-style quality rule filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_overlap",
+    r"""
+    WITH norm AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
+                       '\s+'),
+                   t -> t <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, greatest(len(w) - 2, 0) + 1)])) AS g
+        FROM norm
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+    tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 37 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+    FROM tr JOIN ev USING (g)
+    GROUP BY tr.doc_id
+    """,
+)
+def q_dedup_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram eval-overlap decontamination: per-train-document
+    count of distinct word n-grams shared with an eval split (here every
+    37th doc plays the benchmark; n=3 instead of the production default 5
+    so the short synthetic docs exercise real overlap volume). The exact
+    `decontaminate` op catches verbatim copies; this catches partial
+    inclusions. Eval grams broadcast; train text never shuffles — only the
+    per-doc match counts do."""
+    from pyarrow_ops_spark.functions.dedup import ngram_overlap
+
+    docs = load_table(spark, "documents", sf_dir)
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    tr = docs.filter(F.col("doc_id") % 37 != 0)
+    return ngram_overlap(tr, ev, id_col="doc_id", text_col="text", n=3)
+
+
+@query(
+    "sample_per_key_events",
+    """
+    WITH r AS (
+        SELECT event_id, user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rk
+        FROM events
+    )
+    SELECT event_id, user_id, event_type FROM r WHERE rk <= 3
+    """,
+)
+def q_sample_per_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-key sampling (the reproducible reservoir): keep
+    exactly min(3, group size) events per user, ranked by content hash so
+    any engine draws the same rows. WindowGroupLimit pushes the rank<=k
+    cut map-side before the exchange."""
+    from pyarrow_ops_spark.operators.sample import sample_per_key
+
+    ev = load_table(spark, "events", sf_dir)
+    return sample_per_key(ev, ["user_id"], 3, ["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query(
+    "sample_token_budget",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 1000
+    """,
+)
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture: consume documents per source in
+    deterministic hash order until 1000 tokens fill — training mixtures
+    are specified in tokens, not rows (`mix_sources`' budgeted twin).
+    Never overshoots; one exchange on the stratum column."""
+    from pyarrow_ops_spark.functions.text import token_count
+    from pyarrow_ops_spark.operators.sample import token_budget_sample
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    return token_budget_sample(
+        docs, "source", 1000, "n_tokens", ["doc_id"], cum_col="cum_tokens"
+    )
+
+
+@query(
+    "text_quality_filter",
+    r"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS nt,
+               length(text) AS nc,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS nl,
+               length(regexp_replace(text, '\s+', '', 'g')) AS ns
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN nt < 16 THEN 'too_short'
+                    WHEN nt > 100000 THEN 'too_long'
+                    WHEN ns::DOUBLE / nt < 2.0 OR ns::DOUBLE / nt > 4.6
+                        THEN 'word_length'
+                    WHEN nl::DOUBLE / nc < 0.815 THEN 'letter_ratio'
+               END AS reject_reason
+        FROM m
+    )
+    SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM r
+    """,
+)
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter: keep/reject with the first failing rule
+    named per document (reject-reason audit before committing to a drop).
+    Thresholds here are tightened to the synthetic corpus so every rule
+    branch fires; map-only, regexes computed once per row."""
+    from pyarrow_ops_spark.functions.text import quality_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_filter(
+        docs,
+        min_tokens=16,
+        max_tokens=100_000,
+        min_avg_word_len=2.0,
+        max_avg_word_len=4.6,
+        min_letter_ratio=0.815,
+    ).select("doc_id", "keep", "reject_reason")
+
+
+# ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
 
@@ -3359,7 +3514,10 @@ def q_mix_sources_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       load_table now casts NTZ->TIMESTAMP for batch/stream parity, so
 #       their result schema changed since last certification;
 #   (e) r1-only certifications (3 rounds old) refreshed oldest-first;
-#   (f) r2 certifications refreshed by operator-family diversity.
+#   (f) r2 certifications refreshed by operator-family diversity
+#       (date_parts_agg / sql_frontend_q4 / stats_corr_covar /
+#       setops_intersect_except yielded their slots to the four round-4
+#       registrations — r2-green and untouched since, lowest rot risk).
 # Everything else is green in r3 and unchanged since; it rides after the
 # cap, still covered by the pytest oracle suite (tests/
 # test_oracle_queries.py runs ALL entries, arrays included).
@@ -3371,6 +3529,10 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "mix_sources_exact",
     "multimodal_sample_frames",
     "dedup_simhash_planted",
+    "dedup_ngram_overlap",
+    "sample_per_key_events",
+    "sample_token_budget",
+    "text_quality_filter",
     # -- (c) code path changed this round ---------------------------------
     "json_str_to_table",
     "text_stats",
@@ -3407,7 +3569,6 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     # -- (f) r2 certifications, refreshed for family coverage -------------
     "sample_stratified_events",
     "similarity_topk_bruteforce",
-    "date_parts_agg",
     "dedup_exact_docs",
     "multimodal_features",
     "filters_like_between_null",
@@ -3415,10 +3576,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "join_full_outer",
     "join_semi_anti",
     "ml_impute_clip",
-    "sql_frontend_q4",
-    "stats_corr_covar",
     "approx_distinct_quantile",
-    "setops_intersect_except",
     "range_join_price_bands",
 ]
 

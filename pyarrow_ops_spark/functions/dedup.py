@@ -587,6 +587,98 @@ def winnow_pairs(
     )
 
 
+def word_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Normalized word ``n``-grams of the text as ``array<string>``.
+
+    Normalization (lowercase, strip non-alphanumerics, whitespace split) is
+    the standard eval-decontamination canonicalization: punctuation and
+    casing differences between a benchmark prompt and a crawled page must
+    not hide an overlap. Documents shorter than ``n`` words yield an empty
+    array. Pure Catalyst (regex + slice/transform) — no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+
+    def grams(ts: Column) -> Column:
+        return F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(ts, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # bind the token array once (see text._bind): referencing `toks` three
+    # times would re-run the regex split per reference
+    return F.element_at(F.transform(F.array(toks), grams), 1)
+
+
+def ngram_overlap(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    test_text_col: str | None = None,
+) -> DataFrame:
+    """Per-train-document count of distinct word ``n``-grams shared with
+    ``test`` — the GPT-3-style n-gram eval-overlap check (exact
+    ``decontaminate`` catches verbatim copies; this catches partial
+    inclusions, e.g. a benchmark question quoted inside a page).
+
+    Returns ``(id_col, n_matched)`` for contaminated documents only
+    (``n_matched >= 1``).
+
+    Scale shape: the test side (eval benchmarks — MBs, not TBs) collapses
+    to a distinct gram set and broadcasts; the train side explodes its
+    per-document ``array_distinct`` gram array map-side, hits the broadcast
+    hash join with no shuffle of train data, and the only exchange is the
+    partial-aggregated per-doc match count (rows ≈ contaminated docs, not
+    grams). Train text itself never shuffles.
+    """
+    test_grams = (
+        test.select(
+            F.explode(word_ngrams(test_text_col or text_col, n)).alias("__gram")
+        )
+        .distinct()
+    )
+    train_grams = train.select(
+        id_col,
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("__gram"),
+    )
+    return (
+        train_grams.join(F.broadcast(test_grams), on="__gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_matches: int = 1,
+    test_text_col: str | None = None,
+) -> DataFrame:
+    """Drop from ``train`` every document sharing at least ``min_matches``
+    distinct word ``n``-grams with ``test``. The partial-overlap
+    complement of :func:`decontaminate` (which is exact-normalized-text).
+
+    ``min_matches`` trades recall for precision: 1 is the aggressive
+    standard for eval decontamination; raise it when short boilerplate
+    grams cause collateral drops.
+    """
+    flagged = ngram_overlap(train, test, id_col, text_col, n, test_text_col)
+    if min_matches > 1:
+        flagged = flagged.filter(F.col("n_matched") >= min_matches)
+    return train.join(flagged.select(id_col), on=id_col, how="left_anti")
+
+
 def decontaminate(
     train: DataFrame,
     test: DataFrame,

@@ -212,6 +212,63 @@ def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    col: str = "text",
+    min_tokens: int = 16,
+    max_tokens: int = 100_000,
+    min_avg_word_len: float = 2.0,
+    max_avg_word_len: float = 12.0,
+    min_letter_ratio: float = 0.5,
+) -> DataFrame:
+    """Gopher-style rule filter: append ``keep`` (boolean) and
+    ``reject_reason`` (first failing rule name, NULL when kept) to each
+    document. Rules, in precedence order:
+
+    * ``too_short`` / ``too_long`` — whitespace token count outside
+      [min_tokens, max_tokens]
+    * ``word_length`` — mean non-space chars per token outside
+      [min_avg_word_len, max_avg_word_len] (symbol soup / agglutinated
+      junk)
+    * ``letter_ratio`` — alphabetic chars / total chars below
+      ``min_letter_ratio`` (markup, tables, binary-ish residue)
+
+    Keeping rejected rows with their reason (instead of filtering) is
+    deliberate: pipelines audit per-reason reject rates before committing
+    to a drop, and the filter composes as ``.filter("keep")``.
+
+    Scale shape: map-only — the three regex-backed base counts are
+    computed once per row in an inner Project (the text_stats pattern)
+    and every rule references the alias; fuses into the scan stage.
+    """
+    c = F.col(col)
+    base = spread(df).select(
+        *df.columns,
+        token_count(col).alias("__n_tokens"),
+        F.length(c).alias("__n_chars"),
+        F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).alias("__n_letters"),
+        F.length(F.regexp_replace(c, r"\s+", "")).alias("__n_nonspace"),
+    )
+    nt = F.col("__n_tokens")
+    wl = F.col("__n_nonspace") / nt
+    lr = F.col("__n_letters") / F.col("__n_chars")
+    reason = (
+        F.when(nt < min_tokens, F.lit("too_short"))
+        .when(nt > max_tokens, F.lit("too_long"))
+        .when(
+            (wl < min_avg_word_len) | (wl > max_avg_word_len),
+            F.lit("word_length"),
+        )
+        .when(lr < min_letter_ratio, F.lit("letter_ratio"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return base.select(
+        *df.columns,
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
 def lang_guess_table(
     df: DataFrame, col: str = "text", out: str = "guessed"
 ) -> DataFrame:

@@ -87,6 +87,91 @@ def sample_stratified(
     return df.filter(_bucket(key_cols, seed) < thresh)
 
 
+def sample_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int,
+    order_cols: Sequence[str],
+    seed: str = "",
+) -> DataFrame:
+    """Keep EXACTLY min(k, group size) rows per key group — the
+    deterministic analog of per-key reservoir sampling (k examples per
+    user / per domain / per class for eval sets and few-shot pools).
+
+    Rows within a group are ranked by (content hash of ``order_cols``,
+    ``order_cols``) so the draw is a pure function of row content: any
+    engine, any partitioning, any cluster size picks the same rows, and
+    ``seed`` rotates to an independent draw. A true streaming reservoir
+    (Vitter's R) is RNG-state-dependent and irreproducible across runs —
+    the wrong trade at audit time.
+
+    Scale shape: one hash-partitioned exchange on ``key_cols`` + in-group
+    sort. Spark's WindowGroupLimit pushes the ``rank <= k`` limit map-side
+    before the exchange, so each partition ships at most k rows per local
+    group rather than the whole group.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    salted = [F.lit(seed)] if seed else []
+    salted += [F.col(c).cast("string") for c in order_cols]
+    win = Window.partitionBy(*key_cols).orderBy(
+        F.md5(F.concat_ws("|", *salted)), *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    budget: int,
+    token_col: str,
+    key_cols: Sequence[str],
+    seed: str = "",
+    cum_col: str | None = None,
+) -> DataFrame:
+    """Keep documents per stratum until a token budget fills — "take 1B
+    tokens of web, 1B of code" — the budgeted form of ``mix_sources``
+    (which balances row counts; training mixtures are specified in
+    tokens).
+
+    Rows are consumed in deterministic content-hash order (same
+    reproducibility contract as ``sample_hash``); a row is kept while the
+    running token total INCLUDING it is <= ``budget``, so the realized
+    total never overshoots and undershoots only by the straddling
+    document. ``cum_col`` optionally exposes the running total.
+
+    Scale shape: one exchange on ``strata_col`` + in-group sort for the
+    running-sum window — the same shape as any cumulative metric; no
+    driver materialization, no second pass. With S strata and ~uniform
+    document sizes the exchange carries only (hash, tokens)-ordered rows;
+    heavily skewed strata sort within the stratum's executors. For
+    web-scale strata where a total sort is too hot, pre-filter with
+    ``sample_hash`` at fraction ≈ budget/stratum_tokens first and
+    budget-trim the survivors — same result distribution, 1/fraction less
+    data through the window.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    salted = [F.lit(seed)] if seed else []
+    salted += [F.col(c).cast("string") for c in key_cols]
+    win = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.concat_ws("|", *salted)), *[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(win))
+    out = out.filter(F.col("__cum") <= budget)
+    return out.withColumnRenamed("__cum", cum_col) if cum_col else out.drop("__cum")
+
+
 def _hex_threshold(numer: int, denom: int) -> str:
     """Hex compare-threshold for keep-fraction numer/denom, derived with
     pure integer arithmetic (floor((numer << 16) / denom)) so any engine

@@ -131,6 +131,43 @@ def test_sql_frontend_topn_window_group_limit_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ngram_overlap_broadcasts_eval_grams(spark):
+    # eval-side gram set broadcasts: the train corpus must NOT shuffle its
+    # exploded grams to meet the eval set — only the per-doc match counts
+    # go through an exchange (1 for the broadcast-build distinct + 1 agg)
+    df = QUERIES["dedup_ngram_overlap"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sample_per_key_window_group_limit(spark):
+    # rank<=k is pushed map-side below the key exchange: each partition
+    # ships at most k rows per local group, not whole groups
+    df = QUERIES["sample_per_key_events"](spark, SF_DIR)
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_token_budget_single_exchange(spark):
+    # one hash exchange on the stratum column for the running-sum window;
+    # everything else is map-side
+    df = QUERIES["sample_token_budget"](spark, SF_DIR)
+    assert shuffle_count(df) == 1
+
+
+def test_quality_filter_map_only(spark):
+    # pure scalar rules: no aggregation/sort exchange anywhere. The single
+    # permitted exchange is spread()'s RoundRobin repartition, which fires
+    # only when the scan can't saturate the cores (true at test SF, a
+    # no-op at 100 TB where the scan has plenty of splits).
+    df = QUERIES["text_quality_filter"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 1
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "Sort" not in plan and "HashAggregate" not in plan
+
+
 def test_winnow_pairs_no_quadratic_join(spark):
     # candidates come from the fingerprint inverted index, never a
     # cartesian pair join
