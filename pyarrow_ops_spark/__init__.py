@@ -48,6 +48,9 @@ from pyarrow_ops_spark.functions.dedup import (
     winnow_pairs,
     simhash_pairs,
     decontaminate,
+    decontaminate_bloom,
+    duplicated_spans,
+    strip_duplicated_spans,
     ngram_overlap,
     ngram_decontaminate,
 )
@@ -130,6 +133,9 @@ __all__ = [
     "dedup_exact",
     "exact_duplicates",
     "decontaminate",
+    "decontaminate_bloom",
+    "duplicated_spans",
+    "strip_duplicated_spans",
     "ngram_overlap",
     "ngram_decontaminate",
     "sample_hash",

@@ -3494,6 +3494,159 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "keep", "reject_reason")
 
 
+@query(
+    "dedup_duplicated_spans",
+    r"""
+    WITH norm AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
+                       '\s+'),
+                   t -> t <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS pos,
+               unnest([array_to_string(w[i:i+4], ' ')
+                       for i in range(1, greatest(len(w) - 4, 0) + 1)]) AS g
+        FROM norm
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT DISTINCT doc_id, pos FROM grams JOIN dup USING (g)),
+    brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                    THEN 1 ELSE 0 END AS b
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS gid
+        FROM brk
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 4 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_dup_grams
+    FROM isl GROUP BY doc_id, gid
+    """,
+)
+def q_dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. duplicated-span detection):
+    maximal token ranges whose word 5-grams occur in >= 2 distinct
+    documents — boilerplate/quotes invisible to whole-document dedup. The
+    Spark side shuffles (xxhash64, id, pos) triples, never gram text; the
+    oracle rebuilds the same spans from the gram strings themselves, so a
+    hash-match also certifies the hashed plan collision-free on this
+    corpus."""
+    from pyarrow_ops_spark.functions.dedup import duplicated_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return duplicated_spans(docs, id_col="doc_id", text_col="text", n=5, min_df=2)
+
+
+@query(
+    "dedup_strip_spans",
+    r"""
+    WITH norm AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
+                       '\s+'),
+                   t -> t <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS pos,
+               unnest([array_to_string(w[i:i+4], ' ')
+                       for i in range(1, greatest(len(w) - 4, 0) + 1)]) AS g
+        FROM norm
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT DISTINCT doc_id, pos FROM grams JOIN dup USING (g)),
+    brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                    THEN 1 ELSE 0 END AS b
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS gid
+        FROM brk
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        FROM isl GROUP BY doc_id, gid
+    ),
+    sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM spans GROUP BY doc_id),
+    kept AS (
+        SELECT n.doc_id, n.w,
+               list_filter(
+                   n.w,
+                   (x, i) -> coalesce(
+                       len(list_filter(sp.spans, q -> i >= q.s AND i <= q.e)), 0
+                   ) = 0) AS kw
+        FROM norm n LEFT JOIN sp USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(kw) AS BIGINT) AS n_tokens_kept,
+           coalesce(array_to_string(kw, ' '), '') AS clean_text
+    FROM kept
+    """,
+)
+def q_dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *apply* half of substring-level dedup: cut every cross-document
+    duplicated 5-gram span out of each document, keep the unique
+    remainder. The oracle rebuilds the exact cleaned text token-by-token
+    (DuckDB indexed-lambda filter), so the hash certifies the full string
+    output, not just the counts."""
+    from pyarrow_ops_spark.functions.dedup import strip_duplicated_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return strip_duplicated_spans(docs, n=5, min_df=2).select(
+        "doc_id", "n_tokens", "n_tokens_kept", "clean_text"
+    )
+
+
+@query(
+    "dedup_decontaminate_bloom",
+    r"""
+    WITH test AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+    )
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+          NOT IN (SELECT fp FROM test)
+    """,
+)
+def q_dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: the eval split (a deterministic
+    10% hash sample, so overlap is genuine) is compressed to a 512 KiB
+    broadcast Bloom bitmap; train rows missing the filter are provably
+    clean and never shuffle, and only Bloom candidates reach the exact
+    digest anti-join — so the result is EXACT (identical to
+    ``decontaminate``) and the oracle is the plain NOT IN. The scale case:
+    an eval side too large to broadcast as a digest set."""
+    from pyarrow_ops_spark.functions.dedup import decontaminate_bloom
+    from pyarrow_ops_spark.operators.sample import sample_hash
+
+    docs = load_table(spark, "documents", sf_dir)
+    test = sample_hash(docs, 0.1, ["doc_id"])
+    return decontaminate_bloom(docs, test, num_bits=1 << 22, num_hashes=7).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
@@ -3517,7 +3670,12 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (f) r2 certifications refreshed by operator-family diversity
 #       (date_parts_agg / sql_frontend_q4 / stats_corr_covar /
 #       setops_intersect_except yielded their slots to the four round-4
-#       registrations — r2-green and untouched since, lowest rot risk).
+#       registrations, and filters_not_in_or / join_full_outer /
+#       ml_impute_clip to the three late-r4 ones (duplicated_spans,
+#       strip_spans, decontaminate_bloom) — all seven r2-green and
+#       untouched since, lowest rot risk; their families keep other cap
+#       rows (filters_like_between_null, join_semi_anti, and ml_clean_encode
+#       which is r3-green).
 # Everything else is green in r3 and unchanged since; it rides after the
 # cap, still covered by the pytest oracle suite (tests/
 # test_oracle_queries.py runs ALL entries, arrays included).
@@ -3532,6 +3690,9 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "dedup_ngram_overlap",
     "sample_per_key_events",
     "sample_token_budget",
+    "dedup_duplicated_spans",
+    "dedup_strip_spans",
+    "dedup_decontaminate_bloom",
     "text_quality_filter",
     # -- (c) code path changed this round ---------------------------------
     "json_str_to_table",
@@ -3572,10 +3733,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "dedup_exact_docs",
     "multimodal_features",
     "filters_like_between_null",
-    "filters_not_in_or",
-    "join_full_outer",
     "join_semi_anti",
-    "ml_impute_clip",
     "approx_distinct_quantile",
     "range_join_price_bands",
 ]

@@ -679,6 +679,234 @@ def ngram_decontaminate(
     return train.join(flagged.select(id_col), on=id_col, how="left_anti")
 
 
+def positional_word_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Word ``n``-grams WITH their 1-based token position, as
+    ``array<struct<pos:int, gram:string>>`` — same normalization as
+    :func:`word_ngrams` (that one discards positions; span detection needs
+    them). Documents shorter than ``n`` words yield an empty array. Pure
+    Catalyst."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+
+    def grams(ts: Column) -> Column:
+        return F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.array_join(F.slice(ts, i, n), " ").alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+
+    return F.element_at(F.transform(F.array(toks), grams), 1)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection (the substring-level dedup of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    find every maximal token range of a document whose word ``n``-grams all
+    occur in at least ``min_df`` distinct documents — boilerplate headers,
+    license blocks, quoted passages that whole-document dedup (exact or
+    MinHash) cannot see because the surrounding text differs.
+
+    Returns ``(id_col, span_start, span_end, n_dup_grams)`` with 1-based
+    inclusive token positions; overlapping/adjacent duplicated grams are
+    merged into one span (gaps-and-islands over the gram positions).
+
+    Scale shape: per-doc positional grams explode map-side and immediately
+    collapse to ``(gram_hash, doc, pos)`` — the shuffle carries an 8-byte
+    xxhash64, an id and an int, never gram text. Document frequency is one
+    hash-aggregation; the hit join is linear (AQE broadcasts the dup-gram
+    side when small); span merging is a per-document window (bounded
+    partitions — documents, not the corpus). No pairwise anything: cost is
+    linear in total tokens at any corpus size.
+    """
+    pg = df.select(
+        F.col(id_col),
+        F.explode(positional_word_ngrams(text_col, n)).alias("pg"),
+    ).select(
+        id_col,
+        F.col("pg.pos").alias("pos"),
+        F.xxhash64(F.col("pg.gram")).alias("gh"),
+    )
+    dup = (
+        pg.groupBy("gh")
+        .agg(F.countDistinct(F.col(id_col)).alias("docfreq"))
+        .filter(F.col("docfreq") >= min_df)
+        .select("gh")
+    )
+    hits = pg.join(dup, on="gh").select(id_col, "pos").distinct()
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    islands = hits.withColumn("brk", brk).withColumn("gid", F.sum("brk").over(w))
+    return (
+        islands.groupBy(id_col, "gid")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("gid")
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove every cross-document duplicated span (see
+    :func:`duplicated_spans`) from each document, keeping the surrounding
+    unique text — the *apply* half of substring-level dedup: boilerplate
+    and quoted passages are cut while the document survives.
+
+    Returns ``df``'s columns plus ``out_col`` (the normalized text with
+    duplicated token ranges removed), ``n_tokens`` and ``n_tokens_kept``.
+    Documents with no duplicated span keep all their tokens.
+
+    Scale shape: :func:`duplicated_spans` (linear, hash-only shuffles)
+    plus one aggregation of spans per doc (rows = spans, tiny) and one
+    join back to the corpus on the id — the document text is touched only
+    map-side, in the final per-row token filter.
+    """
+    spans = duplicated_spans(df, id_col, text_col, n, min_df)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__spans")
+    )
+
+    c = F.col(text_col)
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
+
+    out = df.join(per_doc, on=id_col, how="left").withColumn(
+        "__spans", F.coalesce(F.col("__spans"), empty_spans)
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (i + F.lit(1) >= sp["s"]) & (i + F.lit(1) <= sp["e"]),
+        ),
+    )
+    return (
+        out.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn(out_col, F.array_join(kept, " "))
+        .withColumn("n_tokens_kept", F.size(kept).cast("long"))
+        .drop("__spans")
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    test_text_col: str | None = None,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Exact decontamination (same result as :func:`decontaminate`) with a
+    broadcast **Bloom-filter prefilter**: when the eval side is too big to
+    broadcast as a digest set (multi-benchmark suites, contamination
+    sweeps), its Bloom bitmap is ``num_bits/8`` bytes regardless of row
+    count. Train rows whose digest misses the filter are provably clean
+    (no false negatives) and never shuffle; only Bloom *candidates* (true
+    overlaps + the ~``(1-e^{-kn/m})^k`` false-positive sliver) reach the
+    exact digest anti-join that makes the final result exact.
+
+    Bit positions use double hashing ``(h1 + i*h2) mod m`` over two
+    fixed-seed xxhash64 digests computed JVM-side, so build and probe agree
+    by construction; the probe is an Arrow-batched pandas UDF against the
+    broadcast numpy bitmap.
+    """
+    import numpy as np
+
+    norm_train = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm_test = F.regexp_replace(
+        F.lower(F.trim(F.col(test_text_col or text_col))), r"\s+", " "
+    )
+
+    def hashed(df: DataFrame, norm: Column) -> DataFrame:
+        return df.withColumn("__h1", F.xxhash64(norm)).withColumn(
+            "__h2", F.xxhash64(norm, F.lit("bloom-salt"))
+        )
+
+    test_h = hashed(test, norm_test).select("__h1", "__h2")
+
+    m, k = num_bits, num_hashes
+
+    def _positions(h1: "np.ndarray", h2: "np.ndarray") -> "np.ndarray":
+        # double hashing in uint64 (wrapping mul/add), then mod m
+        pos = (
+            h1[:, None].astype(np.uint64)
+            + np.arange(k, dtype=np.uint64)[None, :] * h2[:, None].astype(np.uint64)
+        ) % np.uint64(m)
+        return pos.reshape(-1)
+
+    def _partial_bloom(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        seen = False
+        for b in batches:
+            if len(b):
+                seen = True
+                p = _positions(
+                    b["__h1"].to_numpy(np.int64), b["__h2"].to_numpy(np.int64)
+                )
+                np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bits": [bm.tobytes()]} if seen else {"bits": []})
+
+    parts = test_h.mapInPandas(_partial_bloom, "bits binary").collect()
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    for row in parts:
+        bitmap |= np.frombuffer(row["bits"], dtype=np.uint8)
+    bc = train.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        p = _positions(h1.to_numpy(np.int64), h2.to_numpy(np.int64)).reshape(-1, k)
+        hit = ((bm[p >> 3] >> (p & 7)) & 1).astype(bool).all(axis=1)
+        return pd.Series(hit)
+
+    train_h = hashed(train, norm_train).withColumn(
+        "__cand", might_contain(F.col("__h1"), F.col("__h2"))
+    )
+    clean_fast = train_h.filter(~F.col("__cand"))
+    test_fps = test.select(
+        fingerprint(test_text_col or text_col).alias("__fp")
+    ).distinct()
+    verified = (
+        train_h.filter(F.col("__cand"))
+        .withColumn("__fp", fingerprint(text_col))
+        .join(test_fps, on="__fp", how="left_anti")
+        .drop("__fp")
+    )
+    return clean_fast.unionByName(verified).drop("__h1", "__h2", "__cand")
+
+
 def decontaminate(
     train: DataFrame,
     test: DataFrame,

@@ -175,3 +175,30 @@ def test_winnow_pairs_no_quadratic_join(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicated_spans_shuffles_hashes_not_text(spark):
+    # the positional-gram exchange carries (xxhash64, id, pos) — gram text
+    # and document text must never reach a shuffle; no pairwise joins
+    from pyarrow_ops_spark.plans.inspect import plan_nodes
+
+    df = QUERIES["dedup_duplicated_spans"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exchanges = [b for name, b in plan_nodes(df) if name == "Exchange"]
+    assert exchanges, "expected hash exchanges in the plan"
+    assert all("text#" not in b and "gram#" not in b for b in exchanges)
+
+
+def test_decontaminate_bloom_clean_path_never_shuffles_text(spark):
+    # the non-candidate branch is scan -> bloom probe -> filter (map-only);
+    # only Bloom candidates reach the digest anti-join, and that join key
+    # is the md5 fingerprint, not the text
+    from pyarrow_ops_spark.plans.inspect import plan_nodes
+
+    df = QUERIES["dedup_decontaminate_bloom"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    exchanges = [b for name, b in plan_nodes(df) if name == "Exchange"]
+    assert all("text#" not in b for b in exchanges)

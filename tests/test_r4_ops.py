@@ -153,3 +153,102 @@ def test_quality_filter_letter_ratio(spark):
     df = spark.createDataFrame([(1, digits)], ["doc_id", "text"])
     (row,) = TX.quality_filter(df).collect()
     assert row.keep is False and row.reject_reason == "letter_ratio"
+
+
+# -- duplicated spans (Lee et al. substring dedup) --------------------------
+
+
+def test_duplicated_spans_finds_shared_boilerplate(spark):
+    # two docs share an 8-token license header, then diverge entirely
+    header = "this work is licensed under the creative commons"
+    df = spark.createDataFrame(
+        [
+            (1, header + " apples oranges pears bananas kiwi melon"),
+            (2, header + " zebra yak xerus wombat vole urchin"),
+            (3, "completely unrelated text with no overlap at all present"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.duplicated_spans(df, n=5, min_df=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    # the header is 8 tokens -> 5-gram positions 1..4 merge into one span
+    assert rows[1].span_start == 1 and rows[1].span_end == 8
+    assert rows[1].n_dup_grams == 4
+    assert rows[2].span_start == 1 and rows[2].span_end == 8
+    assert 3 not in rows
+
+
+def test_duplicated_spans_merges_adjacent_and_splits_gapped(spark):
+    shared_a = "one two three four five"
+    shared_b = "alpha beta gamma delta epsilon"
+    # doc 1: shared_a ... long unique gap ... shared_b -> TWO spans
+    gap = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared_a} {gap} {shared_b}"),
+            (2, shared_a),
+            (3, shared_b),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.duplicated_spans(df, n=5, min_df=2)
+    doc1 = sorted(
+        [(r.span_start, r.span_end) for r in out.filter(F.col("doc_id") == 1).collect()]
+    )
+    assert doc1 == [(1, 5), (16, 20)]
+
+
+def test_duplicated_spans_within_doc_repeat_not_cross_doc(spark):
+    # a gram repeated inside ONE doc only (docfreq=1) is not a duplicate
+    df = spark.createDataFrame(
+        [(1, "echo echo echo echo echo echo echo echo"), (2, "nothing shared here at all today")],
+        ["doc_id", "text"],
+    )
+    assert D.duplicated_spans(df, n=5, min_df=2).count() == 0
+
+
+def test_strip_duplicated_spans_cuts_shared_text_only(spark):
+    header = "this work is licensed under the creative commons"
+    df = spark.createDataFrame(
+        [
+            (1, header + " apples oranges pears bananas kiwi"),
+            (2, header + " zebra yak xerus wombat vole"),
+            (3, "completely unrelated text with no overlap at all present"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in D.strip_duplicated_spans(df, n=5, min_df=2).collect()}
+    assert rows[1].clean_text == "apples oranges pears bananas kiwi"
+    assert rows[2].clean_text == "zebra yak xerus wombat vole"
+    assert rows[1].n_tokens == 13 and rows[1].n_tokens_kept == 5
+    # untouched doc keeps every token
+    assert rows[3].n_tokens_kept == rows[3].n_tokens
+    assert rows[3].clean_text.startswith("completely unrelated")
+
+
+# -- bloom decontamination --------------------------------------------------
+
+
+def test_decontaminate_bloom_equals_exact(spark, docs):
+    test = docs.filter(F.col("doc_id") % 9 == 0)
+    exact = D.decontaminate(docs, test).select("doc_id")
+    bloom = D.decontaminate_bloom(docs, test).select("doc_id")
+    assert exact.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(exact).count() == 0
+
+
+def test_decontaminate_bloom_tiny_filter_still_exact(spark, docs):
+    # pathologically small bitmap -> many false positives -> the exact
+    # verify join must still produce the precise answer
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    exact = D.decontaminate(docs, test).select("doc_id")
+    bloom = D.decontaminate_bloom(docs, test, num_bits=1 << 10, num_hashes=2).select(
+        "doc_id"
+    )
+    assert exact.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(exact).count() == 0
+
+
+def test_decontaminate_bloom_empty_eval_keeps_all(spark, docs):
+    test = docs.filter(F.lit(False))
+    assert D.decontaminate_bloom(docs, test).count() == docs.count()
