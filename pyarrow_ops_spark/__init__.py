@@ -44,6 +44,8 @@ from pyarrow_ops_spark.functions.dedup import (
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_lsh_edges,
+    dedup_clusters,
     simhash,
     winnow_pairs,
     simhash_pairs,
@@ -69,6 +71,9 @@ from pyarrow_ops_spark.functions.similarity import (
     lsh_topk,
     ivf_topk,
     embedding_near_dup,
+    embedding_lsh_pairs,
+    embedding_lsh_edges,
+    embedding_dedup_clusters,
 )
 from pyarrow_ops_spark.functions.text import (
     winnowed_fingerprints,
@@ -146,6 +151,8 @@ __all__ = [
     "quality_filter",
     "jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_lsh_edges",
+    "dedup_clusters",
     "simhash",
     "simhash_pairs",
     "cosine_topk",
@@ -153,6 +160,9 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "embedding_near_dup",
+    "embedding_lsh_pairs",
+    "embedding_lsh_edges",
+    "embedding_dedup_clusters",
     "text_stats",
     "token_count",
     "quality_score",

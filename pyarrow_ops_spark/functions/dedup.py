@@ -134,6 +134,34 @@ def _minhash_from_hashes(hashes: Column, num_hashes: int) -> list[Column]:
     ]
 
 
+def _collapse_exact_texts(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Group BYTE-IDENTICAL documents: (__t raw text, members sorted ids).
+
+    The text twin of ``similarity._collapse_exact_vectors``: g exact copies
+    of a page land in every one of their MinHash band buckets and the
+    bucket pair generator goes O(g²); collapsing first makes LSH cost a
+    function of UNIQUE documents. Keyed on md5 of the RAW text (not the
+    normalized ``fingerprint`` — case/whitespace variants have different
+    shingle sets and must stay distinct here); the digest-keyed shuffle
+    carries 16 bytes + ids, and one representative text per group survives
+    via ``first`` (all group members are byte-identical by construction).
+    Null-text rows are excluded — they produce no shingles and can never
+    pair (matching the uncollapsed pipeline, where their signature rows
+    are null and never explode)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .filter(F.col("__t").isNotNull())
+        .withColumn("__k", F.md5(F.col("__t")))
+        .groupBy("__k")
+        .agg(
+            F.array_sort(F.collect_list("id")).alias("members"),
+            F.first("__t").alias("__t"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
@@ -143,20 +171,111 @@ def minhash_lsh_pairs(
     num_hashes: int = 80,
     bands: int = 16,
 ) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash-LSH + exact verification.
+    """Near-duplicate pairs via exact-duplicate collapse + banded
+    MinHash-LSH + exact verification.
 
-    Pipeline: shingle -> k minhashes -> b band signatures (hash of r
-    consecutive minhashes) -> explode to (band, sig, id) -> self-join on
-    (band, sig) -> distinct candidate pairs -> exact Jaccard filter.
+    Pipeline: byte-identical documents collapse to one representative per
+    group (intra-group pairs are emitted directly at Jaccard 1.0 — their
+    shingle sets are equal — and representative pairs expand to member
+    pairs at the end; without the collapse, g exact copies cost O(g²)
+    inside every band bucket). Representatives then: shingle -> k
+    minhashes -> b band signatures (hash of r consecutive minhashes) ->
+    explode to (band, sig, id) -> bucket-local pair generation -> distinct
+    candidate pairs -> exact Jaccard filter.
 
-    The candidate join shuffles only band signatures (linear in corpus);
-    exact verification re-joins the shingle arrays for candidates only.
+    The candidate shuffle carries only band signatures (linear in UNIQUE
+    corpus); exact verification re-joins the shingle arrays for candidates
+    only; the member expansion is output-bound (quadratic only where the
+    answer is).
     """
+    from pyspark import StorageLevel
+
+    groups = _collapse_exact_texts(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode(_ordered_pairs_expr(F.col("members"))).alias("p"))
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+    )
+    rep_pairs = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands)
+    mem = groups.select(
+        F.element_at("members", 1).alias("rep"), F.explode("members").alias("m")
+    )
+    expanded = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("id_a"), F.col("m").alias("ma")),
+            on="id_a",
+        )
+        .join(
+            mem.select(F.col("rep").alias("id_b"), F.col("m").alias("mb")),
+            on="id_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(expanded)
+
+
+def minhash_lsh_edges(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 80,
+    bands: int = 16,
+) -> DataFrame:
+    """Edge list (id_a, id_b) with the same connected components as
+    ``minhash_lsh_pairs`` but LINEAR in duplicate-group size: each
+    byte-identical group contributes a star (member -> representative)
+    instead of its quadratic clique. Feed to ``connected_components`` for
+    the cluster decision."""
+    from pyspark import StorageLevel
+
+    groups = _collapse_exact_texts(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    star = groups.filter(F.size("members") >= 2).select(
+        F.element_at("members", 1).alias("id_a"),
+        F.explode(F.slice("members", 2, F.size("members"))).alias("id_b"),
+    )
+    rep_pairs = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands)
+    return rep_pairs.select("id_a", "id_b").unionByName(star)
+
+
+def _ordered_pairs_expr(ids: Column) -> Column:
+    """All (id_a < id_b) pairs of a SORTED array column."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _minhash_rep_pairs(
+    groups: DataFrame,
+    threshold: float,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Verified (id_a < id_b, jaccard) pairs among group representatives —
+    the banded-MinHash candidate engine shared by the pair/edge entry
+    points above."""
     from pyspark import StorageLevel
 
     from pyarrow_ops_spark.functions.text import spread
 
     rows = num_hashes // bands
+    reps = groups.select(F.element_at("members", 1).alias("id"), "__t")
     # Spread the hash-heavy signature computation across all cores: a small
     # single-file scan arrives as ONE partition; at real scale the file
     # splits provide this parallelism for free, so ``spread`` skips the
@@ -165,8 +284,8 @@ def minhash_lsh_pairs(
     # candidates, plus both sides of the exact-Jaccard verification) —
     # persist it so shingling runs once, spilling to disk if it outgrows
     # executor memory (at 100 TB you'd checkpoint this to storage instead).
-    sh = spread(df).select(
-        F.col(id_col).alias("id"), char_shingles(text_col, n).alias("grams")
+    sh = spread(reps).select(
+        "id", char_shingles("__t", n).alias("grams")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # hash string shingles ONCE; the k signature slots re-mix longs.
     hashed = sh.select(
@@ -364,11 +483,13 @@ def dedup_clusters(
     text_col: str = "text",
     n: int = 5,
 ) -> DataFrame:
-    """Full near-dup dedup decision: MinHash-LSH pairs -> transitive
+    """Full near-dup dedup decision: MinHash-LSH edges -> transitive
     clusters -> one row per document with its cluster representative.
     Output: (doc_id, canonical_id, is_duplicate); documents with no
-    near-dup keep themselves."""
-    pairs = minhash_lsh_pairs(df, threshold, id_col, text_col, n)
+    near-dup keep themselves. Uses the star-edge list (see
+    ``minhash_lsh_edges``): identical-document groups enter the component
+    graph linearly instead of as O(g²) cliques — same components."""
+    pairs = minhash_lsh_edges(df, threshold, id_col, text_col, n)
     comps = connected_components(pairs, "id_a", "id_b")
     out = df.select(id_col).join(
         comps, on=F.col(id_col) == F.col("node"), how="left"

@@ -98,6 +98,86 @@ def similarity_join(
     )
 
 
+def _ordered_array_pairs(ids: Column) -> Column:
+    """All (id_a < id_b) pairs of a SORTED array column, as
+    array<struct<id_a, id_b>> — bucket-local pair generation."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _collapse_exact_vectors(e: DataFrame) -> DataFrame:
+    """Group BYTE-IDENTICAL vectors: (v, members sorted array<long>).
+
+    Web-scale corpora carry heavy exact-duplicate mass (the same page
+    embedded once per crawl copy); feeding g identical vectors into LSH
+    puts all g into every one of their buckets and the pair generator goes
+    O(g²) per band. Collapsing first makes the LSH cost a function of
+    UNIQUE vectors only. One linear shuffle of the vector payload — the
+    same cost class as the signature pass it protects."""
+    return e.groupBy("v").agg(F.array_sort(F.collect_list("id")).alias("members"))
+
+
+def _lsh_rep_pairs(
+    groups: DataFrame,
+    threshold: float,
+    dim: int,
+    bits: int,
+    bands: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Verified (id_a < id_b, sim) pairs among group REPRESENTATIVES (the
+    min id of each identical-vector group) — the candidate engine shared by
+    the pair/edge entry points below."""
+    from pyspark import StorageLevel
+
+    # The representative relation feeds the signature pass and both
+    # verification sides — persist so the groupBy result materializes once.
+    # No blanket repartition: the signature matmul is memory-bandwidth-bound
+    # (~100 FLOPs/row at 64 dims), so source splits give all the
+    # parallelism needed at scale, and on small corpora a 32-way shuffle +
+    # 32 Python workers costs far more than the single-batch matmul it
+    # spreads (measured: the r2 plan spent 10 s at sf0.1 on a corpus numpy
+    # handles in milliseconds).
+    reps = groups.select(
+        F.element_at("members", 1).alias("id"), "v"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = banded_rows(reps, dim, bits, bands)
+    # Bucket-local pair generation; degenerate buckets are dropped (a bucket
+    # catching thousands of UNIQUE vectors carries no near-dup signal, only
+    # O(bucket²) blowup — exact duplicates were collapsed upstream and
+    # cannot trip this cap).
+    buckets = (
+        exploded.groupBy("band", "val")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    candidates = (
+        buckets.select(F.explode(_ordered_array_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    va = reps.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = reps.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    cos = cosine_batch()
+    return (
+        candidates.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cos(F.col("v_a"), F.col("v_b")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def embedding_lsh_pairs(
     corpus: DataFrame,
     threshold: float,
@@ -108,14 +188,23 @@ def embedding_lsh_pairs(
     bands: int = 8,
     max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Near-dup embedding pairs (id_a < id_b, sim) via banded hyperplane-LSH
-    candidate generation + exact cosine verification — the linear-shuffle
-    scale path that replaces the O(n²) self-join in ``similarity_join``.
+    """Near-dup embedding pairs (id_a < id_b, sim) via exact-duplicate
+    collapse + banded hyperplane-LSH candidate generation + exact cosine
+    verification — the linear-shuffle scale path that replaces the O(n²)
+    self-join in ``similarity_join``.
 
-    Pipeline (mirrors ``minhash_lsh_pairs`` for text): one pass computes all
-    band values as a nested array expression, explodes to (band, val, id),
-    groups bucket-locally to generate pairs (no self-join recompute of the
-    signature pipeline), then verifies candidates with exact cosine.
+    Pipeline: (1) byte-identical vectors collapse to one representative
+    per group (see ``_collapse_exact_vectors`` — without this, g exact
+    copies cost O(g²) inside every LSH bucket; the 10×-replica scale test
+    measured 104× growth at 10× data before the collapse, ~linear after);
+    (2) one Arrow matmul pass computes band signatures for the UNIQUE
+    vectors, explodes to (band, val, id), groups bucket-locally to
+    generate candidate pairs, verifies with exact cosine; (3) intra-group
+    pairs are emitted directly (identical vectors — cosine is 1 by
+    construction, NaN-guarded for zero vectors) and representative pairs
+    expand to member pairs. The expansion is output-bound: quadratic
+    only where the ANSWER is quadratic (every member pair is a true
+    near-dup pair the caller asked for).
 
     Recall/pruning: a pair at cosine c agrees on one hyperplane bit with
     p = 1 - acos(c)/pi; a band of r bits matches with p^r and the pair is a
@@ -128,53 +217,71 @@ def embedding_lsh_pairs(
     buckets), bands up for recall at lower thresholds."""
     from pyspark import StorageLevel
 
-    # The vector relation feeds the signature pass and both verification
-    # sides — persist so the parquet scan + cast happen once. No blanket
-    # repartition: the signature matmul is memory-bandwidth-bound (~100
-    # FLOPs/row at 64 dims), so source splits give all the parallelism
-    # needed at scale (parquet row-groups split at maxPartitionBytes), and
-    # on small corpora a 32-way shuffle + 32 Python workers costs far more
-    # than the single-batch matmul it spreads (measured: the r2 plan spent
-    # 10 s at sf0.1 on a corpus numpy handles in milliseconds).
-    e = corpus.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    exploded = banded_rows(e, dim, bits, bands)
-    # Bucket-local pair generation; degenerate buckets are dropped (a bucket
-    # catching thousands of vectors carries no near-dup signal, only
-    # O(bucket²) blowup).
-    buckets = (
-        exploded.groupBy("band", "val")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    candidates = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
-    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    cos = cosine_batch()
-    return (
-        candidates.join(va, on="id_a")
-        .join(vb, on="id_b")
+    e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    groups = _collapse_exact_vectors(e).persist(StorageLevel.MEMORY_AND_DISK)
+    # identical-vector pairs: sim = cosine(v, v) ≡ 1.0 (NaN for zero
+    # vectors, which the threshold filter then drops — matching what exact
+    # verification of the pair would have produced)
+    intra = (
+        groups.filter(F.size("members") >= 2)
         .select(
-            "id_a",
-            "id_b",
-            F.round(cos(F.col("v_a"), F.col("v_b")), 4).alias("sim"),
+            F.explode(_ordered_array_pairs(F.col("members"))).alias("p"),
+            F.round(cosine(F.col("v"), F.col("v")), 4).alias("sim"),
         )
+        .select("p.id_a", "p.id_b", "sim")
         .filter(F.col("sim") >= threshold)
     )
+    rep_pairs = _lsh_rep_pairs(groups, threshold, dim, bits, bands, max_bucket)
+    mem = groups.select(
+        F.element_at("members", 1).alias("rep"), F.explode("members").alias("m")
+    )
+    expanded = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("id_a"), F.col("m").alias("ma")),
+            on="id_a",
+        )
+        .join(
+            mem.select(F.col("rep").alias("id_b"), F.col("m").alias("mb")),
+            on="id_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "sim",
+        )
+    )
+    return intra.unionByName(expanded)
+
+
+def embedding_lsh_edges(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 56,
+    bands: int = 8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Edge list (id_a, id_b) whose connected components EQUAL those of
+    ``embedding_lsh_pairs`` — but linear in duplicate-group size: each
+    identical-vector group contributes a STAR (member -> representative)
+    instead of its quadratic clique, and cross-group similarity appears
+    once per representative pair. Feed this to ``connected_components``
+    when the goal is the cluster decision, not the pair inventory."""
+    from pyspark import StorageLevel
+
+    e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    groups = _collapse_exact_vectors(e).persist(StorageLevel.MEMORY_AND_DISK)
+    star = (
+        groups.filter(F.size("members") >= 2)
+        .select(
+            F.element_at("members", 1).alias("id_a"),
+            F.explode(F.slice("members", 2, F.size("members"))).alias("id_b"),
+        )
+    )
+    rep_pairs = _lsh_rep_pairs(groups, threshold, dim, bits, bands, max_bucket)
+    return rep_pairs.select("id_a", "id_b").unionByName(star)
 
 
 def embedding_near_dup(
@@ -254,7 +361,10 @@ def embedding_dedup_clusters(
     if method == "lsh":
         if dim is None:
             raise ValueError("method='lsh' requires the embedding dim")
-        pairs = embedding_lsh_pairs(
+        # star edges, not the full pair inventory: identical-vector groups
+        # enter the component graph linearly (member->rep) instead of as
+        # O(g²) cliques — same components, bounded edge count
+        pairs = embedding_lsh_edges(
             corpus, threshold, dim, id_col, vec_col, bits=bits, bands=bands
         )
     else:
@@ -555,24 +665,40 @@ def lsh_threshold_join(
 
     Recall follows the banded-LSH formula in ``embedding_lsh_pairs``:
     defaults give ~1-1e-12 candidate probability at cosine >= 0.99 and
-    prune near-orthogonal pairs to ~6%."""
+    prune near-orthogonal pairs to ~6%.
+
+    Both sides collapse byte-identical vectors first (the two-sided analog
+    of ``_collapse_exact_vectors``): candidate generation and cosine
+    verification run on UNIQUE vectors per side, and member ids expand
+    only into the final output — so duplicate mass (replicated queries, a
+    corpus with heavy exact-dup content) costs output rows, never
+    candidate or verification work. The 10×-replica scale test measured
+    14× growth at 10× data before the collapse."""
     from pyspark import StorageLevel
 
     query_id_col = query_id_col or id_col
-    qe = queries.select(
-        F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    ce = corpus.select(
-        F.col(id_col).alias("c_id"), _as_double(vec_col).alias("c_vec")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    qg = (
+        queries.select(
+            F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.collect_list("q_id").alias("q_ids"))
+        .withColumn("q_rep", F.array_min("q_ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cg = (
+        corpus.select(F.col(id_col).alias("c_id"), _as_double(vec_col).alias("v"))
+        .groupBy("v")
+        .agg(F.collect_list("c_id").alias("c_ids"))
+        .withColumn("c_rep", F.array_min("c_ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     qb = banded_rows(
-        qe.select(F.col("q_id").alias("id"), F.col("q_vec").alias("v")),
-        dim, bits, bands, id_out="q_id",
+        qg.select(F.col("q_rep").alias("id"), "v"), dim, bits, bands, id_out="q_rep"
     )
     cb = banded_rows(
-        ce.select(F.col("c_id").alias("id"), F.col("c_vec").alias("v")),
-        dim, bits, bands, id_out="c_id",
+        cg.select(F.col("c_rep").alias("id"), "v"), dim, bits, bands, id_out="c_rep"
     )
     live = (
         cb.groupBy("band", "val")
@@ -582,19 +708,26 @@ def lsh_threshold_join(
     )
     cands = (
         qb.join(cb.join(live, on=["band", "val"], how="semi"), on=["band", "val"])
-        .select("q_id", "c_id")
+        .select("q_rep", "c_rep")
         .distinct()
     )
     cos = cosine_batch()
-    return (
-        cands.join(qe, on="q_id")
-        .join(ce, on="c_id")
+    verified = (
+        cands.join(qg.select("q_rep", F.col("v").alias("q_vec")), on="q_rep")
+        .join(cg.select("c_rep", F.col("v").alias("c_vec")), on="c_rep")
         .select(
-            "q_id",
-            F.col("c_id").alias(id_col),
+            "q_rep",
+            "c_rep",
             F.round(cos(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
+    )
+    return (
+        verified.join(
+            qg.select("q_rep", F.explode("q_ids").alias("q_id")), on="q_rep"
+        )
+        .join(cg.select("c_rep", F.explode("c_ids").alias(id_col)), on="c_rep")
+        .select("q_id", id_col, "sim")
     )
 
 

@@ -594,3 +594,83 @@ def test_sample_frames_bad_stride_raises(spark):
     df = spark.createDataFrame([(1, b"abc")], "vid long, payload binary")
     with pytest.raises(ValueError, match="every_n"):
         sample_frames(df, "payload", "vid", every_n=0)
+
+
+def test_embedding_lsh_pairs_exact_dup_group_expands_fully(emb):
+    # four byte-identical copies of one vector -> all C(4,2)=6 pairs at
+    # sim 1.0, generated by the collapse fast path (intra-group), not LSH
+    import pyspark.sql.functions as F
+
+    base = emb.orderBy("vec_id").limit(1).select("vec_id", "embedding")
+    corpus = base
+    for off in (1_000_000, 2_000_000, 3_000_000):
+        corpus = corpus.unionByName(
+            base.select((F.col("vec_id") + off).alias("vec_id"), "embedding")
+        )
+    rest = emb.filter(F.col("vec_id") > 100).limit(50).select("vec_id", "embedding")
+    corpus = corpus.unionByName(rest)
+    pairs = S.embedding_lsh_pairs(corpus, 0.999, dim=64).collect()
+    group = sorted({base.first().vec_id + o for o in (0, 1_000_000, 2_000_000, 3_000_000)})
+    intra = {(a, b) for a in group for b in group if a < b}
+    got = {(r.id_a, r.id_b) for r in pairs if r.id_a in set(group)}
+    assert intra <= got
+    assert all(abs(r.sim - 1.0) < 1e-6 for r in pairs if (r.id_a, r.id_b) in intra)
+
+
+def test_embedding_lsh_edges_components_match_pairs(emb_with_dups):
+    # the star-edge list must produce the SAME connected components as the
+    # full pair inventory
+    from pyarrow_ops_spark.functions.dedup import connected_components
+
+    pairs = S.embedding_lsh_pairs(emb_with_dups, 0.9, dim=64).select("id_a", "id_b")
+    edges = S.embedding_lsh_edges(emb_with_dups, 0.9, dim=64)
+    cp = {
+        (r.node, r.component)
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    ce = {
+        (r.node, r.component)
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert cp == ce
+
+
+def test_minhash_pairs_exact_dup_group_expands_fully(spark, docs):
+    # three byte-identical copies of one doc -> all 3 intra pairs at 1.0
+    import pyspark.sql.functions as F
+
+    base = docs.orderBy("doc_id").limit(1).select("doc_id", "text")
+    corpus = docs.limit(60).select("doc_id", "text")
+    for off in (1_000_000, 2_000_000):
+        corpus = corpus.unionByName(
+            base.select((F.col("doc_id") + off).alias("doc_id"), "text")
+        )
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.9).collect()
+    b = base.first().doc_id
+    group = sorted([b, b + 1_000_000, b + 2_000_000])
+    intra = {(x, y) for x in group for y in group if x < y}
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert intra <= set(got)
+    assert all(got[p] == 1.0 for p in intra)
+
+
+def test_minhash_edges_components_match_pairs(spark, docs):
+    import pyspark.sql.functions as F
+
+    base = docs.orderBy("doc_id").limit(2).select("doc_id", "text")
+    corpus = docs.limit(80).select("doc_id", "text")
+    for off in (1_000_000, 2_000_000):
+        corpus = corpus.unionByName(
+            base.select((F.col("doc_id") + off).alias("doc_id"), "text")
+        )
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.8).select("id_a", "id_b")
+    edges = D.minhash_lsh_edges(corpus, threshold=0.8)
+    cp = {
+        (r.node, r.component)
+        for r in D.connected_components(pairs, "id_a", "id_b").collect()
+    }
+    ce = {
+        (r.node, r.component)
+        for r in D.connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert cp == ce
