@@ -62,6 +62,11 @@ from pyarrow_ops_spark.operators.sample import (
     sample_per_key,
     token_budget_sample,
     mix_sources,
+    split_by_key,
+)
+from pyarrow_ops_spark.functions.search import (
+    bm25_topk,
+    unigram_nll,
 )
 from pyarrow_ops_spark.functions.similarity import (
     lsh_threshold_join,
@@ -147,6 +152,9 @@ __all__ = [
     "sample_stratified",
     "sample_per_key",
     "token_budget_sample",
+    "split_by_key",
+    "bm25_topk",
+    "unigram_nll",
     "mix_sources",
     "quality_filter",
     "jaccard_pairs",

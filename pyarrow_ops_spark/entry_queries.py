@@ -3647,6 +3647,109 @@ def q_dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "search_bm25_topk",
+    """
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base),
+    tf AS (
+        SELECT doc_id, dl, t, count(*) AS tf FROM (
+            SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM base
+        ) WHERE t IN ('data', 'model', 'pipeline', 'the')
+        GROUP BY doc_id, dl, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               sum( ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) )
+                   AS score
+        FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-free Okapi BM25 top-10 for 'the data pipeline model'. Doc
+    length is size() of the token array (map-only, never exploded); only
+    query-term matches become rows; corpus stats broadcast as a single-row
+    join; final top-k is a TakeOrderedAndProject. The oracle replays the
+    identical formula over the identical tokenizer."""
+    from pyarrow_ops_spark.functions.search import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bm25_topk(docs, "the data pipeline model", k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+@query(
+    "text_unigram_nll",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents
+    ),
+    counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    vocab AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 500),
+    totals AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS total,
+               least(count(*), 500) AS v
+        FROM counts
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln((coalesce(vocab.c, 0) + 1.0)
+                         / (totals.total + 1.0 * (totals.v + 1)))), 4) AS nll
+    FROM toks LEFT JOIN vocab USING (t) CROSS JOIN totals
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under an add-1-smoothed corpus unigram LM with
+    a top-500 vocab (OOV shares one count-0 bucket) — the cheap analog of
+    CCNet/RefinedWeb perplexity quality filtering. Vocab is a bounded
+    TakeOrdered over map-side-combined counts, broadcast back; scoring is
+    one explode + per-doc agg. Vocab boundary ties break by token in both
+    engines."""
+    from pyarrow_ops_spark.functions.search import unigram_nll
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = unigram_nll(docs, vocab_size=500, alpha=1.0)
+    return out.select("doc_id", "n_tokens", F.round("nll", 4).alias("nll"))
+
+
+@query(
+    "split_by_key_docs",
+    """
+    SELECT doc_id, source,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split_by_key_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 8/1/1 split assignment keyed on doc_id: all rows with
+    one key land in one split (split the KEY, not the row — splitting rows
+    leaks near-duplicates across train/test). Same md5 bucket as
+    sample_hash cut at cumulative integer thresholds (8/10 -> 'cccc',
+    9/10 -> 'e666'); map-only, engine-reproducible, no RNG state."""
+    from pyarrow_ops_spark.operators.sample import split_by_key
+
+    docs = load_table(spark, "documents", sf_dir)
+    return split_by_key(
+        docs, ["doc_id"], {"train": 8, "valid": 1, "test": 1}
+    ).select("doc_id", "source", "split")
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

@@ -1,0 +1,177 @@
+"""Keyword retrieval and statistical LM quality scoring (north-star surface).
+
+Training-data curation needs lightweight retrieval (find corpus documents
+matching an eval query — decontamination triage, targeted inspection) and a
+corpus-statistics quality score (unigram LM negative log-likelihood — the
+cheap cousin of the KenLM perplexity filters used by CCNet/RefinedWeb).
+The reference has no text operators at all; this extends the surface per
+BASELINE.json's north star.
+
+Scale design (100 TB):
+- BM25 never builds a persistent index: doc length is ``size()`` of the
+  token array (map-only, no explode), only QUERY-TERM matches are exploded
+  into rows, and corpus stats (N, avgdl) travel as a broadcast single-row
+  join, not a ``.collect()``. The shuffle carries (doc, term) partial
+  counts for matching docs only — output-bound, not corpus-bound.
+- The unigram LM caps the vocabulary at top-V (TakeOrderedAndProject over
+  map-side-combined counts — bounded by V, not corpus size) and joins it
+  back as a broadcast; everything else is one explode + one per-doc agg.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Engine-portable word tokenizer: lowercase alnum runs. The DuckDB oracles
+# run the same regex via regexp_extract_all, so token streams are
+# byte-identical across engines.
+WORD_RE = r"[a-z0-9]+"
+
+
+def _tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 0)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: Sequence[str] | str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over a document table, index-free.
+
+    Returns ``(id_col, score)`` for the ``k`` best-matching documents,
+    ties broken by id. ``query`` is a list of terms or a string run
+    through the same tokenizer as the corpus.
+
+    Plan shape: one map-only pass computes each doc's token array and
+    length; query-term matches (an ``F.filter`` on the array BEFORE
+    explode, so non-matching tokens never become rows) aggregate to
+    per-(doc, term) term frequencies; document frequencies per term and
+    corpus stats (N, avgdl) are tiny aggregates broadcast back; the final
+    top-k is a TakeOrderedAndProject. No cartesian, no collect, no
+    full-corpus explode — the only corpus-sized work is the scan itself.
+    """
+    if isinstance(query, str):
+        import re
+
+        terms = sorted(set(re.findall(WORD_RE, query.lower())))
+    else:
+        terms = sorted({t.lower() for t in query})
+    if not terms:
+        raise ValueError("query produced no terms")
+
+    base = df.select(
+        F.col(id_col),
+        _tokens(text_col).alias("__toks"),
+    ).select(
+        id_col, "__toks", F.size("__toks").alias("__dl")
+    )
+
+    # Corpus stats as a broadcast single-row join (kept in-plan; at 100 TB
+    # this agg is map-side combined and its result is one row).
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+
+    term_lit = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        base.select(
+            id_col,
+            "__dl",
+            F.explode(
+                F.filter("__toks", lambda x: F.array_contains(term_lit, x))
+            ).alias("__term"),
+        )
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+
+    # Document frequency per term: (doc, term) rows are already distinct.
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                F.log(
+                    1.0
+                    + (F.col("__n") - F.col("__df") + 0.5)
+                    / (F.col("__df") + 0.5)
+                )
+                * (F.col("__tf") * (k1 + 1))
+                / (
+                    F.col("__tf")
+                    + k1
+                    * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def unigram_nll(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a corpus unigram LM
+    — the cheap analog of the KenLM perplexity quality filters in
+    CCNet-style curation (high NLL = unusual token mix = gibberish or
+    off-distribution; low NLL = fluent, in-distribution text).
+
+    The model is add-``alpha``-smoothed over the corpus's top-``vocab_size``
+    tokens; everything outside the vocab shares one OOV count-0 bucket:
+    ``p(t) = (count_vocab(t) + alpha) / (total_tokens + alpha*(V+1))``.
+
+    Returns ``(id_col, n_tokens, nll)`` with ``nll`` the mean ``-ln p``
+    over the doc's tokens (docs with zero tokens are dropped — they have
+    no likelihood). Deterministic: vocab boundary ties break by token.
+
+    Plan shape: vocab = explode -> map-side-combined count -> TakeOrdered
+    (bounded by V); total-token count rides the same aggregate tree; the
+    scoring pass is one explode + broadcast-join(vocab) + per-doc agg.
+    The broadcast is V rows regardless of corpus size.
+    """
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("__t"))
+    counts = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = counts.orderBy(F.col("__c").desc(), "__t").limit(vocab_size)
+    totals = counts.agg(
+        F.sum("__c").alias("__total"),
+        F.least(F.count(F.lit(1)), F.lit(vocab_size)).alias("__v"),
+    )
+    return (
+        toks.join(F.broadcast(vocab), "__t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__total") + F.lit(alpha) * (F.col("__v") + 1))
+                )
+            ).alias("__nl"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("__nl").alias("nll"),
+        )
+    )

@@ -172,6 +172,50 @@ def token_budget_sample(
     return out.withColumnRenamed("__cum", cum_col) if cum_col else out.drop("__cum")
 
 
+def split_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    splits: Mapping[str, int],
+    seed: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row a split label ('train'/'valid'/'test'/...) such
+    that ALL rows sharing ``key_cols`` land in the SAME split — the
+    leakage-safe form of train/test splitting. Splitting independent rows
+    (``TableCleaner.split``, reference ``ml.py:120-128``) leaks when
+    near-duplicate or same-entity rows straddle the boundary; keying the
+    split by document cluster / user / domain guarantees disjointness by
+    construction.
+
+    ``splits`` maps label -> integer weight (e.g. ``{"train": 8,
+    "valid": 1, "test": 1}``). The assignment is the same md5 content-hash
+    bucket as ``sample_hash`` cut at cumulative integer thresholds —
+    map-only, no shuffle, no RNG state, byte-identical in any engine with
+    md5 (the DuckDB oracle runs the same CASE), and ``seed`` rotates to an
+    independent split. Expected proportions are weight/total with ~2^-16
+    granularity; realized proportions deviate by hash variance over KEYS
+    (not rows — a 1000-row cluster moves together, by design).
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    if any(w <= 0 for w in splits.values()):
+        raise ValueError(f"split weights must be positive integers, got {splits}")
+    total = sum(splits.values())
+    bucket = _bucket(key_cols, seed)
+    # Label order is the mapping's insertion order: the first label owns
+    # the low hash buckets ({"train": 8, "valid": 1, "test": 1} puts train
+    # at [0, 8/10)), and the WHEN chain tests thresholds low-to-high.
+    expr = F.lit(None).cast("string")
+    cum = 0
+    thresholds = []
+    for label, w in splits.items():
+        cum += w
+        thresholds.append((label, _hex_threshold(cum, total)))
+    for label, hi in reversed(thresholds):
+        expr = F.when(bucket < F.lit(hi), F.lit(label)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
 def _hex_threshold(numer: int, denom: int) -> str:
     """Hex compare-threshold for keep-fraction numer/denom, derived with
     pure integer arithmetic (floor((numer << 16) / denom)) so any engine

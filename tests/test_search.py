@@ -1,0 +1,125 @@
+"""Unit tests for BM25 retrieval, unigram-LM NLL, and leakage-safe splits."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyarrow_ops_spark.functions.search import bm25_topk, unigram_nll
+from pyarrow_ops_spark.operators.sample import split_by_key
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark engine spark engine spark"),
+            (2, "spark is a distributed engine"),
+            (3, "cats and dogs and cats"),
+            (4, "the quick brown fox"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+class TestBM25:
+    def test_tf_and_rarity_ranking(self, corpus):
+        rows = bm25_topk(corpus, "spark", k=10).collect()
+        # Only docs containing 'spark' are returned, best tf first.
+        assert [r["doc_id"] for r in rows] == [1, 2]
+        assert rows[0]["score"] > rows[1]["score"] > 0
+
+    def test_multi_term_sums_scores(self, corpus):
+        one = {r["doc_id"]: r["score"] for r in bm25_topk(corpus, "spark", k=10).collect()}
+        both = {r["doc_id"]: r["score"] for r in bm25_topk(corpus, "spark engine", k=10).collect()}
+        assert both[2] > one[2]  # extra matched term adds score
+
+    def test_hand_computed_single_term(self, corpus):
+        # Corpus: N=5 docs, dl = [5, 5, 5, 4, 0], avgdl = 19/5.
+        # 'fox': df=1, tf=1 in doc 4 (dl=4).
+        rows = bm25_topk(corpus, "fox", k=10).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == 4
+        avgdl = 19 / 5
+        idf = math.log(1 + (5 - 1 + 0.5) / (1 + 0.5))
+        expected = idf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 4 / avgdl))
+        assert rows[0]["score"] == pytest.approx(expected, rel=1e-12)
+
+    def test_query_string_tokenized_like_corpus(self, corpus):
+        # Punctuation/case in the query string is normalized away.
+        a = bm25_topk(corpus, "SPARK, engine!", k=10).collect()
+        b = bm25_topk(corpus, ["spark", "engine"], k=10).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+    def test_k_limits(self, corpus):
+        assert len(bm25_topk(corpus, "and spark the", k=2).collect()) == 2
+
+    def test_empty_query_raises(self, corpus):
+        with pytest.raises(ValueError):
+            bm25_topk(corpus, "!!!", k=5)
+
+
+class TestUnigramNLL:
+    def test_hand_computed(self, spark):
+        df = spark.createDataFrame([(1, "a a b"), (2, "c")], ["doc_id", "text"])
+        # counts: a=2, b=1, c=1; total=4, V=3 (cap 500 unused), alpha=1.
+        out = {r["doc_id"]: r for r in unigram_nll(df, vocab_size=500).collect()}
+        denom = 4 + 1.0 * (3 + 1)
+        nll1 = -(2 * math.log(3 / denom) + math.log(2 / denom)) / 3
+        nll2 = -math.log(2 / denom)
+        assert out[1]["n_tokens"] == 3 and out[1]["nll"] == pytest.approx(nll1)
+        assert out[2]["n_tokens"] == 1 and out[2]["nll"] == pytest.approx(nll2)
+
+    def test_oov_scores_worse_than_vocab(self, spark):
+        rows = [(i, "common words common words") for i in range(20)]
+        rows.append((100, "zzyzx qwfp"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r["nll"] for r in unigram_nll(df, vocab_size=2).collect()}
+        assert out[100] > out[0]  # OOV-only doc is least likely
+
+    def test_empty_docs_dropped(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "")], ["doc_id", "text"])
+        assert [r["doc_id"] for r in unigram_nll(df).collect()] == [1]
+
+
+class TestSplitByKey:
+    def test_keys_never_straddle_splits(self, spark):
+        # 3 rows per key; every key's rows must share one split label.
+        df = spark.range(300).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+        )
+        out = split_by_key(df, ["k"], {"train": 8, "valid": 1, "test": 1})
+        per_key = out.groupBy("k").agg(F.countDistinct("split").alias("n")).collect()
+        assert all(r["n"] == 1 for r in per_key)
+
+    def test_total_coverage_and_rough_proportions(self, spark):
+        df = spark.range(5000).select(F.col("id").alias("k"))
+        out = split_by_key(df, ["k"], {"train": 8, "valid": 1, "test": 1})
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 5000
+        assert counts["train"] == pytest.approx(4000, rel=0.05)
+        assert counts["valid"] == pytest.approx(500, rel=0.25)
+        assert counts["test"] == pytest.approx(500, rel=0.25)
+
+    def test_seed_rotates_assignment(self, spark):
+        df = spark.range(1000).select(F.col("id").alias("k"))
+        a = split_by_key(df, ["k"], {"train": 1, "test": 1}, seed="a")
+        b = split_by_key(df, ["k"], {"train": 1, "test": 1}, seed="b")
+        moved = (
+            a.alias("a")
+            .join(b.alias("b"), F.col("a.k") == F.col("b.k"))
+            .filter(F.col("a.split") != F.col("b.split"))
+            .count()
+        )
+        assert moved > 100  # independent draws disagree on ~half
+
+    def test_validation(self, spark):
+        df = spark.range(10).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError):
+            split_by_key(df, ["k"], {})
+        with pytest.raises(ValueError):
+            split_by_key(df, ["k"], {"train": 0})
