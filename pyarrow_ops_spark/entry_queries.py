@@ -1750,10 +1750,10 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_partkey, p_name, p_type, p_size, p_retailprice
     FROM part
-    WHERE p_type LIKE '%BRASS%'
+    WHERE p_type LIKE '%ECO%'
       AND p_size BETWEEN 10 AND 30
       AND p_name IS NOT NULL
-      AND NOT (p_retailprice < 1000)
+      AND NOT (p_retailprice < 950)
     """,
 )
 def q_filters_like_between_null(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1764,10 +1764,10 @@ def q_filters_like_between_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = filters(
         part,
         [
-            ("p_type", "like", "%BRASS%"),
+            ("p_type", "like", "%ECO%"),
             ("p_size", "between", (10, 30)),
             ("p_name", "is not null", None),
-            {"not": ("p_retailprice", "<", 1000)},
+            {"not": ("p_retailprice", "<", 950)},
         ],
     )
     return out.select("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
