@@ -68,6 +68,11 @@ from pyarrow_ops_spark.functions.search import (
     bm25_topk,
     unigram_nll,
 )
+from pyarrow_ops_spark.sources.zorder import (
+    zorder_key,
+    write_zordered,
+    morton_interleave,
+)
 from pyarrow_ops_spark.functions.similarity import (
     lsh_threshold_join,
     quantize_embeddings,
@@ -155,6 +160,9 @@ __all__ = [
     "split_by_key",
     "bm25_topk",
     "unigram_nll",
+    "zorder_key",
+    "write_zordered",
+    "morton_interleave",
     "mix_sources",
     "quality_filter",
     "jaccard_pairs",

@@ -3750,6 +3750,43 @@ def q_split_by_key_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "split")
 
 
+def _zorder_oracle() -> str:
+    from pyarrow_ops_spark.sources.zorder import morton_sql, scale_sql
+
+    sa = scale_sql("user_id", "stats.ulo", "stats.uhi", 8)
+    sb = scale_sql("event_id", "stats.elo", "stats.ehi", 8)
+    z = morton_sql(["sa", "sb"], 8)
+    return f"""
+    WITH stats AS (
+        SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+               min(event_id) AS elo, max(event_id) AS ehi
+        FROM events
+    ),
+    scaled AS (
+        SELECT event_id AS eid, {sa} AS sa, {sb} AS sb
+        FROM events CROSS JOIN stats
+    )
+    SELECT eid AS event_id, {z} AS zvalue FROM scaled
+    """
+
+
+@query("zorder_events", _zorder_oracle())
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, event_id) — the sort
+    key behind data-skipping layouts (Delta OPTIMIZE ZORDER): writing
+    range-partitioned on this key gives every file tight min/max on BOTH
+    columns, so filters on either prune files at scan time. Pure Catalyst
+    bit math over globally min/max-scaled longs (stats attach as a
+    broadcast single-row join, no collect); the oracle replays the
+    identical scale + interleave expressions."""
+    from pyarrow_ops_spark.sources.zorder import zorder_key
+
+    events = load_table(spark, "events", sf_dir)
+    return zorder_key(events, ["user_id", "event_id"], bits=8).select(
+        "event_id", "zvalue"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
