@@ -3787,6 +3787,159 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q8_market_share",
+    """
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN n.n_name = 'NATION_5'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY year(l.l_shipdate)
+    """,
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog (market share): one nation's revenue fraction within
+    its region per year. Fact scans once; supplier/nation/region broadcast
+    (three dims, zero fact shuffles before the single year-keyed agg);
+    the share is a conditional-sum ratio inside the same aggregate."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.groupBy(F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_5", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+        SELECT l.l_partkey, sum(l.l_extendedprice) AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, round(value, 2) AS value
+    FROM pv
+    WHERE value > (SELECT sum(value) * 0.001 FROM pv)
+    """,
+)
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (important stock): parts whose revenue through a
+    nation group exceeds a fraction of the group total — a HAVING against
+    a GLOBAL scalar aggregate. The per-part aggregate computes once and
+    feeds both sides: the threshold attaches as a broadcast single-row
+    cross join, not a second scan or a collect."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    ).select("n_nationkey")
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    thresh = pv.agg((F.sum("value") * 0.001).alias("__t"))
+    return (
+        pv.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("__t"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", _Q15_SQL)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog (top supplier) through the SQL front door: the
+    identical text runs on Spark and DuckDB. The CTE materializes one
+    supplier-keyed aggregate; the scalar max subquery broadcasts back as a
+    single-row filter — Catalyst rewrites it, no second fact scan."""
+    from pyarrow_ops_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, names=("supplier", "lineitem"))
+    return spark.sql(_Q15_SQL)
+
+
+_Q21_SQL = """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+"""
+
+
+@query("q21_sole_return_supplier", _Q21_SQL)
+def q_q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (suppliers solely responsible for returns on
+    multi-supplier orders): correlated EXISTS + NOT EXISTS with a non-equi
+    correlate (different supplier, same order) — planned as left-semi and
+    left-anti hash joins on the order key, never a nested loop. Top-10 is
+    a TakeOrderedAndProject with a deterministic tie-break."""
+    from pyarrow_ops_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, names=("supplier", "lineitem", "orders"))
+    return spark.sql(_Q21_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
