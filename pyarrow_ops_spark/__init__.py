@@ -63,6 +63,7 @@ from pyarrow_ops_spark.operators.sample import (
     token_budget_sample,
     mix_sources,
     split_by_key,
+    weighted_sample,
 )
 from pyarrow_ops_spark.functions.search import (
     bm25_topk,
@@ -158,6 +159,7 @@ __all__ = [
     "sample_per_key",
     "token_budget_sample",
     "split_by_key",
+    "weighted_sample",
     "bm25_topk",
     "unigram_nll",
     "zorder_key",

@@ -3940,6 +3940,31 @@ def q_q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q21_SQL)
 
 
+@query(
+    "sample_weighted_events",
+    """
+    SELECT event_id, event_type, value FROM (
+        SELECT event_id, event_type, value,
+               ln((CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 13))
+                        AS UBIGINT) + 0.5) / 4503599627370496.0) / value AS pri
+        FROM events WHERE value > 0
+    ) ORDER BY pri DESC, event_id LIMIT 200
+    """,
+)
+def q_sample_weighted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement, top-200
+    by value-weighted priority. The uniform comes from 52 md5 bits of the
+    key (not RNG state), so the identical rows fall out in any engine —
+    the oracle replays ln(u)/w verbatim. Map-only + TakeOrdered; no
+    shuffle of the data."""
+    from pyarrow_ops_spark.operators.sample import weighted_sample
+
+    events = load_table(spark, "events", sf_dir)
+    return weighted_sample(events, 200, "value", ["event_id"]).select(
+        "event_id", "event_type", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

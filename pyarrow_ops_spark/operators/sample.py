@@ -172,6 +172,48 @@ def token_budget_sample(
     return out.withColumnRenamed("__cum", cum_col) if cum_col else out.drop("__cum")
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: Sequence[str],
+    seed: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: keep ``k`` rows where each
+    row's inclusion odds scale with ``weight_col`` — the
+    Efraimidis-Spirakis A-ES scheme (priority = u^(1/w), keep the k
+    largest), with the uniform ``u`` derived from a content hash instead
+    of RNG state so the draw is a pure function of row content: any
+    engine, any partitioning picks the same rows, and ``seed`` rotates to
+    an independent draw. Used for quality-weighted coreset selection
+    ("sample 1M docs proportional to quality score").
+
+    Rows with non-positive weight are excluded (they have zero mass).
+    Ranking uses ln(u)/w (monotone in u^(1/w), no pow-precision cliff);
+    u gets 52 md5 bits -> (0,1) exactly representable in a double.
+
+    Scale shape: map-only priority computation + TakeOrderedAndProject —
+    each partition keeps its local top-k, the driver merges k-sized heaps;
+    no full sort, no shuffle of the data."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    salted = [F.lit(seed)] if seed else []
+    salted += [F.col(c).cast("string") for c in key_cols]
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *salted)), 1, 13), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / float(1 << 52)
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), *[F.col(c) for c in key_cols])
+        .limit(k)
+        .drop("__pri")
+    )
+
+
 def split_by_key(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -168,3 +168,51 @@ def test_mix_sources_exact_deterministic_across_partitioning(spark):
         ).collect()
     )
     assert a == b
+
+
+class TestWeightedSample:
+    def test_exact_k_and_determinism(self, spark):
+        from pyarrow_ops_spark.operators.sample import weighted_sample
+        from pyspark.sql import functions as F
+
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7 + 1).cast("double").alias("w")
+        )
+        a = weighted_sample(df, 50, "w", ["k"])
+        b = weighted_sample(df, 50, "w", ["k"])
+        ra, rb = a.collect(), b.collect()
+        assert len(ra) == 50
+        assert sorted(r["k"] for r in ra) == sorted(r["k"] for r in rb)
+
+    def test_weights_bias_selection(self, spark):
+        from pyarrow_ops_spark.operators.sample import weighted_sample
+        from pyspark.sql import functions as F
+
+        # half the rows weight 10, half weight 1 -> heavy rows dominate
+        df = spark.range(2000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 1000, 10.0).otherwise(1.0).alias("w"),
+        )
+        got = weighted_sample(df, 200, "w", ["k"]).collect()
+        heavy = sum(1 for r in got if r["k"] < 1000)
+        assert heavy > 150  # E[heavy] ~ 183 of 200
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from pyarrow_ops_spark.operators.sample import weighted_sample
+        from pyspark.sql import functions as F
+
+        df = spark.range(10).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 5, -1.0).otherwise(1.0).alias("w"),
+        )
+        got = weighted_sample(df, 10, "w", ["k"]).collect()
+        assert len(got) == 5 and all(r["k"] >= 5 for r in got)
+
+    def test_validation(self, spark):
+        import pytest
+        from pyarrow_ops_spark.operators.sample import weighted_sample
+        from pyspark.sql import functions as F
+
+        df = spark.range(5).select(F.col("id").alias("k"), F.lit(1.0).alias("w"))
+        with pytest.raises(ValueError):
+            weighted_sample(df, 0, "w", ["k"])
