@@ -64,6 +64,13 @@ BENCH_QUERIES = [
     # round-4 additions: exact mixture + multimodal frame plumbing
     "mix_sources_exact",
     "multimodal_sample_frames",
+    # round-4 additions: retrieval, LM quality, z-order, weighted sampling,
+    # correlated-subquery TPC-H analog
+    "search_bm25_topk",
+    "text_unigram_nll",
+    "zorder_events",
+    "sample_weighted_events",
+    "q21_sole_return_supplier",
 ]
 
 

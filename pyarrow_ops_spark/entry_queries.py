@@ -3849,12 +3849,12 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, round(value, 2) AS value
     FROM pv
-    WHERE value > (SELECT sum(value) * 0.001 FROM pv)
+    WHERE value > (SELECT avg(value) * 2 FROM pv)
     """,
 )
 def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 analog (important stock): parts whose revenue through a
-    nation group exceeds a fraction of the group total — a HAVING against
+    nation group exceeds twice the group average (scale-invariant) — a HAVING against
     a GLOBAL scalar aggregate. The per-part aggregate computes once and
     feeds both sides: the threshold attaches as a broadcast single-row
     cross join, not a second scan or a collect."""
@@ -3871,7 +3871,7 @@ def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("value"))
     )
-    thresh = pv.agg((F.sum("value") * 0.001).alias("__t"))
+    thresh = pv.agg((F.avg("value") * 2).alias("__t"))
     return (
         pv.crossJoin(F.broadcast(thresh))
         .filter(F.col("value") > F.col("__t"))
