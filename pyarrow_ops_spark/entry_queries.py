@@ -4035,9 +4035,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q18_large_orders",
     # -- (e) r1-only certifications, 3 rounds old -------------------------
-    "cube_agg",
     "dedup_jaccard_brute",
-    "groupby_median",
     "q14_promo_revenue",
     "q5_nation_revenue",
     "q7_nation_volume",
@@ -4051,9 +4049,19 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "dedup_exact_docs",
     "multimodal_features",
     "filters_like_between_null",
-    "join_semi_anti",
-    "approx_distinct_quantile",
-    "range_join_price_bands",
+    # -- (g) mid-round-4 registrations: new operator families get their
+    #    first driver certification. Slots yielded by cube_agg /
+    #    groupby_median (grouping family keeps grouping_sets_agg r3-green,
+    #    groupby_collect_sorted + groupby_agg_dict in-cap; cube/median code
+    #    paths untouched for 3 rounds), join_semi_anti (q21's EXISTS/NOT
+    #    EXISTS plans the same left-semi + left-anti joins),
+    #    approx_distinct_quantile and range_join_price_bands (built-in
+    #    paths, unchanged since their r2 greens; still pytest-oracled).
+    "search_bm25_topk",
+    "text_unigram_nll",
+    "zorder_events",
+    "sample_weighted_events",
+    "q21_sole_return_supplier",
 ]
 
 
