@@ -3965,6 +3965,37 @@ def q_sample_weighted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "similarity_topk_ivf_exact",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT q_id, vec_id, sim FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               round(list_cosine_similarity(q.v, c.v), 4) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id) AS rn
+        FROM e q JOIN e c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 5) t
+    WHERE rn <= 5
+    """,
+)
+def q_similarity_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k in its exact configuration (n_probe = n_clusters): every
+    cell is probed, so the result must EQUAL brute force — which makes the
+    IVF machinery (KMeans train, cell assignment, probe selection,
+    candidate ranking) hash-certifiable against the same DuckDB oracle as
+    the brute-force query, independent of which centroids KMeans found.
+    The production recall<1 configs stay rows-only with pytest recall
+    bounds (recall depends on the learned cells by design)."""
+    from pyarrow_ops_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
