@@ -149,11 +149,24 @@ def _collapse_exact_texts(
     via ``first`` (all group members are byte-identical by construction).
     Null-text rows are excluded — they produce no shingles and can never
     pair (matching the uncollapsed pipeline, where their signature rows
-    are null and never explode)."""
+    are null and never explode).
+
+    A digest pre-check (count vs distinct xxhash64 — an 8-byte map-side-
+    combined aggregate) skips the collapse on duplicate-free corpora, so
+    dup-free inputs never pay the text-payload exchange; a hash collision
+    can only run the collapse spuriously, never merge distinct texts."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).filter(
+        F.col("__t").isNotNull()
+    )
+    n_dups = base.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.xxhash64("__t"))).alias("d")
+    ).collect()[0]["d"]
+    if n_dups == 0:
+        return base.select(
+            F.array("id").alias("members"), "__t"
+        )
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-        .filter(F.col("__t").isNotNull())
-        .withColumn("__k", F.md5(F.col("__t")))
+        base.withColumn("__k", F.md5(F.col("__t")))
         .groupBy("__k")
         .agg(
             F.array_sort(F.collect_list("id")).alias("members"),

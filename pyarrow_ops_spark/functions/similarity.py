@@ -120,7 +120,21 @@ def _collapse_exact_vectors(e: DataFrame) -> DataFrame:
     puts all g into every one of their buckets and the pair generator goes
     O(g²) per band. Collapsing first makes the LSH cost a function of
     UNIQUE vectors only. One linear shuffle of the vector payload — the
-    same cost class as the signature pass it protects."""
+    same cost class as the signature pass it protects.
+
+    A digest pre-check (xxhash64 of the vector — an 8-byte map-side-
+    combined aggregate, ~free next to the vector shuffle it guards) skips
+    the collapse entirely on duplicate-free corpora: curated/benchmarked
+    embedding sets are often dup-free, and paying a full-vector-payload
+    exchange to discover that is the wrong default at 100 TB. A hash
+    collision can only force the collapse to run spuriously (the collapse
+    itself still groups by the full vector), never merge distinct
+    vectors."""
+    n_dups = e.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.xxhash64("v"))).alias("d")
+    ).collect()[0]["d"]
+    if n_dups == 0:
+        return e.select("v", F.array("id").alias("members"))
     return e.groupBy("v").agg(F.array_sort(F.collect_list("id")).alias("members"))
 
 
