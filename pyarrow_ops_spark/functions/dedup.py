@@ -136,7 +136,7 @@ def _minhash_from_hashes(hashes: Column, num_hashes: int) -> list[Column]:
 
 def _collapse_exact_texts(
     df: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
+) -> "tuple[DataFrame, bool]":
     """Group BYTE-IDENTICAL documents: (__t raw text, members sorted ids).
 
     The text twin of ``similarity._collapse_exact_vectors``: g exact copies
@@ -154,7 +154,10 @@ def _collapse_exact_texts(
     A digest pre-check (count vs distinct xxhash64 — an 8-byte map-side-
     combined aggregate) skips the collapse on duplicate-free corpora, so
     dup-free inputs never pay the text-payload exchange; a hash collision
-    can only run the collapse spuriously, never merge distinct texts."""
+    can only run the collapse spuriously, never merge distinct texts.
+
+    Returns ``(groups, had_dups)`` so call sites can skip the group
+    persist and member-expansion machinery entirely on the skip path."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).filter(
         F.col("__t").isNotNull()
     )
@@ -162,9 +165,7 @@ def _collapse_exact_texts(
         (F.count(F.lit(1)) - F.count_distinct(F.xxhash64("__t"))).alias("d")
     ).collect()[0]["d"]
     if n_dups == 0:
-        return base.select(
-            F.array("id").alias("members"), "__t"
-        )
+        return base.select(F.array("id").alias("members"), "__t"), False
     return (
         base.withColumn("__k", F.md5(F.col("__t")))
         .groupBy("__k")
@@ -172,7 +173,7 @@ def _collapse_exact_texts(
             F.array_sort(F.collect_list("id")).alias("members"),
             F.first("__t").alias("__t"),
         )
-    )
+    ), True
 
 
 def minhash_lsh_pairs(
@@ -203,9 +204,10 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    groups = _collapse_exact_texts(df, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    groups, had_dups = _collapse_exact_texts(df, id_col, text_col)
+    if not had_dups:
+        return _minhash_rep_pairs(groups, threshold, n, num_hashes, bands)
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     intra = (
         groups.filter(F.size("members") >= 2)
         .select(F.explode(_ordered_pairs_expr(F.col("members"))).alias("p"))
@@ -249,9 +251,12 @@ def minhash_lsh_edges(
     the cluster decision."""
     from pyspark import StorageLevel
 
-    groups = _collapse_exact_texts(df, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    groups, had_dups = _collapse_exact_texts(df, id_col, text_col)
+    if not had_dups:
+        return _minhash_rep_pairs(groups, threshold, n, num_hashes, bands).select(
+            "id_a", "id_b"
+        )
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     star = groups.filter(F.size("members") >= 2).select(
         F.element_at("members", 1).alias("id_a"),
         F.explode(F.slice("members", 2, F.size("members"))).alias("id_b"),

@@ -112,7 +112,7 @@ def _ordered_array_pairs(ids: Column) -> Column:
     )
 
 
-def _collapse_exact_vectors(e: DataFrame) -> DataFrame:
+def _collapse_exact_vectors(e: DataFrame) -> "tuple[DataFrame, bool]":
     """Group BYTE-IDENTICAL vectors: (v, members sorted array<long>).
 
     Web-scale corpora carry heavy exact-duplicate mass (the same page
@@ -129,13 +129,19 @@ def _collapse_exact_vectors(e: DataFrame) -> DataFrame:
     exchange to discover that is the wrong default at 100 TB. A hash
     collision can only force the collapse to run spuriously (the collapse
     itself still groups by the full vector), never merge distinct
-    vectors."""
+    vectors.
+
+    Returns ``(groups, had_dups)`` so call sites can skip the group
+    persist and member-expansion machinery entirely on the skip path."""
     n_dups = e.agg(
         (F.count(F.lit(1)) - F.count_distinct(F.xxhash64("v"))).alias("d")
     ).collect()[0]["d"]
     if n_dups == 0:
-        return e.select("v", F.array("id").alias("members"))
-    return e.groupBy("v").agg(F.array_sort(F.collect_list("id")).alias("members"))
+        return e.select("v", F.array("id").alias("members")), False
+    return (
+        e.groupBy("v").agg(F.array_sort(F.collect_list("id")).alias("members")),
+        True,
+    )
 
 
 def _lsh_rep_pairs(
@@ -232,7 +238,13 @@ def embedding_lsh_pairs(
     from pyspark import StorageLevel
 
     e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    groups = _collapse_exact_vectors(e).persist(StorageLevel.MEMORY_AND_DISK)
+    groups, had_dups = _collapse_exact_vectors(e)
+    if not had_dups:
+        # singleton groups: representatives ARE the corpus, intra-group
+        # pairs are empty and member expansion is the identity — skip the
+        # persist and the two expansion joins outright.
+        return _lsh_rep_pairs(groups, threshold, dim, bits, bands, max_bucket)
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     # identical-vector pairs: sim = cosine(v, v) ≡ 1.0 (NaN for zero
     # vectors, which the threshold filter then drops — matching what exact
     # verification of the pair would have produced)
@@ -286,7 +298,12 @@ def embedding_lsh_edges(
     from pyspark import StorageLevel
 
     e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    groups = _collapse_exact_vectors(e).persist(StorageLevel.MEMORY_AND_DISK)
+    groups, had_dups = _collapse_exact_vectors(e)
+    if not had_dups:
+        return _lsh_rep_pairs(
+            groups, threshold, dim, bits, bands, max_bucket
+        ).select("id_a", "id_b")
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     star = (
         groups.filter(F.size("members") >= 2)
         .select(
