@@ -74,6 +74,11 @@ from pyarrow_ops_spark.sources.zorder import (
     write_zordered,
     morton_interleave,
 )
+from pyarrow_ops_spark.operators.resample import (
+    resample,
+    time_bucket,
+    gaps,
+)
 from pyarrow_ops_spark.functions.similarity import (
     lsh_threshold_join,
     quantize_embeddings,
@@ -165,6 +170,9 @@ __all__ = [
     "zorder_key",
     "write_zordered",
     "morton_interleave",
+    "resample",
+    "time_bucket",
+    "gaps",
     "mix_sources",
     "quality_filter",
     "jaccard_pairs",

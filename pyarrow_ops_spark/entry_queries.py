@@ -3996,6 +3996,51 @@ def q_similarity_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=8)
 
 
+@query(
+    "resample_events_dense",
+    """
+    WITH obs AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        FROM obs GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+        FROM bounds
+    )
+    SELECT g.event_type, g.bucket,
+           coalesce(o.n_events, 0) AS n_events,
+           coalesce(o.total_value, 0) AS total_value
+    FROM grid g
+    LEFT JOIN obs o ON g.event_type = o.event_type AND g.bucket = o.bucket
+    """,
+)
+def q_resample_events_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: hourly per-type aggregates on a DENSE time
+    grid (every step between each group's min and max bucket gets a row,
+    zero-filled). The grid is generated distributed — per-group
+    ``sequence()`` exploded on executors, no driver time loop — and the
+    observed aggregates left-join onto it. One map-side-combined bucket
+    agg + one grid join."""
+    from pyarrow_ops_spark.operators.resample import resample
+
+    ev = load_table(spark, "events", sf_dir)
+    return resample(
+        ev,
+        "ts",
+        3600,
+        {"n_events": F.count(F.lit(1)), "total_value": F.round(F.sum("value"), 2)},
+        group_cols=["event_type"],
+        fill="zero",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
