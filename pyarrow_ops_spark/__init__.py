@@ -79,6 +79,7 @@ from pyarrow_ops_spark.operators.resample import (
     time_bucket,
     gaps,
 )
+from pyarrow_ops_spark.operators.diff import diff_tables, diff_summary
 from pyarrow_ops_spark.functions.similarity import (
     lsh_threshold_join,
     quantize_embeddings,
@@ -173,6 +174,8 @@ __all__ = [
     "resample",
     "time_bucket",
     "gaps",
+    "diff_tables",
+    "diff_summary",
     "mix_sources",
     "quality_filter",
     "jaccard_pairs",

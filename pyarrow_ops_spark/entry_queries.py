@@ -4041,6 +4041,47 @@ def q_resample_events_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "diff_order_snapshots",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 13 != 0
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 1.5, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 != 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS diff_status,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def q_diff_order_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (added/removed/changed) between two derived
+    versions of the orders table — ONE full outer join on the key (the
+    minimum shuffle for the question), null-safe value comparison as a
+    post-join projection. The incremental-pipeline audit primitive."""
+    from pyarrow_ops_spark.operators.diff import diff_tables
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    old = orders.filter(F.col("o_orderkey") % 13 != 0)
+    new = orders.filter(F.col("o_orderkey") % 10 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") + 1.5, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return diff_tables(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
