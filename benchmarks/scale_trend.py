@@ -97,6 +97,14 @@ DEFAULT_QUERIES = [
     "pipeline_llm_curation",
     "mix_sources_events",
     "order_pack_token_batches",
+    # round-4 mid-round additions
+    "search_bm25_topk",
+    "text_unigram_nll",
+    "zorder_events",
+    "sample_weighted_events",
+    "resample_events_dense",
+    "diff_order_snapshots",
+    "q21_sole_return_supplier",
 ]
 
 
