@@ -80,6 +80,7 @@ from pyarrow_ops_spark.operators.resample import (
     gaps,
 )
 from pyarrow_ops_spark.operators.diff import diff_tables, diff_summary
+from pyarrow_ops_spark.functions.stats import zscore, outlier_filter, quantile_rank
 from pyarrow_ops_spark.functions.similarity import (
     lsh_threshold_join,
     quantize_embeddings,
@@ -176,6 +177,9 @@ __all__ = [
     "gaps",
     "diff_tables",
     "diff_summary",
+    "zscore",
+    "outlier_filter",
+    "quantile_rank",
     "mix_sources",
     "quality_filter",
     "jaccard_pairs",

@@ -4082,6 +4082,56 @@ def q_diff_order_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_tables(old, new, ["o_orderkey"], ["o_totalprice"])
 
 
+@query(
+    "stats_outlier_docs",
+    """
+    WITH s AS (
+        SELECT source, avg(n_chars) AS m, stddev_pop(n_chars) AS sd
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round((d.n_chars - s.m) / s.sd, 4) AS z
+    FROM documents d JOIN s USING (source)
+    WHERE s.sd > 0 AND abs((d.n_chars - s.m) / s.sd) > 2
+    """,
+)
+def q_stats_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length outliers (|z| > 2): group moments from ONE
+    map-side-combined aggregate broadcast back — the raw table is never
+    shuffled (vs Window.partitionBy, which would exchange every row to
+    attach two numbers per group)."""
+    from pyarrow_ops_spark.functions.stats import zscore
+
+    docs = load_table(spark, "documents", sf_dir)
+    z = zscore(docs, "n_chars", ["source"], out="z")
+    return (
+        z.filter(F.abs(F.col("z")) > 2)
+        .select("doc_id", "source", "n_chars", F.round("z", 4).alias("z"))
+    )
+
+
+@query(
+    "stats_quantile_rank_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+           ), 6) AS qrank
+    FROM orders
+    """,
+)
+def q_stats_quantile_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank of order value within its priority class — an order
+    statistic, so this one IS a per-group sort (documented as the
+    exception to the moments-broadcast pattern)."""
+    from pyarrow_ops_spark.functions.stats import quantile_rank
+
+    orders = load_table(spark, "orders", sf_dir)
+    return quantile_rank(orders, "o_totalprice", ["o_orderpriority"], out="qrank").select(
+        "o_orderkey", "o_orderpriority", F.round("qrank", 6).alias("qrank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

@@ -1,0 +1,86 @@
+"""Distribution-aware column statistics: z-scores, outlier filtering,
+quantile ranks — the numeric-quality primitives of a curation pipeline
+("drop documents whose length is 3 sigma off their source's distribution").
+
+Scale design: per-group moments come from ONE map-side-combined aggregate
+whose result is |groups| rows joined back broadcast — NOT a
+``Window.partitionBy`` over the raw rows, which would shuffle the entire
+table just to attach two numbers per group (and melt on a hot group).
+Global variants attach as a broadcast single-row cross join. Quantile
+ranks genuinely need the per-group sort, so ``quantile_rank`` is the one
+window here and says so.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _group_stats(
+    df: DataFrame, col: str, by: Sequence[str]
+) -> DataFrame:
+    aggs = [
+        F.avg(F.col(col)).alias("__mean"),
+        F.stddev_pop(F.col(col)).alias("__std"),
+    ]
+    return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def zscore(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    out: str | None = None,
+) -> DataFrame:
+    """Append ``out`` (default ``<col>_z``) = (x - mean) / stddev, with
+    mean/stddev computed per ``by`` group (population stddev). A
+    zero-variance group yields null (0/0), not ±inf. One aggregate +
+    broadcast join — the raw table is never shuffled."""
+    out = out or f"{col}_z"
+    stats = _group_stats(df, col, by)
+    joined = (
+        df.join(F.broadcast(stats), on=list(by)) if by
+        else df.crossJoin(F.broadcast(stats))
+    )
+    z = F.when(
+        F.col("__std") > 0, (F.col(col) - F.col("__mean")) / F.col("__std")
+    )
+    return joined.select(*df.columns, z.alias(out))
+
+
+def outlier_filter(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    k: float = 3.0,
+    keep: str = "inliers",
+) -> DataFrame:
+    """Keep rows within ``k`` standard deviations of their group mean
+    (``keep='inliers'``), or only the tails (``keep='outliers'``). Rows in
+    zero-variance groups are inliers by definition. Same one-aggregate +
+    broadcast-join shape as ``zscore``."""
+    if keep not in ("inliers", "outliers"):
+        raise ValueError(f"keep must be 'inliers' or 'outliers', got {keep!r}")
+    z = zscore(df, col, by, out="__zs")
+    inlier = F.col("__zs").isNull() | (F.abs(F.col("__zs")) <= k)
+    cond = inlier if keep == "inliers" else ~inlier
+    return z.filter(cond).drop("__zs")
+
+
+def quantile_rank(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    out: str | None = None,
+) -> DataFrame:
+    """Append ``out`` (default ``<col>_qrank``) = percent_rank of the value
+    within its ``by`` group (0 for the min, 1 for the max; ties share a
+    rank). This one IS a per-group sort — percent ranks are order
+    statistics and cannot come from moments; at scale prefer
+    ``approx_percentile`` buckets when an approximate rank suffices."""
+    out = out or f"{col}_qrank"
+    w = Window.partitionBy(*by).orderBy(F.col(col))
+    return df.withColumn(out, F.percent_rank().over(w))

@@ -1,0 +1,63 @@
+"""zscore / outlier_filter / quantile_rank unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyarrow_ops_spark.functions.stats import outlier_filter, quantile_rank, zscore
+
+
+def test_zscore_global(spark):
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0), (3, 6.0)], ["k", "v"])
+    # mean 4, stddev_pop sqrt(8/3)
+    out = {r["k"]: r["v_z"] for r in zscore(df, "v").collect()}
+    sd = (8 / 3) ** 0.5
+    assert out[1] == pytest.approx(-2 / sd)
+    assert out[2] == pytest.approx(0.0)
+    assert out[3] == pytest.approx(2 / sd)
+
+
+def test_zscore_grouped_and_zero_variance(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)], ["g", "v"]
+    )
+    out = {(r["g"], r["v"]): r["v_z"] for r in zscore(df, "v", ["g"]).collect()}
+    assert out[("a", 1.0)] == pytest.approx(-1.0)
+    assert out[("a", 3.0)] == pytest.approx(1.0)
+    assert out[("b", 5.0)] is None  # zero variance -> null, not inf
+
+
+def test_outlier_filter(spark):
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 11, 9, 10, 100]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    inl = outlier_filter(df, "v", ["g"], k=2.0).collect()
+    assert all(r["v"] != 100.0 for r in inl) and len(inl) == 7
+    outl = outlier_filter(df, "v", ["g"], k=2.0, keep="outliers").collect()
+    assert [r["v"] for r in outl] == [100.0]
+    with pytest.raises(ValueError):
+        outlier_filter(df, "v", keep="bogus")
+
+
+def test_outlier_filter_zero_variance_keeps_all(spark):
+    df = spark.createDataFrame([("a", 5.0)] * 4, ["g", "v"])
+    assert outlier_filter(df, "v", ["g"]).count() == 4
+
+
+def test_quantile_rank(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 7.0)], ["g", "v"]
+    )
+    out = {(r["g"], r["v"]): r["v_qrank"] for r in quantile_rank(df, "v", ["g"]).collect()}
+    assert out[("a", 10.0)] == 0.0
+    assert out[("a", 20.0)] == 0.5
+    assert out[("a", 30.0)] == 1.0
+    assert out[("b", 7.0)] == 0.0  # single-row group
+
+
+def test_zscore_plan_has_no_window_exchange(spark):
+    # the moments attach via broadcast join, not Window.partitionBy
+    df = spark.range(100).select((F.col("id") % 5).alias("g"), F.col("id").cast("double").alias("v"))
+    plan = zscore(df, "v", ["g"])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
