@@ -4132,6 +4132,108 @@ def q_stats_quantile_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q12_priority_by_linestatus",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE year(l.l_shipdate) = 1997
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog: conditional priority counts per line status for
+    one shipment year. Year predicate prunes at the lineitem scan; the
+    orders join carries only (orderkey, priority); one status-keyed agg."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.year("l_shipdate") == 1997
+    ).select("l_orderkey", "l_linestatus")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: distinct supplier counts per (brand, size),
+    excluding a supplier blocklist via NOT IN — planned as a broadcast
+    null-aware anti join against the tiny supplier subquery, then a
+    two-phase distinct aggregate."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    bad = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(bad), on="l_suppkey", how="anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_heavy_suppliers",
+    """
+    WITH eco AS (
+        SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'ECONOMY'
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(e.qty, 2) AS qty
+    FROM supplier s JOIN eco e ON s.s_suppkey = e.l_suppkey
+    WHERE e.qty > (SELECT avg(qty) FROM eco)
+    """,
+)
+def q_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: suppliers whose shipped quantity of one part
+    class exceeds the class average — the per-supplier aggregate computes
+    once and feeds both the output and the scalar average (broadcast
+    single-row join), then joins supplier names broadcast."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    eco = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    avg_qty = eco.agg(F.avg("qty").alias("__avg"))
+    return (
+        eco.crossJoin(F.broadcast(avg_qty))
+        .filter(F.col("qty") > F.col("__avg"))
+        .join(F.broadcast(supp), eco.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("qty", 2).alias("qty"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
