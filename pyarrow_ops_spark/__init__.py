@@ -68,6 +68,7 @@ from pyarrow_ops_spark.operators.sample import (
 from pyarrow_ops_spark.functions.search import (
     bm25_topk,
     unigram_nll,
+    bigram_nll,
 )
 from pyarrow_ops_spark.sources.zorder import (
     zorder_key,
@@ -169,6 +170,7 @@ __all__ = [
     "weighted_sample",
     "bm25_topk",
     "unigram_nll",
+    "bigram_nll",
     "zorder_key",
     "write_zordered",
     "morton_interleave",

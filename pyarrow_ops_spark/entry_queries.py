@@ -4234,6 +4234,56 @@ def q_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bigram_nll",
+    """
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, toks[i] AS w,
+               CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+              FROM base)
+    ),
+    c1 AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+    c2 AS (SELECT prev, w, count(*) AS c2 FROM tok
+           WHERE prev IS NOT NULL GROUP BY prev, w),
+    totals AS (SELECT CAST(sum(c1) AS DOUBLE) AS t,
+                      CAST(count(*) AS DOUBLE) AS v FROM c1),
+    scored AS (
+        SELECT tok.doc_id,
+               CASE WHEN tok.prev IS NULL
+                    THEN (c1.c1 + 1.0) / (totals.t + 1.0 * (totals.v + 1))
+                    ELSE 0.7 * (coalesce(c2.c2, 0) / cp.c1)
+                         + 0.3 * ((c1.c1 + 1.0)
+                                  / (totals.t + 1.0 * (totals.v + 1)))
+               END AS p
+        FROM tok
+        JOIN c1 ON tok.w = c1.w
+        LEFT JOIN c2 ON tok.prev = c2.prev AND tok.w = c2.w
+        LEFT JOIN c1 cp ON tok.prev = cp.w
+        CROSS JOIN totals
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(p)), 4) AS nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM NLL (lam=0.7, add-1 unigram back-off) — word
+    ORDER now matters, unlike the unigram score. Unigram/bigram count
+    relations are plain map-side-combined aggregates re-joined by SHUFFLE
+    join on the token/bigram key (an uncapped vocabulary cannot broadcast
+    at scale); only the scalar (T, V) row broadcasts."""
+    from pyarrow_ops_spark.functions.search import bigram_nll
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bigram_nll(docs, alpha=1.0, lam=0.7)
+    return out.select("doc_id", "n_tokens", F.round("nll", 4).alias("nll"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

@@ -124,6 +124,91 @@ def bm25_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def bigram_nll(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document mean NLL under an interpolated bigram LM trained on the
+    corpus itself — one step closer to the KenLM filters than
+    ``unigram_nll``: fluent word ORDER now scores better than a bag of
+    frequent words.
+
+    Model: ``p(w_i | w_{i-1}) = lam * c2(w_{i-1}, w_i)/c1(w_{i-1}) +
+    (1-lam) * (c1(w_i)+alpha)/(T+alpha*V)`` with full (uncapped) corpus
+    counts, ``T`` total tokens, ``V`` distinct tokens; a document's first
+    token scores by the smoothed unigram term alone. Unseen bigrams get
+    probability mass only from the unigram back-off, so the score never
+    hits -inf. Returns ``(id_col, n_tokens, nll)``; zero-token docs drop.
+
+    Scale shape: unigram and bigram count relations are plain map-side-
+    combined aggregates; scoring joins them back by SHUFFLE join on the
+    token / bigram key (co-keyed, linear) — deliberately NOT broadcast,
+    because an uncapped corpus vocabulary does not fit a broadcast at
+    100 TB. The scalar (T, V) row is the only broadcast.
+    """
+    # (token, prev-token) rows straight from the array — posexplode gives
+    # the position, element_at(pos) reads the predecessor from the same
+    # array in one generate stage (no self-join, no window).
+    base = df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    toks = base.select(
+        id_col,
+        F.col("__toks"),
+        F.posexplode("__toks").alias("__pos", "__w"),
+    ).select(
+        id_col,
+        "__pos",
+        "__w",
+        F.when(
+            F.col("__pos") > 0, F.element_at("__toks", F.col("__pos"))
+        ).alias("__prev"),
+    )
+
+    c1 = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c1"))
+    c2 = (
+        toks.filter(F.col("__prev").isNotNull())
+        .groupBy("__prev", "__w")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+    )
+    totals = c1.agg(
+        F.sum("__c1").cast("double").alias("__t"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+
+    uni = toks.join(c1, on="__w").crossJoin(F.broadcast(totals)).select(
+        id_col,
+        "__pos",
+        "__w",
+        "__prev",
+        (
+            (F.col("__c1") + F.lit(alpha))
+            / (F.col("__t") + F.lit(alpha) * (F.col("__v") + 1))
+        ).alias("__pu"),
+    )
+    prev_counts = c1.select(F.col("__w").alias("__prev"), F.col("__c1").alias("__cprev"))
+    scored = (
+        uni.join(c2, on=["__prev", "__w"], how="left")
+        .join(prev_counts, on="__prev", how="left")
+        .select(
+            id_col,
+            F.when(
+                F.col("__prev").isNull(), F.col("__pu")
+            ).otherwise(
+                F.lit(lam)
+                * (F.coalesce(F.col("__c2"), F.lit(0)) / F.col("__cprev"))
+                + F.lit(1 - lam) * F.col("__pu")
+            ).alias("__p"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(-F.log("__p")).alias("nll"),
+    )
+
+
 def unigram_nll(
     df: DataFrame,
     *,

@@ -123,3 +123,39 @@ class TestSplitByKey:
             split_by_key(df, ["k"], {})
         with pytest.raises(ValueError):
             split_by_key(df, ["k"], {"train": 0})
+
+
+class TestBigramNLL:
+    def test_hand_computed(self, spark):
+        import math
+        from pyarrow_ops_spark.functions.search import bigram_nll
+
+        df = spark.createDataFrame([(1, "a b a"), (2, "b a")], ["doc_id", "text"])
+        # c1: a=3 b=2; T=5 V=2; c2: (a,b)=1 (b,a)=2
+        pu_a = 4 / 8
+        pu_b = 3 / 8
+        out = {r["doc_id"]: r for r in bigram_nll(df).collect()}
+        p_doc1 = [pu_a, 0.7 * (1 / 3) + 0.3 * pu_b, 0.7 * (2 / 2) + 0.3 * pu_a]
+        nll1 = -sum(math.log(p) for p in p_doc1) / 3
+        assert out[1]["n_tokens"] == 3
+        assert out[1]["nll"] == pytest.approx(nll1, rel=1e-12)
+        p_doc2 = [pu_b, 0.7 * (2 / 2) + 0.3 * pu_a]
+        nll2 = -sum(math.log(p) for p in p_doc2) / 2
+        assert out[2]["nll"] == pytest.approx(nll2, rel=1e-12)
+
+    def test_word_order_matters(self, spark):
+        from pyarrow_ops_spark.functions.search import bigram_nll
+
+        # fluent repeated phrase vs the same words shuffled: the corpus is
+        # dominated by "the quick fox", so the in-order doc scores lower NLL
+        rows = [(i, "the quick fox") for i in range(20)]
+        rows += [(100, "the quick fox"), (101, "fox the quick")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r["nll"] for r in bigram_nll(df).collect()}
+        assert out[100] < out[101]
+
+    def test_empty_docs_dropped(self, spark):
+        from pyarrow_ops_spark.functions.search import bigram_nll
+
+        df = spark.createDataFrame([(1, "a b"), (2, "!!!")], ["doc_id", "text"])
+        assert [r["doc_id"] for r in bigram_nll(df).collect()] == [1]
