@@ -74,6 +74,7 @@ from pyarrow_ops_spark.sources.zorder import (
     zorder_key,
     write_zordered,
     morton_interleave,
+    compact_files,
 )
 from pyarrow_ops_spark.operators.resample import (
     resample,
@@ -174,6 +175,7 @@ __all__ = [
     "zorder_key",
     "write_zordered",
     "morton_interleave",
+    "compact_files",
     "resample",
     "time_bucket",
     "gaps",

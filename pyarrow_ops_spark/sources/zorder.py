@@ -111,6 +111,43 @@ def zorder_key(
     return joined.select(*df.columns, morton_interleave(scaled, bits).alias(out))
 
 
+def compact_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    zorder_cols: Sequence[str] | None = None,
+    bits: int = 16,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files —
+    the OPTIMIZE/compaction maintenance step of a long-lived table. A
+    streaming ingest or over-parallel job leaves thousands of small files;
+    at 100 TB the per-file open/footer cost and the scheduler's per-split
+    bookkeeping dominate scans long before the bytes do.
+
+    File count = ceil(input_bytes / target), derived from filesystem
+    metadata (no data pass). Plain compaction uses ``coalesce`` (no
+    shuffle — partitions merge map-side); with ``zorder_cols`` the rewrite
+    range-partitions on the Morton key instead, buying multi-axis data
+    skipping with the shuffle the rewrite was already paying. Returns the
+    number of files written."""
+    df = spark.read.parquet(path)
+    total = sum(
+        int(r.length)
+        for r in spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select("length")
+        .collect()
+    )
+    n = max(1, -(-total // target_file_bytes))
+    if zorder_cols:
+        write_zordered(df, zorder_cols, out_path, num_files=n, bits=bits)
+    else:
+        df.coalesce(n).write.mode("overwrite").parquet(out_path)
+    return n
+
+
 def write_zordered(
     df: DataFrame,
     cols: Sequence[str],

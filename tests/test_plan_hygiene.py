@@ -202,3 +202,38 @@ def test_decontaminate_bloom_clean_path_never_shuffles_text(spark):
     assert "CartesianProduct" not in plan
     exchanges = [b for name, b in plan_nodes(df) if name == "Exchange"]
     assert all("text#" not in b for b in exchanges)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Joining a partitioned fact to a filtered dim must inject a dynamic
+    partition pruning subquery — at 100 TB this is the difference between
+    scanning every date partition and only the ones the dim selects."""
+    import os
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    fact = str(tmp_path / "orders_by_year")
+    orders.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
+        "o_year"
+    ).parquet(fact)
+    dim_path = str(tmp_path / "year_dim")
+    spark.createDataFrame(
+        [(y, "keep" if y == 1996 else "drop") for y in range(1995, 2002)],
+        ["o_year", "tag"],
+    ).write.parquet(dim_path)
+
+    # DPP preconditions: the partitioned fact must be the PROBE side (keep
+    # it off the broadcast path) and the dim must carry a selective filter
+    # and be broadcast (reuseBroadcastOnly, the default, reuses the dim's
+    # broadcast as the pruning subquery).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        dim = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+        f = spark.read.parquet(fact)
+        j = f.join(F.broadcast(dim), on="o_year").groupBy("tag").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

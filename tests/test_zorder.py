@@ -140,3 +140,36 @@ class TestWriteZordered:
         assert spans(spath, "user_id") > 0.8 * stats["u"]
         # and the rows are unchanged
         assert spark.read.parquet(zpath).count() == events.count()
+
+
+class TestCompaction:
+    def test_compact_reduces_files_and_preserves_rows(self, spark, tmp_path):
+        events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        src = str(tmp_path / "small")
+        events.repartition(40).write.parquet(src)
+        assert len(glob.glob(src + "/*.parquet")) == 40
+
+        from pyarrow_ops_spark.sources.zorder import compact_files
+
+        total = sum(os.path.getsize(f) for f in glob.glob(src + "/*.parquet"))
+        out = str(tmp_path / "compact")
+        n = compact_files(spark, src, out, target_file_bytes=total // 4 + 1)
+        assert n == 4
+        assert len(glob.glob(out + "/*.parquet")) == 4
+        assert spark.read.parquet(out).count() == events.count()
+
+    def test_compact_with_zorder(self, spark, tmp_path):
+        events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        src = str(tmp_path / "small")
+        events.repartition(20).write.parquet(src)
+
+        from pyarrow_ops_spark.sources.zorder import compact_files
+
+        out = str(tmp_path / "zcompact")
+        n = compact_files(
+            spark, src, out, target_file_bytes=1 << 16,
+            zorder_cols=["user_id", "event_id"],
+        )
+        got = spark.read.parquet(out)
+        assert got.count() == events.count()
+        assert len(glob.glob(out + "/*.parquet")) <= n + 1
