@@ -67,6 +67,7 @@ from pyarrow_ops_spark.operators.sample import (
 )
 from pyarrow_ops_spark.functions.search import (
     bm25_topk,
+    tfidf_topk,
     unigram_nll,
     bigram_nll,
 )
@@ -94,6 +95,8 @@ from pyarrow_ops_spark.functions.similarity import (
     embedding_lsh_pairs,
     embedding_lsh_edges,
     embedding_dedup_clusters,
+    semantic_dedup,
+    semantic_dedup_pairs,
 )
 from pyarrow_ops_spark.functions.text import (
     winnowed_fingerprints,
@@ -104,6 +107,8 @@ from pyarrow_ops_spark.functions.text import (
     quality_filter,
     lang_guess,
     fingerprint,
+    normalize_text,
+    source_report,
 )
 from pyarrow_ops_spark.functions.multimodal import (
     with_media_metadata,
@@ -170,6 +175,7 @@ __all__ = [
     "split_by_key",
     "weighted_sample",
     "bm25_topk",
+    "tfidf_topk",
     "unigram_nll",
     "bigram_nll",
     "zorder_key",
@@ -200,11 +206,15 @@ __all__ = [
     "embedding_lsh_pairs",
     "embedding_lsh_edges",
     "embedding_dedup_clusters",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
     "text_stats",
     "token_count",
     "quality_score",
     "lang_guess",
     "fingerprint",
+    "normalize_text",
+    "source_report",
     "with_media_metadata",
     "extract_features",
     "tumbling_counts",

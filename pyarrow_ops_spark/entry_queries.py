@@ -4285,6 +4285,192 @@ def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Session additions: normalization, TF-IDF retrieval, per-source report,
+# SemDeDup (KMeans-partitioned embedding dedup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(lower(text), '[0-9]', '0', 'g'),
+                   '[^a-z0-9A-Z\s]', ' ', 'g'),
+               '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style canonical text form (lower, digits zeroed, punctuation
+    to spaces, whitespace collapsed) — a map-only regexp_replace chain that
+    rides the scan; the oracle replays the identical portable regexes with
+    the 'g' flag."""
+    from pyarrow_ops_spark.functions.text import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", normalize_text("text", zero_digits=True).alias("norm_text")
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    r"""
+    WITH norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(text), '[0-9]', '0', 'g'),
+                       '[^a-z0-9A-Z\s]', ' ', 'g'),
+                   '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT fp, min(doc_id) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM norm GROUP BY fp
+    """,
+)
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup under aggressive normalization: '12 cats!' and '34
+    Cats' collapse (digits zeroed, case/punctuation erased) — the
+    near-exact tier between byte-identical dedup and MinHash. Shuffles
+    16-byte digests only, same plan shape as dedup_exact."""
+    from pyarrow_ops_spark.functions.text import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(normalize_text("text", zero_digits=True)).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "search_tfidf_topk",
+    """
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    stats AS (SELECT count(*) AS n FROM base),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf FROM (
+            SELECT doc_id, unnest(toks) AS t FROM base
+        ) WHERE t IN ('data', 'model', 'pipeline', 'the')
+        GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(tf.tf * pow(ln((stats.n + 1.0) / (dfreq.df + 1.0)) + 1.0, 2))
+                   AS score
+        FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_search_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smooth-idf, squared for the query weight) top-10 for 'the
+    data pipeline model' — same index-free plan shape as BM25: tokenize
+    map-only, filter to query terms BEFORE explode, broadcast the tiny
+    document-frequency and corpus-size relations, TakeOrderedAndProject
+    the final top-k. The oracle replays the identical formula."""
+    from pyarrow_ops_spark.functions.search import tfidf_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = tfidf_topk(docs, "the data pipeline model", k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+@query(
+    "source_quality_report",
+    r"""
+    WITH m AS (
+        SELECT source, doc_id, text,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                   / length(text) AS lr,
+               length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                   / len(string_split_regex(trim(text), '\s+')) AS wl
+        FROM documents
+    ),
+    q AS (
+        SELECT source, fp, length(text) AS n_chars, n_tokens,
+               round(0.4 * least(n_tokens / 64.0, 1.0)
+                     + 0.3 * lr
+                     + 0.3 * greatest(0.0, 1.0 - abs(wl - 5.0) / 5.0), 4)
+                   AS quality
+        FROM m
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+           round(1.0 - count(DISTINCT fp) / count(*), 4) AS dup_rate,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(avg(quality), 4) AS avg_quality
+    FROM q GROUP BY source
+    """,
+)
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard (volume, exact-dup mass, mean
+    length/quality) — ONE hash aggregate keyed by source; count_distinct
+    carries 16-byte digests, so the shuffle is |sources|-bound regardless
+    of corpus width."""
+    from pyarrow_ops_spark.functions.text import source_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    return source_report(docs)
+
+
+@query(
+    "semantic_dedup_planted",
+    """
+    SELECT vec_id AS id_a,
+           vec_id + 1000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+)
+def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certifiable SemDeDup invariant: plant an EXACT copy of every
+    10th embedding at vec_id + 1e6 and run the full KMeans-partitioned
+    pipeline (fit -> cell assignment -> cell-local pair generation ->
+    exact-cosine verify at threshold 0.999). An identical vector maps to
+    the identical nearest centroid deterministically (fixed seed), so each
+    plant lands in its source's cell and the pipeline MUST emit
+    (v, v+1e6, sim=1.0) for every planted vector; original ids are < 1e6,
+    so pairs at exactly 1e6 offset are plant/source pairs and nothing
+    else. A broken fit/assign/pair/verify stage loses planted pairs; a
+    cosine bug shifts the 1.0. Recall on ORGANIC pairs (cell-straddling
+    neighbors) is < 1 by design — pytest bounds it against the exact
+    self-join instead."""
+    from pyarrow_ops_spark.functions.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    pairs = semantic_dedup_pairs(planted, threshold=0.999, n_clusters=8)
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).select(
+        "id_a", "id_b", F.col("sim").cast("double").alias("sim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
 

@@ -124,6 +124,61 @@ def bm25_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def tfidf_topk(
+    df: DataFrame,
+    query: Sequence[str] | str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF top-k retrieval (smooth-idf, sklearn convention): score(d) =
+    sum over query terms t of ``tf(t,d) * idf(t)^2`` with ``idf =
+    ln((N+1)/(df+1)) + 1`` — the squared idf is the classic lnc.ltc query
+    weight collapsed for unit query term frequency.
+
+    Same index-free plan shape as ``bm25_topk`` (its cheaper cousin for
+    corpora where length normalization matters less): map-only tokenize,
+    filter to query terms BEFORE explode, per-(doc, term) counts, tiny
+    broadcast document-frequency and corpus-size relations, one final
+    top-k. Corpus-sized work is the scan only — no cartesian, no collect.
+    """
+    if isinstance(query, str):
+        import re
+
+        terms = sorted(set(re.findall(WORD_RE, query.lower())))
+    else:
+        terms = sorted({t.lower() for t in query})
+    if not terms:
+        raise ValueError("query produced no terms")
+
+    base = df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    stats = base.agg(F.count(F.lit(1)).alias("__n"))
+
+    term_lit = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        base.select(
+            id_col,
+            F.explode(
+                F.filter("__toks", lambda x: F.array_contains(term_lit, x))
+            ).alias("__term"),
+        )
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+
+    idf = F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, (F.col("__tf") * idf * idf).alias("__s"))
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def bigram_nll(
     df: DataFrame,
     *,

@@ -480,6 +480,110 @@ def ivf_topk(
     )
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 100_000,
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style near-duplicate pairs: KMeans partitions the corpus
+    into semantic cells and candidate pairs are generated only WITHIN a
+    cell, then verified by exact cosine >= threshold. Output
+    (id_a < id_b, sim) like ``embedding_lsh_pairs``.
+
+    This is the clustering-first alternative to hyperplane LSH (Abbas et
+    al. 2023, "SemDeDup"): where LSH buckets by random projections,
+    KMeans buckets by the data's own density structure, so semantically
+    near documents co-locate even when no single random band catches
+    them. Recall < 1 by design: a pair straddling a cell boundary is
+    missed — plant-invariant certification (exact copies share a cell
+    deterministically) covers the correctness of everything downstream of
+    cell assignment.
+
+    Scale shape: centroids are k×dim floats on the driver (train on
+    ``train_fraction`` at very large N), assignment is one broadcast
+    map pass, pair generation is cell-local with a ``max_cluster``
+    degenerate-cell cap, verification joins vectors back by id — all
+    shuffles linear in corpus size; grow ``n_clusters`` ~ sqrt(N) to hold
+    mean cell size (SemDeDup runs 50k clusters at 5B docs)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    feats = e.withColumn("fv", array_to_vector("v"))
+    train = feats if train_fraction >= 1.0 else feats.sample(train_fraction, seed=seed)
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="fv", predictionCol="cluster"
+    ).fit(train)
+    assigned = model.transform(feats).select("id", "v", "cluster")
+
+    cells = (
+        assigned.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_cluster))
+    )
+    candidates = (
+        cells.select(F.explode(_ordered_array_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    va = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    cos = cosine_batch()
+    return (
+        candidates.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cos(F.col("v_a"), F.col("v_b")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 100_000,
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Full SemDeDup keep/drop decision: within-cell near-dup pairs ->
+    transitive connected components -> one representative (min id) per
+    component. Output (vec_id, canonical_id, is_duplicate) — rows with
+    ``is_duplicate`` drop, exactly like ``embedding_dedup_clusters`` but
+    with KMeans cells instead of LSH bands as the candidate generator."""
+    from pyarrow_ops_spark.functions.dedup import connected_components
+
+    pairs = semantic_dedup_pairs(
+        corpus,
+        threshold,
+        n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_cluster=max_cluster,
+        train_fraction=train_fraction,
+        seed=seed,
+    ).select("id_a", "id_b")
+    comps = connected_components(pairs, "id_a", "id_b")
+    out = corpus.select(id_col).join(
+        comps, on=F.col(id_col) == F.col("node"), how="left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+    ).withColumn("is_duplicate", F.col("canonical_id") != F.col(id_col))
+
+
 def _hyperplane(dim: int, bit: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane component values in
     [-1, 1), derived from a splitmix-style integer mix of (dim, bit) — no

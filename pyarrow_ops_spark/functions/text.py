@@ -113,6 +113,41 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+def normalize_text(
+    col: Column | str,
+    *,
+    lower: bool = True,
+    strip_punct: bool = True,
+    zero_digits: bool = False,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """CCNet-style canonical text form for aggressive near-exact dedup:
+    lower-case, punctuation stripped to spaces, optionally digits zeroed
+    (so '12 cats' and '34 cats' collapse), whitespace collapsed.
+
+    Pure Catalyst ``regexp_replace`` chain — map-only, codegen-fused, no
+    shuffle; at 100 TB it rides the scan for free. The regexes use only
+    syntax shared by Java regex and RE2 so a DuckDB oracle (with the 'g'
+    flag) produces byte-identical output. Accent folding is deliberately
+    out of scope (no portable regex form); pair with a Pandas-UDF
+    ``unicodedata`` pass if needed.
+
+    Reference has no text ops (SURVEY §2.2); extension per BASELINE.json.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if lower:
+        c = F.lower(c)
+    if zero_digits:
+        c = F.regexp_replace(c, r"[0-9]", "0")
+    if strip_punct:
+        # anything outside letters/digits/whitespace becomes a space so
+        # punctuation splits words instead of gluing them together
+        c = F.regexp_replace(c, r"[^a-z0-9A-Z\s]", " ")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
 def _bind(col: Column, fn) -> Column:
     """Evaluate ``col`` once per row and hand the bound value to ``fn``.
 
@@ -437,4 +472,45 @@ def repetition_stats(
         F.round(
             F.coalesce(F.col("__top_b") / F.col("__n_bi"), F.lit(0.0)), 4
         ).alias("top_bigram_frac"),
+    )
+
+
+def source_report(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source curation dashboard: the first thing a data team looks at
+    before setting mixture weights. One row per source with volume,
+    exact-duplicate mass, and mean length/quality.
+
+    Output: (source, n_docs, n_distinct_texts, dup_rate, total_chars,
+    avg_tokens, avg_quality). Duplicate detection uses ``fingerprint``
+    (md5 of whitespace-normalized lower-cased text) so 'the same page
+    crawled twice' counts as one distinct text.
+
+    Scale shape: ONE hash aggregate keyed by source — every metric is
+    map-side combinable (count_distinct carries 16-byte digests, not
+    text), so the shuffle is |sources| × digests, independent of corpus
+    row width. No joins, no window, no collect."""
+    t = F.col(text_col)
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(fingerprint(text_col)).alias("n_distinct_texts"),
+            F.sum(F.length(t)).alias("total_chars"),
+            F.round(F.avg(token_count(text_col)), 4).alias("avg_tokens"),
+            F.round(F.avg(quality_score(text_col)), 4).alias("avg_quality"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("n_distinct_texts") / F.col("n_docs"), 4),
+        )
+        .select(
+            "source", "n_docs", "n_distinct_texts", "dup_rate",
+            "total_chars", "avg_tokens", "avg_quality",
+        )
     )

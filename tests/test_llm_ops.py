@@ -674,3 +674,90 @@ def test_minhash_edges_components_match_pairs(spark, docs):
         for r in D.connected_components(edges, "id_a", "id_b").collect()
     }
     assert cp == ce
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (KMeans-partitioned embedding dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_pairs_verified_and_bounded(emb):
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in S.similarity_join(emb, 0.45).collect()
+    }
+    sem = S.semantic_dedup_pairs(emb, threshold=0.45, n_clusters=4).collect()
+    # precision 1: every emitted pair is exact-verified at the threshold
+    for r in sem:
+        assert (r.id_a, r.id_b) in exact, (r.id_a, r.id_b)
+        assert r.sim == exact[(r.id_a, r.id_b)]
+        assert r.sim >= 0.45
+    # recall: cell-straddling pairs may drop, but co-clustered near
+    # neighbors must surface — a collapse to ~zero means the cell-local
+    # candidate generation is broken
+    if exact:
+        recall = len(sem) / len(exact)
+        assert recall >= 0.2, f"SemDeDup recall collapsed: {recall}"
+
+
+def test_semantic_dedup_planted_copy_dropped(emb):
+    planted = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") == 3).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+    )
+    out = S.semantic_dedup(planted, threshold=0.999, n_clusters=4)
+    rows = {r.vec_id: r for r in out.collect()}
+    # every input row appears exactly once
+    assert len(rows) == planted.count()
+    plant = rows[10_003]
+    assert plant.is_duplicate
+    assert plant.canonical_id == 3
+    assert not rows[3].is_duplicate
+
+
+# ---------------------------------------------------------------------------
+# normalize_text / source_report / tfidf
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_forms(spark):
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! 123  ",), ("a-b_c",)], "text string"
+    )
+    out = df.select(
+        TX.normalize_text("text").alias("plain"),
+        TX.normalize_text("text", zero_digits=True).alias("zeroed"),
+        TX.normalize_text("text", lower=False, strip_punct=False).alias("ws_only"),
+    ).collect()
+    assert out[0].plain == "hello world 123"
+    assert out[0].zeroed == "hello world 000"
+    assert out[0].ws_only == "Hello, WORLD!! 123"
+    assert out[1].plain == "a b c"
+
+
+def test_normalized_dedup_collapses_case_and_digits(spark):
+    df = spark.createDataFrame(
+        [(1, "12 cats!"), (2, "34 CATS"), (3, "dogs")], "doc_id long, text string"
+    )
+    groups = (
+        df.select(
+            "doc_id",
+            F.md5(TX.normalize_text("text", zero_digits=True)).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n"))
+    ).collect()
+    by_canon = {r.canonical_id: r.n for r in groups}
+    assert by_canon == {1: 2, 3: 1}
+
+
+def test_source_report_totals(spark, docs):
+    from pyarrow_ops_spark.functions.text import source_report
+
+    rep = source_report(docs).collect()
+    assert sum(r.n_docs for r in rep) == docs.count()
+    for r in rep:
+        assert 0 < r.n_distinct_texts <= r.n_docs
+        assert abs(r.dup_rate - round(1 - r.n_distinct_texts / r.n_docs, 4)) < 1e-9
+        assert 0.0 <= r.avg_quality <= 1.0

@@ -159,3 +159,37 @@ class TestBigramNLL:
 
         df = spark.createDataFrame([(1, "a b"), (2, "!!!")], ["doc_id", "text"])
         assert [r["doc_id"] for r in bigram_nll(df).collect()] == [1]
+
+
+class TestTfidf:
+    def test_hand_computed_single_doc(self, spark):
+        from pyarrow_ops_spark.functions.search import tfidf_topk
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "spark spark flink"), (2, "flink beam"), (3, "ray")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.score for r in tfidf_topk(df, "spark", k=3).collect()}
+        # spark: tf=2 in doc 1 only; df=1, N=3
+        idf = math.log((3 + 1) / (1 + 1)) + 1
+        assert out.keys() == {1}
+        assert abs(out[1] - 2 * idf * idf) < 1e-9
+
+    def test_rarity_beats_frequency(self, spark):
+        from pyarrow_ops_spark.functions.search import tfidf_topk
+
+        rows = [(i, "common filler words here") for i in range(10)]
+        rows.append((100, "rareterm appears once"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = tfidf_topk(df, "common rareterm", k=1).collect()
+        assert out[0].doc_id == 100  # idf of rareterm dominates
+
+    def test_k_and_ties(self, spark):
+        from pyarrow_ops_spark.functions.search import tfidf_topk
+
+        df = spark.createDataFrame(
+            [(i, "same text") for i in range(5)], "doc_id long, text string"
+        )
+        out = tfidf_topk(df, "same", k=3).collect()
+        assert [r.doc_id for r in out] == [0, 1, 2]  # id tie-break
