@@ -62,8 +62,16 @@ from pyarrow_ops_spark.operators.sample import (
     sample_per_key,
     token_budget_sample,
     mix_sources,
+    mixture_weights,
     split_by_key,
     weighted_sample,
+)
+from pyarrow_ops_spark.functions.ordering import (
+    assign_row_ids,
+    deterministic_shuffle,
+    shuffle_key,
+    pack_token_batches,
+    curriculum_order,
 )
 from pyarrow_ops_spark.functions.search import (
     bm25_topk,
@@ -174,6 +182,11 @@ __all__ = [
     "token_budget_sample",
     "split_by_key",
     "weighted_sample",
+    "assign_row_ids",
+    "deterministic_shuffle",
+    "shuffle_key",
+    "pack_token_batches",
+    "curriculum_order",
     "bm25_topk",
     "tfidf_topk",
     "unigram_nll",
@@ -191,6 +204,7 @@ __all__ = [
     "outlier_filter",
     "quantile_rank",
     "mix_sources",
+    "mixture_weights",
     "quality_filter",
     "jaccard_pairs",
     "minhash_lsh_pairs",

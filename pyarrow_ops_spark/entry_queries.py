@@ -4470,6 +4470,86 @@ def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mixture_weights_alpha",
+    """
+    WITH c AS (
+        SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM c),
+    p AS (
+        SELECT stratum, n_rows, n_rows / total AS share,
+               pow(n_rows / total, 0.5) AS pa
+        FROM c CROSS JOIN t
+    ),
+    z AS (SELECT sum(pa) AS z FROM p)
+    SELECT stratum, n_rows,
+           round(share, 4) AS share,
+           round(pa / z, 4) AS weight,
+           round((pa / z) / share, 4) AS boost
+    FROM p CROSS JOIN z
+    """,
+)
+def q_mixture_weights_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) mixture weights over document
+    sources — the alpha-sampling rule that boosts low-resource domains.
+    One count-per-stratum aggregate + two broadcast single-row joins; the
+    shuffled payload is |strata| rows regardless of corpus size."""
+    from pyarrow_ops_spark.operators.sample import mixture_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mixture_weights(docs, "source", alpha=0.5)
+
+
+@query(
+    "order_curriculum",
+    r"""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                   / length(text) AS lr,
+               length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                   / len(string_split_regex(trim(text), '\s+')) AS wl
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               round(0.4 * least(n_tokens / 64.0, 1.0)
+                     + 0.3 * lr
+                     + 0.3 * greatest(0.0, 1.0 - abs(wl - 5.0) / 5.0), 4)
+                   AS quality
+        FROM m
+    ),
+    b AS (
+        SELECT doc_id, quality,
+               greatest(least(CAST(floor(quality * 4) AS INT), 3), 0)
+                   AS curriculum_bucket
+        FROM q
+    )
+    SELECT doc_id, curriculum_bucket,
+           CAST(row_number() OVER (
+               ORDER BY 3 - curriculum_bucket, md5(doc_id::VARCHAR), doc_id
+           ) - 1 AS BIGINT) AS train_order
+    FROM b
+    """,
+)
+def q_order_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order over the quality score: fixed-width
+    score bands (cleanest first), content-hash shuffle within each band,
+    contiguous train ids via the distributed range-shuffle id assigner —
+    equivalent to one global ROW_NUMBER (the oracle) with no
+    single-partition sort."""
+    from pyarrow_ops_spark.functions.ordering import curriculum_order
+    from pyarrow_ops_spark.functions.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select("doc_id", quality_score("text").alias("q"))
+    out = curriculum_order(scored, "q", ["doc_id"], n_buckets=4)
+    return out.select("doc_id", "curriculum_bucket", "train_order")
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

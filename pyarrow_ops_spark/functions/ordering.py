@@ -156,3 +156,46 @@ def pack_token_batches(
         )
         .drop("__pack_key")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    key_cols: Sequence[str],
+    n_buckets: int = 4,
+    *,
+    descending: bool = True,
+    seed: str = "",
+    id_col: str = "train_order",
+) -> DataFrame:
+    """Curriculum training order: band documents by a NORMALIZED score in
+    [0, 1] (e.g. ``quality_score``) into ``n_buckets`` fixed-width bands,
+    emit the bands in curriculum order (``descending=True`` = cleanest
+    first), deterministically shuffled WITHIN each band so the model
+    never sees a secondary sort artifact. Appends ``curriculum_bucket``
+    and contiguous ``id_col`` ids 0..n-1.
+
+    Fixed-width bands (``floor(score*n) `` clamped to n-1), NOT quantile
+    bands: banding stays a map-only expression any engine reproduces
+    bit-for-bit, where quantile cutoffs are order statistics whose
+    last-ulp interpolation differs across engines and whose exact
+    computation is a global sort. Id assignment rides
+    ``assign_row_ids`` (range shuffle + per-partition offsets — no
+    single-partition ORDER BY); the within-band order is the same
+    content-hash permutation as ``deterministic_shuffle``, so the whole
+    order is a pure function of row content + seed."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    b = F.least(
+        F.floor(F.col(score_col) * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    )
+    b = F.greatest(b, F.lit(0))
+    pos = (F.lit(n_buckets - 1) - b) if descending else b
+    keyed = (
+        df.withColumn("curriculum_bucket", b)
+        .withColumn("__cpos", pos)
+        .withColumn("__csk", shuffle_key(key_cols, seed))
+    )
+    return assign_row_ids(keyed, ["__cpos", "__csk"], id_col=id_col).drop(
+        "__cpos", "__csk"
+    )

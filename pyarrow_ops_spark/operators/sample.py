@@ -354,3 +354,48 @@ def mix_sources(
             F.lit(_hex_threshold(w * k, counts[value])),
         ).otherwise(thresh)
     return df.filter(_bucket(key_cols, seed) < thresh)
+
+
+def mixture_weights(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture weights over the strata of a corpus —
+    the alpha-sampling rule multilingual/multi-domain training uses to
+    boost low-resource strata without drowning high-resource ones
+    (q_s ∝ p_s^alpha; alpha=1 keeps natural proportions, alpha=0 is
+    uniform, ~0.3-0.7 typical).
+
+    Output, one row per stratum: (stratum, n_rows, share, weight, boost)
+    where ``share`` is the natural proportion n_s/N, ``weight`` the
+    renormalized p^alpha sampling probability, and ``boost`` =
+    weight/share (the up/down-sampling factor a pipeline applies, e.g.
+    via ``sample_hash`` per stratum or epoch repetition).
+
+    Fully in-plan: one map-side-combined count per stratum, then two
+    broadcast joins against single-row totals — no collect, no window;
+    the shuffled payload is |strata| rows regardless of corpus size.
+    All values round to 4 decimals for engine-portable comparison."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    p = counts.crossJoin(F.broadcast(total)).select(
+        "stratum",
+        "n_rows",
+        (F.col("n_rows") / F.col("__total")).alias("__share"),
+        F.pow(F.col("n_rows") / F.col("__total"), F.lit(alpha)).alias("__pa"),
+    )
+    z = p.agg(F.sum("__pa").alias("__z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "stratum",
+        "n_rows",
+        F.round("__share", 4).alias("share"),
+        F.round(F.col("__pa") / F.col("__z"), 4).alias("weight"),
+        F.round((F.col("__pa") / F.col("__z")) / F.col("__share"), 4).alias(
+            "boost"
+        ),
+    )
