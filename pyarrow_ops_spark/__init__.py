@@ -105,6 +105,8 @@ from pyarrow_ops_spark.functions.similarity import (
     embedding_dedup_clusters,
     semantic_dedup,
     semantic_dedup_pairs,
+    project_embeddings,
+    random_projection_matrix,
 )
 from pyarrow_ops_spark.functions.text import (
     winnowed_fingerprints,
@@ -221,6 +223,8 @@ __all__ = [
     "embedding_lsh_edges",
     "embedding_dedup_clusters",
     "semantic_dedup",
+    "project_embeddings",
+    "random_projection_matrix",
     "semantic_dedup_pairs",
     "text_stats",
     "token_count",

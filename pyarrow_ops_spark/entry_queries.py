@@ -4550,6 +4550,45 @@ def q_order_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "curriculum_bucket", "train_order")
 
 
+def _projection_oracle_sql(in_dim: int = 64, out_dim: int = 8) -> str:
+    """Build the DuckDB oracle for the JL projection by inlining the SAME
+    deterministic matrix the Spark path derives — the projection is a pure
+    function of (in_dim, out_dim), so the oracle replays it exactly."""
+    from pyarrow_ops_spark.functions.similarity import random_projection_matrix
+
+    planes = random_projection_matrix(in_dim, out_dim)
+    selects = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(c) for c in plane)
+        selects.append(
+            f"SELECT vec_id, CAST({j} AS INT) AS pos, "
+            f"round(list_dot_product(list_transform(embedding, "
+            f"x -> CAST(x AS DOUBLE)), [{lits}]), 4) AS val FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+@query("embedding_random_projection", _projection_oracle_sql())
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64->8 dim Johnson-Lindenstrauss reduction as pure Catalyst
+    zip_with/aggregate dot products against a derived (not sampled)
+    matrix — map-only, no UDF, no shuffle. Output flattened to
+    (vec_id, pos, val) scalar rows for driver hashing (nested-array
+    outputs are uncanonicalizable — same pattern as label_centroids);
+    the oracle inlines the identical matrix literals."""
+    from pyarrow_ops_spark.functions.similarity import project_embeddings
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = project_embeddings(emb, 64, 8)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("pos", "val")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round("val", 4).alias("val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

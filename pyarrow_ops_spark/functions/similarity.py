@@ -598,6 +598,52 @@ def _hyperplane(dim: int, bit: int) -> list[float]:
     return out
 
 
+def random_projection_matrix(in_dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic Johnson-Lindenstrauss projection matrix: ``out_dim``
+    rows of ``in_dim`` splitmix-derived components scaled by
+    ``1/sqrt(out_dim)`` (the JL norm-preservation factor). No RNG state —
+    every executor, every engine, every run derives the identical matrix,
+    which is what makes the projection oracle-checkable."""
+    import math
+
+    s = 1.0 / math.sqrt(out_dim)
+    # bit offset 1000+j keeps these planes disjoint from the LSH planes
+    # (bits 0..~63) so projecting then LSH-bucketing stays independent
+    return [
+        [c * s for c in _hyperplane(in_dim, 1000 + j)] for j in range(out_dim)
+    ]
+
+
+def project_embeddings(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Reduce embedding dimensionality by a deterministic random
+    projection (Johnson-Lindenstrauss): distances are preserved within
+    (1±eps) for out_dim = O(log n / eps²), and the projected vectors make
+    every downstream ANN/LSH/cluster pass ``in_dim/out_dim``× cheaper.
+
+    Pure Catalyst: each output component is a ``zip_with``+``aggregate``
+    dot product against a literal plane — JVM-side, codegen-fused, map
+    only, no UDF, no shuffle; at 100 TB it rides the scan. The matrix is
+    derived (not sampled), so the same call reproduces bit-identically
+    anywhere — the registry oracle replays it in DuckDB from the same
+    literals."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    planes = random_projection_matrix(in_dim, out_dim)
+    v = _as_double(vec_col)
+    comps = [
+        dot(v, F.array(*[F.lit(c) for c in plane])) for plane in planes
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+
+
 def lsh_signature(vec: Column, dim: int, bits: int = 16) -> Column:
     """Random-hyperplane signature: bit i = sign(vec · h_i)."""
     sig = F.lit(0).cast("long")

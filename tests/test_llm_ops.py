@@ -761,3 +761,38 @@ def test_source_report_totals(spark, docs):
         assert 0 < r.n_distinct_texts <= r.n_docs
         assert abs(r.dup_rate - round(1 - r.n_distinct_texts / r.n_docs, 4)) < 1e-9
         assert 0.0 <= r.avg_quality <= 1.0
+
+
+def test_random_projection_preserves_relative_distances(emb):
+    import math
+
+    proj = S.project_embeddings(emb, 64, 16)
+    joined = emb.select("vec_id", "embedding").join(proj, "vec_id")
+    rows = joined.limit(40).collect()
+    # JL: relative L2 distances survive within a loose multiplicative band
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = []
+    for i in range(0, 20, 2):
+        a, b = rows[i], rows[i + 1]
+        d_hi = l2(a.embedding, b.embedding)
+        d_lo = l2(a.projected, b.projected)
+        if d_hi > 1e-9:
+            ratios.append(d_lo / d_hi)
+    assert ratios
+    mean = sum(ratios) / len(ratios)
+    assert 0.5 < mean < 1.5, f"projection distorted distances: {mean}"
+    for r in ratios:
+        assert 0.2 < r < 2.5, ratios
+
+
+def test_random_projection_deterministic(emb):
+    a = {(r.vec_id, tuple(r.projected)) for r in S.project_embeddings(emb, 64, 4).collect()}
+    b = {(r.vec_id, tuple(r.projected)) for r in S.project_embeddings(emb, 64, 4).collect()}
+    assert a == b
+
+
+def test_random_projection_rejects_bad_dim(emb):
+    with pytest.raises(ValueError):
+        S.project_embeddings(emb, 64, 0)
