@@ -119,6 +119,7 @@ from pyarrow_ops_spark.functions.text import (
     fingerprint,
     normalize_text,
     source_report,
+    char_entropy,
 )
 from pyarrow_ops_spark.functions.multimodal import (
     with_media_metadata,
@@ -232,6 +233,7 @@ __all__ = [
     "lang_guess",
     "fingerprint",
     "normalize_text",
+    "char_entropy",
     "source_report",
     "with_media_metadata",
     "extract_features",

@@ -4589,6 +4589,77 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "text_char_entropy",
+    r"""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0
+    ),
+    cc AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+           FROM ch GROUP BY doc_id, c)
+    SELECT doc_id,
+           CAST(sum(k) AS BIGINT) AS n_chars,
+           round((ln(sum(k)) - sum(k * ln(k)) / sum(k)) / ln(2.0), 4)
+               AS entropy
+    FROM cc GROUP BY doc_id
+    """,
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (bits) via the one-aggregate
+    identity H = log2(n) - Σ k·log2(k)/n — flags degenerate repetition
+    (low) and binary junk (high). Shuffle carries (doc, char) partial
+    counts only."""
+    from pyarrow_ops_spark.functions.text import char_entropy
+
+    docs = load_table(spark, "documents", sf_dir)
+    return char_entropy(docs)
+
+
+@query(
+    "events_rate_anomaly",
+    """
+    WITH c AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, avg(n) AS m, stddev_pop(n) AS sd
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, c.window_start, c.n,
+           round((c.n - s.m) / s.sd, 4) AS z,
+           (abs(round((c.n - s.m) / s.sd, 4)) > 2.0) AS is_anomaly
+    FROM c JOIN s USING (event_type)
+    WHERE s.sd > 0
+    """,
+)
+def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: hourly counts per event_type,
+    z-scored against that type's own rate distribution (zscore's
+    one-aggregate + broadcast-join shape), anomaly-flagged on the ROUNDED
+    score so engine ulp differences cannot flip membership. The batch
+    twin of a streaming rate monitor."""
+    from pyarrow_ops_spark.functions.stats import zscore
+
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    z = zscore(counts, "n", by=["event_type"], out="__z")
+    return (
+        z.filter(F.col("__z").isNotNull())
+        .select(
+            "event_type",
+            "window_start",
+            "n",
+            F.round("__z", 4).alias("z"),
+            (F.abs(F.round("__z", 4)) > 2.0).alias("is_anomaly"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

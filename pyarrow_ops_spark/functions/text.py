@@ -514,3 +514,33 @@ def source_report(
             "total_chars", "avg_tokens", "avg_quality",
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon character entropy in bits — the cheap stand-in
+    for the compression-ratio quality signal (Gopher): near-zero entropy
+    flags degenerate repetition ('aaaa…'), unusually high entropy flags
+    binary junk/mojibake; clean prose sits in a narrow band (~4-4.5 bits
+    for English).
+
+    Output: (id_col, n_chars, entropy). Plan: explode to (doc, char)
+    counts (map-side combined, shuffle keyed by doc+char — linear in
+    corpus size, 1-char payload), then one per-doc aggregate folds
+    -Σ p·log2 p. Empty documents drop (entropy undefined)."""
+    ch = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__ch")
+    ).filter(F.col("__ch") != "")  # split("") yields [""] — drop, not count
+    counts = ch.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__k"))
+    # H = log2(n) - (Σ k·log2 k)/n — one aggregate, no second pass for n
+    n = F.sum("__k")
+    klogk = F.sum(F.col("__k") * F.log(F.col("__k")))
+    ln2 = F.log(F.lit(2.0))
+    return counts.groupBy(id_col).agg(
+        n.alias("n_chars"),
+        F.round((F.log(n) - klogk / n) / ln2, 4).alias("entropy"),
+    )

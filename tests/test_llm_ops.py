@@ -796,3 +796,21 @@ def test_random_projection_deterministic(emb):
 def test_random_projection_rejects_bad_dim(emb):
     with pytest.raises(ValueError):
         S.project_embeddings(emb, 64, 0)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in TX.char_entropy(df).collect()}
+    assert out[1].entropy == 0.0          # single symbol
+    assert abs(out[2].entropy - 1.0) < 1e-9   # two symbols, uniform
+    assert abs(out[3].entropy - 2.0) < 1e-9   # four symbols, uniform
+    assert out[3].n_chars == 4
+
+
+def test_char_entropy_empty_doc_drops(spark):
+    df = spark.createDataFrame([(1, ""), (2, "xy")], "doc_id long, text string")
+    assert [r.doc_id for r in TX.char_entropy(df).collect()] == [2]
