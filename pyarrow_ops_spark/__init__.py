@@ -27,6 +27,7 @@ from pyarrow_ops_spark.sources.tables import (
     sql,
     read_source,
     write_sink,
+    write_training_shards,
 )
 from pyarrow_ops_spark.sources.bucketing import read_bucketed, write_bucketed
 from pyarrow_ops_spark.operators.filters import filters, compile_predicate
@@ -153,6 +154,7 @@ __all__ = [
     "read_source",
     "read_binary_files",
     "write_sink",
+    "write_training_shards",
     "read_bucketed",
     "write_bucketed",
     "filters",

@@ -71,3 +71,45 @@ def test_read_binary_files_roundtrip(spark, tmp_path):
         r.path.rsplit("/", 1)[-1]: r.content_meta.n_bytes for r in meta.collect()
     }
     assert got == {k: len(v) for k, v in payloads.items()}
+
+
+def test_write_training_shards_contiguous_sorted(spark, tmp_path):
+    from pyarrow_ops_spark.sources.tables import load_table, write_training_shards
+    from pyarrow_ops_spark.functions.ordering import deterministic_shuffle
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    ordered = deterministic_shuffle(docs, ["doc_id"], id_col="train_order")
+    path = str(tmp_path / "shards")
+    write_training_shards(ordered, path, n_shards=4)
+
+    import glob
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 4
+    import pyarrow.parquet as pq
+    ranges = []
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["train_order"])
+        vals = t["train_order"].to_pylist()
+        assert vals == sorted(vals), f"shard {f} not internally sorted"
+        ranges.append((min(vals), max(vals)))
+        total += len(vals)
+    assert total == docs.count()
+    # shards cover contiguous disjoint ranges in file order
+    ranges.sort()
+    flat = []
+    for lo, hi in ranges:
+        flat.append((lo, hi))
+    for (l1, h1), (l2, h2) in zip(flat, flat[1:]):
+        assert h1 < l2
+    assert flat[0][0] == 0
+    assert flat[-1][1] == total - 1
+
+
+def test_write_training_shards_rejects_bad_shards(spark):
+    from pyarrow_ops_spark.sources.tables import write_training_shards
+
+    df = spark.createDataFrame([(1,)], "train_order long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        write_training_shards(df, "/tmp/x", n_shards=0)
