@@ -71,6 +71,16 @@ BENCH_QUERIES = [
     "zorder_events",
     "sample_weighted_events",
     "q21_sole_return_supplier",
+    # round-4 session additions: SemDeDup, TF-IDF, normalization tiers,
+    # entropy quality, mixture/curriculum, anomaly detection
+    "semantic_dedup_planted",
+    "search_tfidf_topk",
+    "dedup_exact_normalized",
+    "text_char_entropy",
+    "mixture_weights_alpha",
+    "order_curriculum",
+    "events_rate_anomaly",
+    "embedding_random_projection",
 ]
 
 

@@ -105,6 +105,14 @@ DEFAULT_QUERIES = [
     "resample_events_dense",
     "diff_order_snapshots",
     "q21_sole_return_supplier",
+    # round-4 session additions
+    "semantic_dedup_planted",
+    "search_tfidf_topk",
+    "dedup_exact_normalized",
+    "text_char_entropy",
+    "order_curriculum",
+    "events_rate_anomaly",
+    "embedding_random_projection",
 ]
 
 
