@@ -91,7 +91,7 @@ from pyarrow_ops_spark.operators.resample import (
     time_bucket,
     gaps,
 )
-from pyarrow_ops_spark.operators.diff import diff_tables, diff_summary
+from pyarrow_ops_spark.operators.diff import diff_tables, diff_summary, upsert
 from pyarrow_ops_spark.functions.stats import zscore, outlier_filter, quantile_rank
 from pyarrow_ops_spark.functions.similarity import (
     lsh_threshold_join,
@@ -204,6 +204,7 @@ __all__ = [
     "time_bucket",
     "gaps",
     "diff_tables",
+    "upsert",
     "diff_summary",
     "zscore",
     "outlier_filter",

@@ -4660,6 +4660,71 @@ def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "merge_upsert_orders",
+    """
+    WITH updates AS (
+        SELECT o_orderkey, round(o_totalprice + 1000.0, 2) AS o_totalprice,
+               'U' AS o_orderstatus, FALSE AS is_delete
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus, TRUE AS is_delete
+        FROM orders WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice,
+               'N' AS o_orderstatus, FALSE AS is_delete
+        FROM orders WHERE o_orderkey % 10 = 2
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+    FROM updates WHERE NOT is_delete
+    """,
+)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO semantics on plain parquet: a derived delta
+    (10% price bumps, 10% deletes, 10% inserts at offset keys) applied
+    via one anti-join + union — the base never row-joins the delta, so
+    wide rows shuffle once and a small delta broadcasts. Oracle replays
+    the merge as NOT IN + UNION ALL."""
+    from pyarrow_ops_spark.operators.diff import upsert
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+            F.lit(False).alias("is_delete"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 1).select(
+                "o_orderkey", "o_totalprice", "o_orderstatus",
+                F.lit(True).alias("is_delete"),
+            )
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 2).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(False).alias("is_delete"),
+            )
+        )
+    )
+    merged = upsert(orders, updates, ["o_orderkey"], delete_col="is_delete")
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
@@ -4729,15 +4794,26 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "interval_join_attribution",
     "q3_shipping_priority",
     "q18_large_orders",
-    # -- (e) r1-only certifications, 3 rounds old -------------------------
+    # -- (e) r1-only certifications, refreshed where the module churned ---
+    # (dedup_jaccard_brute / similarity_join_threshold / similarity_near_dup
+    # keep their refresh slots: dedup.py + similarity.py changed again this
+    # round. q5/q7/q14/union_distinct/window_running_sum yielded their
+    # slots to category (h): they are r1-green on PURE built-in Catalyst
+    # paths — join/agg/union/window plans untouched by any round since —
+    # so their certifications cannot have rotted, and first-certifying new
+    # operator families raises registry-wide ever-green coverage more than
+    # re-running provably-unchanged plans.
     "dedup_jaccard_brute",
-    "q14_promo_revenue",
-    "q5_nation_revenue",
-    "q7_nation_volume",
     "similarity_join_threshold",
     "similarity_near_dup",
-    "union_distinct",
-    "window_running_sum",
+    # -- (h) late-round-4 registrations: first driver certification for the
+    #    SemDeDup / retrieval / normalization / report / projection
+    #    families (all plain-session drive-verified locally).
+    "semantic_dedup_planted",
+    "embedding_random_projection",
+    "search_tfidf_topk",
+    "source_quality_report",
+    "dedup_exact_normalized",
     # -- (f) r2 certifications, refreshed for family coverage -------------
     "sample_stratified_events",
     "similarity_topk_bruteforce",

@@ -85,3 +85,39 @@ def diff_summary(
         old, new, key_cols, compare_cols, include_unchanged=True
     )
     return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Batch MERGE (SCD-1 semantics) without a table format: rows in
+    ``updates`` REPLACE base rows sharing their key, unmatched update rows
+    INSERT, and — when ``delete_col`` names a boolean column — update rows
+    with it true DELETE the key instead. The Spark-only answer to Delta/
+    Iceberg ``MERGE INTO`` for plain-parquet pipelines (pair with
+    ``write_training_shards``/``write_sink`` to persist the new snapshot).
+
+    Plan: one left-anti join keeps base rows whose key has no update (the
+    minimum shuffle for the question — both sides exchange on the key
+    once), unioned with the surviving update rows (a map-only filter).
+    The base payload never joins row-to-row against updates, so wide rows
+    shuffle once and AQE can broadcast a small update side, making the
+    common incremental case (tiny delta vs huge base) a broadcast
+    anti-join with NO base shuffle at all.
+
+    Duplicate keys within ``updates`` are the caller's contract to
+    prevent (dedup first — e.g. keep the latest by version); schema of
+    ``updates`` must cover base's columns (plus ``delete_col``)."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    survivors = base.join(updates.select(*keys), on=keys, how="anti")
+    incoming = updates
+    if delete_col is not None:
+        incoming = incoming.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    return survivors.unionByName(incoming.select(*base.columns))

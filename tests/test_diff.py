@@ -56,3 +56,53 @@ def test_summary_counts(spark):
         for r in diff_summary(old, new, ["k"]).collect()
     }
     assert got == {"added": 1, "removed": 1, "changed": 2, "unchanged": 1}
+
+
+class TestUpsert:
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, v double",
+        )
+
+    def test_update_insert_delete(self, spark):
+        from pyarrow_ops_spark.operators.diff import upsert
+
+        base = self._base(spark)
+        updates = spark.createDataFrame(
+            [(2, "b2", 25.0, False), (4, "d", 40.0, False), (3, "c", 0.0, True)],
+            "k long, name string, v double, is_delete boolean",
+        )
+        out = {r.k: r for r in upsert(base, updates, ["k"], delete_col="is_delete").collect()}
+        assert set(out) == {1, 2, 4}
+        assert out[2].name == "b2" and out[2].v == 25.0  # replaced
+        assert out[4].name == "d"                        # inserted
+        assert out[1].name == "a"                        # untouched
+
+    def test_no_delete_col_replaces_and_inserts(self, spark):
+        from pyarrow_ops_spark.operators.diff import upsert
+
+        base = self._base(spark)
+        updates = spark.createDataFrame(
+            [(1, "a9", 99.0), (9, "z", 9.0)], "k long, name string, v double"
+        )
+        out = {r.k: r.v for r in upsert(base, updates, ["k"]).collect()}
+        assert out == {1: 99.0, 2: 20.0, 3: 30.0, 9: 9.0}
+
+    def test_null_delete_flag_means_keep(self, spark):
+        from pyarrow_ops_spark.operators.diff import upsert
+
+        base = self._base(spark)
+        updates = spark.createDataFrame(
+            [(1, "a1", 11.0, None)], "k long, name string, v double, is_delete boolean"
+        )
+        out = {r.k: r.name for r in upsert(base, updates, ["k"], delete_col="is_delete").collect()}
+        assert out[1] == "a1"
+
+    def test_empty_keys_rejected(self, spark):
+        from pyarrow_ops_spark.operators.diff import upsert
+
+        base = self._base(spark)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            upsert(base, base, [])

@@ -237,3 +237,18 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         assert "dynamicpruning" in plan.lower(), plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_upsert_small_delta_broadcasts_anti_join(spark):
+    # incremental merge: tiny delta vs big base must be a broadcast
+    # anti-join (no base shuffle), not a sort-merge exchange of the base
+    from pyarrow_ops_spark.operators.diff import upsert
+    from pyarrow_ops_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, "orders", SF_DIR)
+    delta = orders.filter(F.col("o_orderkey") % 1000 == 0)
+    merged = upsert(orders, delta, ["o_orderkey"])
+    plan = formatted_plan(merged)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
