@@ -84,3 +84,76 @@ def run_available_now(
             f"availableNow drain did not finish within {timeout_sec}s; "
             "query stopped — sink contents are partial"
         )
+
+
+def latest_snapshot_path(base_path: str) -> "str | None":
+    """Path of the highest-version snapshot under ``base_path`` (dirs named
+    ``v=<n>``), or None before the first commit. Local-FS listing here; on
+    an object store this is one prefix listing (or a manifest read — the
+    piece Delta/Iceberg add on top of exactly this layout)."""
+    import os
+    import re
+
+    if not os.path.isdir(base_path):
+        return None
+    best, best_v = None, -1
+    for name in os.listdir(base_path):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m and int(m.group(1)) > best_v:
+            best_v, best = int(m.group(1)), os.path.join(base_path, name)
+    return best
+
+
+def stream_upsert_sink(
+    updates: DataFrame,
+    base_path: str,
+    key_cols: "list[str]",
+    checkpoint_dir: str,
+    delete_col: "str | None" = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Apply a CDC update stream onto a parquet snapshot — MERGE INTO as a
+    streaming sink, no table format required. Each micro-batch reads the
+    latest ``v=<n>`` snapshot, merges the batch with ``upsert`` (replace /
+    insert / optional delete-flag), and commits snapshot ``v=<batch_id>``.
+
+    Exactly-once: snapshots are named by batch_id, so a REPLAYED
+    micro-batch (restart after a sink-side crash) finds its own ``v=``
+    dir already present and skips — the idempotent-writer pattern
+    ``foreach_batch_sink`` documents. Writes go to a fresh directory, so
+    readers of the previous snapshot are never torn. Micro-batches run
+    serially in Structured Streaming, so read-latest/merge/commit is
+    race-free by construction. Drains with availableNow (finite CDC
+    catch-up job); call again as new updates land — the checkpoint
+    resumes from unread source files only.
+
+    At 100 TB: each merge is the broadcast-anti-join plan ``upsert`` pins
+    (small delta, no base shuffle); compact old ``v=`` dirs with
+    ``compact_files`` and garbage-collect superseded versions on the
+    retention schedule a real lakehouse would."""
+    import os
+
+    from pyarrow_ops_spark.operators.diff import upsert
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(base_path, f"v={batch_id}")
+        if os.path.isdir(out):  # replayed batch: already committed
+            return
+        spark = batch_df.sparkSession
+        latest = latest_snapshot_path(base_path)
+        data_cols = [c for c in batch_df.columns if c != delete_col]
+        if latest is None:
+            base = batch_df.sparkSession.createDataFrame(
+                [], batch_df.select(*data_cols).schema
+            )
+        else:
+            base = spark.read.parquet(latest)
+        merged = upsert(base, batch_df, key_cols, delete_col=delete_col)
+        merged.write.mode("overwrite").parquet(out)
+
+    run_available_now(
+        updates,
+        checkpoint_dir=checkpoint_dir,
+        batch_writer=apply,
+        timeout_sec=timeout_sec,
+    )
