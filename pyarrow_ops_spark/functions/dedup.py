@@ -266,16 +266,12 @@ def minhash_lsh_edges(
 
 
 def _ordered_pairs_expr(ids: Column) -> Column:
-    """All (id_a < id_b) pairs of a SORTED array column."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    """All (id_a < id_b) pairs of a SORTED array column — single shared
+    implementation (similarity.py owns it; a drifted copy here would
+    silently desynchronize the text and embedding pair generators)."""
+    from pyarrow_ops_spark.functions.similarity import _ordered_array_pairs
+
+    return _ordered_array_pairs(ids)
 
 
 def _minhash_rep_pairs(

@@ -59,17 +59,22 @@ def _schema_from_record(record_json: str) -> T.StructType:
     return T.StructType([T.StructField(k, _type_of(v), True) for k, v in obj.items()])
 
 
-def _has_integral(dt: T.DataType) -> bool:
-    """True if any field anywhere in ``dt`` is integral-typed (the only
-    types that full-column inference can widen, to double)."""
-    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+def _needs_full_inference(value) -> bool:
+    """True when the first record leaves a field's type AMBIGUOUS, so the
+    full-column inference pass must resolve it: an integral (may widen to
+    double), a JSON null (type unknown — ``_type_of`` can only guess
+    string), or an empty array/object (element/field types unknown).
+    Floats and strings are already their final first-record type."""
+    if value is None:
         return True
-    if isinstance(dt, T.StructType):
-        return any(_has_integral(f.dataType) for f in dt.fields)
-    if isinstance(dt, T.ArrayType):
-        return _has_integral(dt.elementType)
-    if isinstance(dt, T.MapType):
-        return _has_integral(dt.keyType) or _has_integral(dt.valueType)
+    if isinstance(value, bool):
+        return False
+    if isinstance(value, int):
+        return True
+    if isinstance(value, dict):
+        return not value or any(_needs_full_inference(v) for v in value.values())
+    if isinstance(value, list):
+        return not value or any(_needs_full_inference(v) for v in value)
     return False
 
 
@@ -112,14 +117,17 @@ def str_to_table(
         # record's keys, types = inference over ALL values (so an
         # int-then-float key widens to double instead of nulling floats).
         # The full-column inference pass runs ONLY when the first record
-        # has an integral-typed field somewhere — long -> double is the
-        # only promotion value-based inference can add, so a first record
-        # with no ints already has its final types and the default path
-        # stays a driver-only first-record parse (zero extra jobs).
-        # NOTE: at 100 TB pass an explicit schema; with ints present this
-        # mode scans the whole column once before the real job.
+        # leaves a type ambiguous — an integral field (may widen to
+        # double), a null, or an empty array/object (whose true type only
+        # the other records know). A first record of floats/strings
+        # already has its final types and the default path stays a
+        # driver-only first-record parse (zero extra jobs).
+        # NOTE: at 100 TB pass an explicit schema; with ambiguity present
+        # this mode scans the whole column once before the real job.
+        import json as _json
+
         first_schema = _schema_from_record(first[0][0])
-        if _has_integral(first_schema):
+        if _needs_full_inference(_json.loads(first[0][0])):
             inferred = {f.name: f for f in _infer_full(df, col).fields}
             resolved = T.StructType(
                 [inferred.get(f.name, f) for f in first_schema.fields]

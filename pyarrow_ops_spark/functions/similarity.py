@@ -37,7 +37,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide, not /: under ANSI mode (the Spark 4 default) a zero
+    # vector's 0/0 RAISES DIVIDE_BY_ZERO mid-job; try_divide yields NULL,
+    # which every threshold/rank consumer drops — undefined cosine never
+    # pairs, and never kills the job
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _as_double(col: Column | str) -> Column:
@@ -154,7 +158,13 @@ def _lsh_rep_pairs(
 ) -> DataFrame:
     """Verified (id_a < id_b, sim) pairs among group REPRESENTATIVES (the
     min id of each identical-vector group) — the candidate engine shared by
-    the pair/edge entry points below."""
+    the pair/edge entry points below.
+
+    The persisted rep relation stays referenced by the returned plan, so
+    it is not unpersisted here; blocks are MEMORY_AND_DISK and
+    LRU-evictable, but a long-lived session running many pipelines
+    back-to-back should ``spark.catalog.clearCache()`` between them (the
+    bench harness does exactly this)."""
     from pyspark import StorageLevel
 
     # The representative relation feeds the signature pass and both
@@ -194,7 +204,11 @@ def _lsh_rep_pairs(
             "id_b",
             F.round(cos(F.col("v_a"), F.col("v_b")), 4).alias("sim"),
         )
-        .filter(F.col("sim") >= threshold)
+        # NaN guard: the numpy 0/0 of a zero vector is NaN, and Spark
+        # orders NaN ABOVE every number, so `sim >= threshold` would PASS
+        # undefined cosines — filter them explicitly to match the
+        # Catalyst paths, where x/0 yields NULL and the comparison drops
+        .filter((F.col("sim") >= threshold) & ~F.isnan("sim"))
     )
 
 
@@ -245,9 +259,11 @@ def embedding_lsh_pairs(
         # persist and the two expansion joins outright.
         return _lsh_rep_pairs(groups, threshold, dim, bits, bands, max_bucket)
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
-    # identical-vector pairs: sim = cosine(v, v) ≡ 1.0 (NaN for zero
-    # vectors, which the threshold filter then drops — matching what exact
-    # verification of the pair would have produced)
+    # identical-vector pairs: sim = cosine(v, v) ≡ 1.0. A zero vector's
+    # 0/0 is NULL under Catalyst division, so the threshold comparison
+    # drops the pair — the same outcome the exact Catalyst self-join
+    # produces, and (post NaN-guard) the pandas-verified LSH path too:
+    # undefined cosine never pairs
     intra = (
         groups.filter(F.size("members") >= 2)
         .select(
@@ -542,7 +558,11 @@ def semantic_dedup_pairs(
             "id_b",
             F.round(cos(F.col("v_a"), F.col("v_b")), 4).alias("sim"),
         )
-        .filter(F.col("sim") >= threshold)
+        # NaN guard: the numpy 0/0 of a zero vector is NaN, and Spark
+        # orders NaN ABOVE every number, so `sim >= threshold` would PASS
+        # undefined cosines — filter them explicitly to match the
+        # Catalyst paths, where x/0 yields NULL and the comparison drops
+        .filter((F.col("sim") >= threshold) & ~F.isnan("sim"))
     )
 
 

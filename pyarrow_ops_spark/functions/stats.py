@@ -41,14 +41,24 @@ def zscore(
     broadcast join — the raw table is never shuffled."""
     out = out or f"{col}_z"
     stats = _group_stats(df, col, by)
-    joined = (
-        df.join(F.broadcast(stats), on=list(by)) if by
-        else df.crossJoin(F.broadcast(stats))
-    )
+    if by:
+        # null-SAFE equality on the group keys: groupBy collects NULL-key
+        # rows into their own stats row, and a plain equi-join would then
+        # silently DROP every NULL-key input row (NULL = NULL is never
+        # true) — rows must keep their z, whatever their group key is
+        s = stats
+        cond = None
+        for c in by:
+            s = s.withColumnRenamed(c, f"__g_{c}")
+            this = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = this if cond is None else (cond & this)
+        joined = df.join(F.broadcast(s), on=cond)
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
     z = F.when(
         F.col("__std") > 0, (F.col(col) - F.col("__mean")) / F.col("__std")
     )
-    return joined.select(*df.columns, z.alias(out))
+    return joined.select(*[df[c] for c in df.columns], z.alias(out))
 
 
 def outlier_filter(

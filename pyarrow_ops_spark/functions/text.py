@@ -45,6 +45,16 @@ def spread(df: DataFrame) -> DataFrame:
         return df
     if size >= parallelism * (64 << 20):
         return df
+    # small-by-bytes but already wide: a many-small-files scan (e.g. 3000
+    # files on a 2048-core cluster) has all the parallelism it needs — a
+    # repartition would shuffle the whole text payload to buy nothing.
+    # inputFiles() is a metadata listing (no job); non-scan plans return
+    # [] and fall through to the repartition, which is the intent there.
+    try:
+        if len(df.inputFiles()) >= parallelism:
+            return df
+    except Exception:
+        pass
     return df.repartition(parallelism)
 
 
@@ -67,12 +77,15 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 def letter_ratio(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.length(c)
+    # try_divide: empty text is 0/0 — NULL, not an ANSI-mode job abort
+    return F.try_divide(
+        F.length(F.regexp_replace(c, "[^a-zA-Z]", "")), F.length(c)
+    )
 
 
 def avg_word_length(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(F.regexp_replace(c, r"\s+", "")) / token_count(c)
+    return F.try_divide(F.length(F.regexp_replace(c, r"\s+", "")), token_count(c))
 
 
 def quality_score(col: Column | str) -> Column:

@@ -27,7 +27,13 @@ def time_bucket(ts: Column | str, step_seconds: int) -> Column:
     Integer epoch math (engine-portable; the DuckDB oracle replays it)."""
     c = F.col(ts) if isinstance(ts, str) else ts
     epoch = F.unix_timestamp(c)
-    return F.timestamp_seconds((epoch - epoch % step_seconds).cast("long"))
+    # pmod, not %: Spark's % takes the dividend's sign, so a pre-1970
+    # (negative-epoch) timestamp would round UP toward zero — one step
+    # late — where the oracle's time_bucket floors. pmod floors for both
+    # signs identically.
+    return F.timestamp_seconds(
+        (epoch - F.pmod(epoch, F.lit(step_seconds))).cast("long")
+    )
 
 
 def resample(

@@ -114,10 +114,10 @@ def sample_per_key(
         raise ValueError(f"k must be positive, got {k}")
     from pyspark.sql import Window
 
-    salted = [F.lit(seed)] if seed else []
-    salted += [F.col(c).cast("string") for c in order_cols]
+    from pyarrow_ops_spark.functions.ordering import shuffle_key
+
     win = Window.partitionBy(*key_cols).orderBy(
-        F.md5(F.concat_ws("|", *salted)), *[F.col(c) for c in order_cols]
+        shuffle_key(order_cols, seed), *[F.col(c) for c in order_cols]
     )
     return (
         df.withColumn("__rk", F.row_number().over(win))
@@ -160,11 +160,11 @@ def token_budget_sample(
         raise ValueError(f"budget must be positive, got {budget}")
     from pyspark.sql import Window
 
-    salted = [F.lit(seed)] if seed else []
-    salted += [F.col(c).cast("string") for c in key_cols]
+    from pyarrow_ops_spark.functions.ordering import shuffle_key
+
     win = (
         Window.partitionBy(strata_col)
-        .orderBy(F.md5(F.concat_ws("|", *salted)), *[F.col(c) for c in key_cols])
+        .orderBy(shuffle_key(key_cols, seed), *[F.col(c) for c in key_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = df.withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(win))
@@ -332,10 +332,10 @@ def mix_sources(
     if exact:
         from pyspark.sql import Window
 
-        salted = [F.lit(seed)] if seed else []
-        salted += [F.col(c).cast("string") for c in key_cols]
+        from pyarrow_ops_spark.functions.ordering import shuffle_key
+
         win = Window.partitionBy(strata_col).orderBy(
-            F.md5(F.concat_ws("|", *salted)), *[F.col(c) for c in key_cols]
+            shuffle_key(key_cols, seed), *[F.col(c) for c in key_cols]
         )
         target = F.lit(None).cast("long")
         for value, w in sorted(weights.items()):

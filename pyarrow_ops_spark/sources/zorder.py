@@ -22,26 +22,46 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# spans above this threshold switch to the double-scaling branch:
+# (v - lo) * (2^16 - 1) must stay under 2^63, so exact long arithmetic is
+# only safe while span < 2^47 — beyond it the multiply would silently wrap
+# negative (Spark's non-ANSI long math) and every Z-key would be garbage
+_EXACT_SPAN_LIMIT = 1 << 47
+
+
 def _scale_long(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Map a long column into [0, 2^bits) by linear scaling:
-    ``floor((v - lo) * (2^bits - 1) / (hi - lo))``. The numerator stays in
-    exact long arithmetic (< 2^53, so the one double division is exact to
-    well under 1/span and the floor is engine-reproducible — the oracle
-    replays the same expression, see ``scale_sql``). Degenerate range
-    (lo == hi) maps everything to 0."""
+    ``floor((v - lo) * (2^bits - 1) / (hi - lo))``. For spans under 2^47
+    the numerator stays in exact long arithmetic; wider spans (e.g. epoch
+    MICROsecond columns, span ~2^50) would overflow the multiply, so they
+    scale in IEEE double instead — ``floor((v-lo)/span * top)`` — which
+    both engines round identically (the oracle replays the same branch,
+    see ``scale_sql``). Degenerate range (lo == hi) maps everything to
+    0."""
     span = hi - lo
     top = (1 << bits) - 1
-    return F.when(span <= 0, F.lit(0)).otherwise(
-        F.floor(((col - lo) * top) / span)
-    ).cast("long")
+    exact = F.floor(((col - lo) * top) / span)
+    wide = F.floor(
+        (col - lo).cast("double") / span.cast("double") * F.lit(float(top))
+    )
+    return (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(F.when(span < _EXACT_SPAN_LIMIT, exact).otherwise(wide))
+        .cast("long")
+    )
 
 
 def scale_sql(expr: str, lo: str, hi: str, bits: int) -> str:
-    """DuckDB twin of ``_scale_long`` over SQL subexpressions."""
+    """DuckDB twin of ``_scale_long`` over SQL subexpressions (same
+    exact-long vs wide-double branch at the same span threshold)."""
     top = (1 << bits) - 1
+    span = f"({hi} - {lo})"
     return (
-        f"CASE WHEN ({hi} - {lo}) <= 0 THEN 0 ELSE "
-        f"CAST(floor((({expr} - {lo}) * {top}) / ({hi} - {lo})) AS BIGINT) END"
+        f"CASE WHEN {span} <= 0 THEN 0 "
+        f"WHEN {span} < {_EXACT_SPAN_LIMIT} THEN "
+        f"CAST(floor((({expr} - {lo}) * {top}) / {span}) AS BIGINT) "
+        f"ELSE CAST(floor(CAST({expr} - {lo} AS DOUBLE) / "
+        f"CAST({span} AS DOUBLE) * {float(top)}) AS BIGINT) END"
     )
 
 
@@ -50,7 +70,13 @@ def morton_interleave(cols: Sequence[Column], bits: int) -> Column:
     long: with cols (a, b) and bits=2 the result is a1 b1 a0 b0. Unrolled
     shift/and/or Catalyst expressions — codegen-fused, no UDF."""
     n = len(cols)
-    assert n * bits <= 63, "interleaved value must fit a signed long"
+    if n * bits > 63:
+        # a real exception, not an assert: asserts vanish under -O and the
+        # shiftleft would then silently push bits into the sign bit
+        raise ValueError(
+            f"{n} cols x {bits} bits = {n * bits} interleaved bits; must "
+            "fit a signed long (<= 63) — lower bits or drop a column"
+        )
     out = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
@@ -91,6 +117,12 @@ def zorder_key(
     """
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder over 1-4 columns")
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits = {len(cols) * bits} "
+            "interleaved bits; must fit a signed long (<= 63) — e.g. use "
+            "bits=15 for 4 columns"
+        )
     aggs = []
     for c in cols:
         aggs += [

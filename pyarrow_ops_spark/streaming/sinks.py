@@ -99,8 +99,13 @@ def latest_snapshot_path(base_path: str) -> "str | None":
     best, best_v = None, -1
     for name in os.listdir(base_path):
         m = re.fullmatch(r"v=(\d+)", name)
-        if m and int(m.group(1)) > best_v:
-            best_v, best = int(m.group(1)), os.path.join(base_path, name)
+        if not m or int(m.group(1)) <= best_v:
+            continue
+        path = os.path.join(base_path, name)
+        # only COMMITTED snapshots count — a torn dir (crash mid-write,
+        # no _SUCCESS marker) must never become the merge base
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            best_v, best = int(m.group(1)), path
     return best
 
 
@@ -137,8 +142,17 @@ def stream_upsert_sink(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         out = os.path.join(base_path, f"v={batch_id}")
-        if os.path.isdir(out):  # replayed batch: already committed
-            return
+        # committed = _SUCCESS marker present, not mere directory existence:
+        # Spark creates the dir (and partial part-files) BEFORE the job
+        # commits, so a crash mid-write leaves a torn v= dir — treating it
+        # as committed would base every later merge on corrupt data. Torn
+        # dirs are removed and rewritten.
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return  # replayed batch: already committed
+        if os.path.isdir(out):
+            import shutil
+
+            shutil.rmtree(out)
         spark = batch_df.sparkSession
         latest = latest_snapshot_path(base_path)
         data_cols = [c for c in batch_df.columns if c != delete_col]

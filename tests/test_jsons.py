@@ -53,3 +53,40 @@ def test_explicit_schema_no_inference(spark):
     schema = T.StructType([T.StructField("k", T.DoubleType(), True)])
     out = str_to_table(_df(spark, ['{"k": 1}', '{"k": 2.5}']), "js", schema=schema)
     assert [r["k"] for r in out.orderBy("id").collect()] == [1.0, 2.5]
+
+
+def test_first_mode_null_field_widens_via_inference(spark):
+    # a null in the first record leaves the type unknown — full inference
+    # must resolve it from later records instead of guessing string
+    from pyarrow_ops_spark.functions.jsons import str_to_table
+
+    df = spark.createDataFrame(
+        [('{"name": "x", "score": null}',), ('{"name": "y", "score": 2.5}',)],
+        "payload string",
+    )
+    out = str_to_table(df, "payload")
+    assert dict(out.dtypes)["score"] == "double"
+    vals = {r.name: r.score for r in out.collect()}
+    assert vals == {"x": None, "y": 2.5}
+
+
+def test_first_mode_empty_list_widens_via_inference(spark):
+    from pyarrow_ops_spark.functions.jsons import str_to_table
+
+    df = spark.createDataFrame(
+        [('{"tags": []}',), ('{"tags": [1, 2]}',)], "payload string"
+    )
+    out = str_to_table(df, "payload")
+    assert dict(out.dtypes)["tags"] in ("array<bigint>", "array<double>")
+
+
+def test_first_mode_float_string_record_skips_inference_scan(spark):
+    # all-final types in the first record: the driver-only path must keep
+    # types without any full scan (behavioral check: types stay as-is)
+    from pyarrow_ops_spark.functions.jsons import str_to_table
+
+    df = spark.createDataFrame(
+        [('{"a": 1.5, "b": "s"}',), ('{"a": 2.5, "b": "t"}',)], "payload string"
+    )
+    out = str_to_table(df, "payload")
+    assert dict(out.dtypes) == {"a": "double", "b": "string"}

@@ -814,3 +814,17 @@ def test_char_entropy_known_values(spark):
 def test_char_entropy_empty_doc_drops(spark):
     df = spark.createDataFrame([(1, ""), (2, "xy")], "doc_id long, text string")
     assert [r.doc_id for r in TX.char_entropy(df).collect()] == [2]
+
+
+def test_zero_vectors_never_pair(spark):
+    # undefined cosine (0/0) must not pair on ANY path: Catalyst division
+    # yields NULL (dropped); the pandas verify path yields NaN, which
+    # Spark orders above every number — the explicit NaN guard drops it
+    rows = [(1, [0.0] * 8), (2, [0.0] * 8), (3, [1.0] * 8), (4, [1.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = S.similarity_join(df, 0.5)
+    assert {(r.id_a, r.id_b) for r in exact.collect()} == {(3, 4)}
+    lsh = S.embedding_lsh_pairs(df, 0.5, dim=8, bits=8, bands=2)
+    assert {(r.id_a, r.id_b) for r in lsh.collect()} == {(3, 4)}
+    sem = S.semantic_dedup_pairs(df, 0.5, n_clusters=2)
+    assert {(r.id_a, r.id_b) for r in sem.collect()} == {(3, 4)}

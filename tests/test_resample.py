@@ -85,3 +85,19 @@ def test_validation(ts_df):
         resample(ts_df, "ts", 0, {"n": F.count(F.lit(1))})
     with pytest.raises(ValueError):
         resample(ts_df, "ts", 60, {"n": F.count(F.lit(1))}, fill="bogus")
+
+
+def test_time_bucket_floors_pre_1970(spark):
+    from pyarrow_ops_spark.operators.resample import time_bucket
+
+    df = spark.createDataFrame(
+        [("1969-12-31 23:59:55",), ("1970-01-01 00:00:05",)], "s string"
+    )
+    out = [
+        str(r.b)
+        for r in df.select(
+            time_bucket(F.to_timestamp("s"), 3600).alias("b")
+        ).collect()
+    ]
+    # both must FLOOR to their containing hour, not round toward zero
+    assert out == ["1969-12-31 23:00:00", "1970-01-01 00:00:00"]

@@ -61,3 +61,20 @@ def test_zscore_plan_has_no_window_exchange(spark):
     plan = zscore(df, "v", ["g"])._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_zscore_keeps_null_group_rows(spark):
+    from pyarrow_ops_spark.functions.stats import zscore, outlier_filter
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0), (None, 30.0)],
+        "g string, v double",
+    )
+    z = zscore(df, "v", by=["g"])
+    assert z.count() == 5  # NULL-group rows must not vanish
+    nulls = {r.v: r.v_z for r in z.filter(F.col("g").isNull()).collect()}
+    assert len(nulls) == 3
+    # stats computed within the NULL group: mean 20, std ~8.165
+    assert abs(nulls[20.0]) < 1e-9
+    assert nulls[10.0] < 0 < nulls[30.0]
+    assert outlier_filter(df, "v", by=["g"], k=3.0).count() == 5

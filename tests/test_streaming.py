@@ -308,3 +308,32 @@ def test_stream_upsert_sink_replay_is_idempotent(spark, tmp_path):
     assert latest_snapshot_path(snap) == first
     got = [tuple(r) for r in spark.read.parquet(first).collect()]
     assert got == [(1, 1.0)]
+
+
+def test_stream_upsert_sink_torn_snapshot_rewritten(spark, tmp_path):
+    # a v= dir without _SUCCESS (crash mid-write) must be treated as
+    # uncommitted: ignored as merge base, removed, and rewritten
+    import os
+    from pyarrow_ops_spark.streaming.sinks import (
+        latest_snapshot_path,
+        stream_upsert_sink,
+    )
+
+    schema = "k long, v double, is_delete boolean"
+    src = str(tmp_path / "cdc_src")
+    spark.createDataFrame([(1, 1.0, False)], schema).coalesce(1).write.parquet(src)
+
+    snap = str(tmp_path / "snaps")
+    torn = os.path.join(snap, "v=0")
+    os.makedirs(torn)  # dir exists, no _SUCCESS, no data
+    assert latest_snapshot_path(snap) is None  # torn dir is not a snapshot
+
+    updates = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    stream_upsert_sink(
+        updates, snap, ["k"], checkpoint_dir=str(tmp_path / "ckpt"),
+        delete_col="is_delete",
+    )
+    latest = latest_snapshot_path(snap)
+    assert latest is not None
+    assert os.path.exists(os.path.join(latest, "_SUCCESS"))
+    assert [tuple(r) for r in spark.read.parquet(latest).collect()] == [(1, 1.0)]

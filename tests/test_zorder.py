@@ -173,3 +173,52 @@ class TestCompaction:
         got = spark.read.parquet(out)
         assert got.count() == events.count()
         assert len(glob.glob(out + "/*.parquet")) <= n + 1
+
+
+def test_scale_survives_microsecond_epoch_span(spark):
+    # span ~2^50: the exact-long branch would overflow (v-lo)*65535; the
+    # wide-double branch must keep keys in [0, 2^bits) and monotone
+    from pyarrow_ops_spark.sources.zorder import zorder_key
+
+    lo, hi = 0, 1 << 50
+    vals = [lo, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    df = spark.createDataFrame([(v, 0) for v in vals], "a long, b long")
+    out = (
+        zorder_key(df, ["a", "b"], bits=16)
+        .orderBy("a")
+        .select("a", "zvalue")
+        .collect()
+    )
+    zs = [r.zvalue for r in out]
+    assert all(z >= 0 for z in zs), zs
+    assert zs == sorted(zs), zs          # monotone in a (b constant)
+    assert zs[0] == 0
+    assert zs[-1] > 0
+
+
+def test_scale_wide_branch_matches_duckdb_twin(spark):
+    import duckdb
+    from pyarrow_ops_spark.sources.zorder import scale_sql, zorder_key
+
+    lo, hi = 5, (1 << 50) + 5
+    vals = [lo, 123456789012345, hi - 1, hi]
+    df = spark.createDataFrame([(v, 0) for v in vals], "a long, b long")
+    spark_keys = {
+        r.a: r.zvalue for r in zorder_key(df, ["a", "b"], bits=16).collect()
+    }
+    con = duckdb.connect()
+    expr = scale_sql("a", str(lo), str(hi), 16)
+    # b spans 0..0 -> scales to 0, so zvalue = interleave(scaled_a, 0)
+    from pyarrow_ops_spark.sources.zorder import morton_sql
+
+    sql = f"SELECT a, ({morton_sql([expr, '0'], 16)}) AS z FROM (SELECT unnest({vals}) AS a)"
+    duck_keys = dict(con.execute(sql).fetchall())
+    assert spark_keys == duck_keys
+
+
+def test_interleave_bit_budget_raises(spark):
+    from pyarrow_ops_spark.sources.zorder import zorder_key
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    with pytest.raises(ValueError, match="interleaved bits"):
+        zorder_key(df, ["a", "b", "c", "d"], bits=16)
