@@ -35,7 +35,7 @@ from pyarrow_ops_spark.operators.dedup import drop_duplicates
 from pyarrow_ops_spark.operators.group import groupby, Grouping
 from pyarrow_ops_spark.operators.join import join, range_join
 from pyarrow_ops_spark.operators.asof import asof_join
-from pyarrow_ops_spark.operators.skew import salted_agg, salted_join
+from pyarrow_ops_spark.operators.skew import key_skew_report, salted_agg, salted_join
 from pyarrow_ops_spark.operators.head import head
 from pyarrow_ops_spark.functions.jsons import str_to_table
 from pyarrow_ops_spark.ml.cleaner import TableCleaner
@@ -166,6 +166,7 @@ __all__ = [
     "range_join",
     "asof_join",
     "salted_agg",
+    "key_skew_report",
     "salted_join",
     "head",
     "str_to_table",

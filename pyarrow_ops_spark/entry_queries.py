@@ -4725,6 +4725,37 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skew_key_report",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY event_type
+    ),
+    t AS (
+        SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+               CAST(count(*) AS DOUBLE) AS nkeys
+        FROM c
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, event_type) AS INT)
+               AS rank,
+           event_type, n_rows,
+           round(n_rows / total, 4) AS share,
+           round(n_rows / (total / nkeys), 4) AS skew
+    FROM c CROSS JOIN t
+    ORDER BY n_rows DESC, event_type LIMIT 5
+    """,
+)
+def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic (run before reaching for salting): top-5
+    heaviest keys with share and skew factor — map-side-combined counts,
+    broadcast single-row totals, TakeOrderedAndProject top-k."""
+    from pyarrow_ops_spark.operators.skew import key_skew_report
+
+    ev = load_table(spark, "events", sf_dir)
+    return key_skew_report(ev, ["event_type"], k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

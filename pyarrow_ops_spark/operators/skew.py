@@ -103,3 +103,47 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
     )
     return l.join(r, on=on + [_SALT], how=how).drop(_SALT)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: "list[str]",
+    k: int = 10,
+) -> DataFrame:
+    """The diagnostic you run BEFORE reaching for ``salted_agg``/
+    ``salted_join``: the ``k`` heaviest keys with their row share and
+    skew factor (count / mean-count-per-key). A skew factor near 1 means
+    salting buys nothing; a hot key at 1000x means any shuffle keyed on
+    these columns funnels 1000x the average partition load through one
+    task.
+
+    Output: (rank, <key_cols...>, n_rows, share, skew), heaviest first.
+    One map-side-combined count per key, a two-value global aggregate
+    (total rows, distinct keys) attached as a broadcast single-row join,
+    and a TakeOrderedAndProject for the top-k — no full sort, nothing
+    driver-side beyond k rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    ranked = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 4).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("__total") / F.col("__nkeys")), 4
+            ).alias("skew"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols])
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols])
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "rank", *key_cols, "n_rows", "share", "skew"
+    )

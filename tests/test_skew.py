@@ -121,3 +121,35 @@ def test_salted_join_left_keeps_unmatched(spark, skewed):
     assert out.filter(F.col("k_rows").isNull()).count() == left.filter(
         F.col("k") == 0
     ).count()
+
+
+def test_key_skew_report_hot_key(spark):
+    from pyarrow_ops_spark.operators.skew import key_skew_report
+
+    rows = [("hot",)] * 90 + [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, ["k"], k=3).collect()
+    assert out[0].rank == 1 and out[0].k == "hot"
+    assert out[0].n_rows == 90
+    assert abs(out[0].share - 0.9) < 1e-9
+    # mean per key = 100/3; skew = 90/(100/3) = 2.7
+    assert abs(out[0].skew - 2.7) < 1e-9
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_key_skew_report_uniform_keys_near_one(spark):
+    from pyarrow_ops_spark.operators.skew import key_skew_report
+
+    rows = [(f"k{i % 4}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, ["k"], k=4).collect()
+    for r in out:
+        assert abs(r.skew - 1.0) < 1e-9
+
+
+def test_key_skew_report_bad_k(spark):
+    from pyarrow_ops_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        key_skew_report(df, ["k"], k=0)
