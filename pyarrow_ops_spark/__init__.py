@@ -92,6 +92,7 @@ from pyarrow_ops_spark.operators.resample import (
     gaps,
 )
 from pyarrow_ops_spark.operators.diff import diff_tables, diff_summary, upsert
+from pyarrow_ops_spark.operators.events import funnel_steps, retention_cohorts
 from pyarrow_ops_spark.functions.stats import zscore, outlier_filter, quantile_rank
 from pyarrow_ops_spark.functions.similarity import (
     lsh_threshold_join,
@@ -206,6 +207,8 @@ __all__ = [
     "gaps",
     "diff_tables",
     "upsert",
+    "funnel_steps",
+    "retention_cohorts",
     "diff_summary",
     "zscore",
     "outlier_filter",

@@ -4756,6 +4756,93 @@ def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(ev, ["event_type"], k=5)
 
 
+@query(
+    "events_funnel",
+    """
+    WITH s0 AS (
+        SELECT user_id AS u, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t
+        FROM events e JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s2 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT 0 AS step, 'view' AS event_type,
+               (SELECT count(*) FROM s0) AS n_users
+        UNION ALL
+        SELECT 1, 'click', (SELECT count(*) FROM s1)
+        UNION ALL
+        SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    )
+    SELECT CAST(step AS INT) AS step, event_type,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / lag(n_users) OVER (ORDER BY step), 4) AS conversion,
+           round(CAST(n_users AS DOUBLE)
+                 / first_value(n_users) OVER (
+                     ORDER BY step
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                 ), 4) AS overall
+    FROM c
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: each step's completion
+    is the earliest qualifying event strictly after the previous step's —
+    k-1 co-keyed (user, ts) joins with the step filter pushed to the
+    scan; the oracle replays the chained conditional-min construction."""
+    from pyarrow_ops_spark.operators.events import funnel_steps
+
+    ev = load_table(spark, "events", sf_dir)
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH acts AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+    ),
+    firsts AS (SELECT u, min(d) AS f FROM acts GROUP BY u),
+    cohorts AS (
+        SELECT u,
+               f - CAST((datediff('day', DATE '1970-01-05', f) % 7 + 7) % 7
+                        AS INTEGER) AS cohort
+        FROM firsts
+    ),
+    per_period AS (
+        SELECT DISTINCT a.u, c.cohort,
+               CAST(floor(datediff('day', c.cohort, a.d) / 7.0) AS INT)
+                   AS period_offset
+        FROM acts a JOIN cohorts c ON a.u = c.u
+    ),
+    sizes AS (SELECT cohort, count(*) AS sz FROM cohorts GROUP BY cohort)
+    SELECT p.cohort, p.period_offset,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(count(*) AS DOUBLE) / any_value(s.sz), 4) AS retention
+    FROM per_period p JOIN sizes s ON p.cohort = s.cohort
+    GROUP BY p.cohort, p.period_offset
+    """,
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = epoch-anchored 7-day window of
+    each user's first activity (fixed-width integer date math, no
+    locale-dependent calendar weeks), retention = returning users /
+    cohort size. Two hash aggregates + one co-keyed join; shuffles carry
+    (user, date) pairs only."""
+    from pyarrow_ops_spark.operators.events import retention_cohorts
+
+    ev = load_table(spark, "events", sf_dir)
+    return retention_cohorts(ev)
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

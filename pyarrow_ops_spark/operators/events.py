@@ -1,0 +1,144 @@
+"""Product-analytics operators over event streams: ordered funnels and
+retention cohorts — the two queries every event warehouse answers daily.
+
+The reference has no event operators (SURVEY §2: its surface is five
+relational ops); these extend the north-star surface the same way the
+streaming module does, and share its batch/stream table model (the
+``events`` table: user_id, event_type, ts).
+
+Scale design: funnels are k-1 self-joins keyed on the user (each shuffle
+carries (user, ts) pairs for ONE step's events, not the corpus); cohorts
+are two hash aggregates plus one join on user_id. Nothing driver-side,
+no windows over the raw table, no explode.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel completion: a user completes step i at the EARLIEST
+    event of ``steps[i]`` that happens strictly after their step i-1
+    completion time (the standard product-analytics funnel semantics —
+    order matters, revisits don't).
+
+    Output, one row per step in order: (step, event_type, n_users,
+    conversion, overall) where ``conversion`` is n_i / n_{i-1} and
+    ``overall`` n_i / n_0, both rounded to 4.
+
+    Plan shape: step 0 is one hash aggregate (per-user min ts of the
+    step-0 event); each later step joins the previous step's per-user
+    completion times against ONLY that step's events (filter pushed to
+    the scan) and takes the conditional min — k-1 co-keyed shuffle joins
+    whose payload is (user, ts), independent of total event width. The
+    final counts are k tiny aggregates unioned on the driver plan (k
+    rows total)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {list(steps)}")
+
+    u = F.col(user_col)
+    completions: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(type_col) == step).select(
+            u.alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                ev.join(prev.select("__u", F.col("__t").alias("__pt")), on="__u")
+                .filter(F.col("__ts") > F.col("__pt"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        completions.append(cur)
+        prev = cur
+
+    counts = None
+    for i, (step, cur) in enumerate(zip(steps, completions)):
+        row = cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).cast("int").alias("step"),
+            F.lit(step).alias("event_type"),
+            F.col("n_users").cast("long"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("step")
+    first = F.first("n_users").over(
+        Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return counts.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(F.try_divide(F.col("n_users"), F.lag("n_users", 1).over(w)), 4).alias(
+            "conversion"
+        ),
+        F.round(F.try_divide(F.col("n_users"), first), 4).alias("overall"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Retention triangle: users grouped by first-activity period
+    (cohort), counted in each subsequent period they return.
+
+    Output: (cohort, period_offset, n_users, retention) where cohort is
+    the first period's start date, ``period_offset`` counts periods since
+    it (0 = the cohort period itself, retention 1.0 by construction), and
+    ``retention`` = returned users / cohort size, rounded to 4.
+
+    Periods are fixed ``period_days`` windows anchored at each user's
+    COHORT (epoch-floored), not calendar weeks — engine-exact integer
+    math, no locale/week-start dependence. Two hash aggregates (per-user
+    first day; distinct user-period activity) + one co-keyed join + one
+    final aggregate; shuffles carry (user, date) pairs only."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    day = F.to_date(F.col(ts_col))
+    acts = df.select(F.col(user_col).alias("__u"), day.alias("__d"))
+    firsts = acts.groupBy("__u").agg(F.min("__d").alias("__first"))
+    # cohort = global-epoch-floored period of the user's first day
+    cohort = F.date_sub(
+        F.col("__first"),
+        F.pmod(F.datediff(F.col("__first"), F.to_date(F.lit("1970-01-05"))), period_days),
+    )
+    cohorts = firsts.select("__u", cohort.alias("__cohort"))
+    joined = acts.dropDuplicates(["__u", "__d"]).join(cohorts, on="__u")
+    offset = F.floor(
+        F.datediff(F.col("__d"), F.col("__cohort")) / period_days
+    ).cast("int")
+    per_user_period = joined.select(
+        "__u", "__cohort", offset.alias("__off")
+    ).dropDuplicates(["__u", "__cohort", "__off"])
+    sizes = cohorts.groupBy("__cohort").agg(F.count(F.lit(1)).alias("__size"))
+    out = (
+        per_user_period.groupBy("__cohort", "__off")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .join(F.broadcast(sizes), on="__cohort")
+    )
+    return out.select(
+        F.col("__cohort").alias("cohort"),
+        F.col("__off").alias("period_offset"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(F.col("n_users") / F.col("__size"), 4).alias("retention"),
+    )

@@ -1,0 +1,75 @@
+"""Funnel and retention-cohort operator contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyarrow_ops_spark.operators.events import funnel_steps, retention_cohorts
+
+
+def test_funnel_orders_matter(spark):
+    rows = [
+        # user 1 completes the whole ordered funnel
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:01:00"),
+        (1, "purchase", "2024-01-01 10:02:00"),
+        # user 2 clicked BEFORE viewing: click must not count
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        # user 3 only views
+        (3, "view", "2024-01-01 11:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = {r.step: r for r in funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert out[0].n_users == 3
+    assert out[1].n_users == 1  # only user 1's post-view click
+    assert out[2].n_users == 1
+    assert out[0].conversion is None
+    assert abs(out[1].conversion - round(1 / 3, 4)) < 1e-9
+    assert abs(out[2].overall - round(1 / 3, 4)) < 1e-9
+
+
+def test_funnel_rejects_bad_steps(spark):
+    df = spark.createDataFrame([(1, "a", "2024-01-01")], "user_id long, event_type string, ts string")
+    with pytest.raises(ValueError):
+        funnel_steps(df, [])
+    with pytest.raises(ValueError):
+        funnel_steps(df, ["a", "a"])
+
+
+def test_retention_triangle(spark):
+    rows = [
+        # user 1: first activity week 0, returns week 1
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-08 10:00:00"),
+        # user 2: week 0 only
+        (2, "2024-01-02 10:00:00"),
+        # user 3: cohort one week later, returns two weeks after that
+        (3, "2024-01-10 10:00:00"),
+        (3, "2024-01-24 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    got = {
+        (str(r.cohort), r.period_offset): (r.n_users, r.retention)
+        for r in retention_cohorts(df).collect()
+    }
+    # 2024-01-01 is a Monday -> cohort anchors are Mondays
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1.0)
+    assert got[("2024-01-08", 2)] == (1, 1.0)
+    # offset-0 retention is 1.0 for every cohort by construction
+    for (c, off), (n, r) in got.items():
+        if off == 0:
+            assert r == 1.0
+
+
+def test_retention_rejects_bad_period(spark):
+    df = spark.createDataFrame([(1, "2024-01-01")], "user_id long, ts string")
+    with pytest.raises(ValueError):
+        retention_cohorts(df, period_days=0)
