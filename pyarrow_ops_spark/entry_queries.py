@@ -4464,7 +4464,7 @@ def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
     )
-    pairs = semantic_dedup_pairs(planted, threshold=0.999, n_clusters=8)
+    pairs = semantic_dedup_pairs(planted, threshold=0.999)  # n_clusters auto: sqrt(N) cells
     return pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).select(
         "id_a", "id_b", F.col("sim").cast("double").alias("sim")
     )

@@ -499,7 +499,7 @@ def ivf_topk(
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: "int | str" = "auto",
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -530,6 +530,14 @@ def semantic_dedup_pairs(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_clusters == "auto":
+        # the SemDeDup sizing rule: cells ~ sqrt(N) holds mean cell size
+        # (and with it the cell-local quadratic pair cost) at ~sqrt(N)
+        # regardless of corpus growth — one count aggregate, like any
+        # dimension stat
+        import math
+
+        n_clusters = max(4, int(math.isqrt(corpus.count())))
     e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     feats = e.withColumn("fv", array_to_vector("v"))
     train = feats if train_fraction >= 1.0 else feats.sample(train_fraction, seed=seed)
@@ -569,7 +577,7 @@ def semantic_dedup_pairs(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: "int | str" = "auto",
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
