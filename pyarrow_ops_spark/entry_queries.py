@@ -4843,6 +4843,70 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev)
 
 
+@query(
+    "pipeline_perplexity_filter",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents
+    ),
+    counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    vocab AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 500),
+    totals AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS total,
+               least(count(*), 500) AS v
+        FROM counts
+    ),
+    nll AS (
+        SELECT doc_id,
+               round(avg(-ln((coalesce(vocab.c, 0) + 1.0)
+                             / (totals.total + 1.0 * (totals.v + 1)))), 4)
+                   AS nll
+        FROM toks LEFT JOIN vocab USING (t) CROSS JOIN totals
+        GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT d.source, n.doc_id, n.nll,
+               percent_rank() OVER (
+                   PARTITION BY d.source ORDER BY n.nll, n.doc_id
+               ) AS pr
+        FROM nll n JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(nll), 4) AS avg_nll
+    FROM ranked
+    WHERE pr >= 0.1 AND pr <= 0.9
+    GROUP BY source
+    """,
+)
+def q_pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style perplexity-band filter as an end-to-end composite:
+    score every document with the corpus-trained unigram LM, rank within
+    its source, keep the middle [0.1, 0.9] band (head = boilerplate-ish
+    too-predictable text, tail = junk), report per-source survivors.
+    Ranking uses the ROUNDED nll with doc_id tiebreak so the band cut is
+    engine-deterministic. One bounded-vocab NLL pass + one per-source
+    window + one aggregate."""
+    from pyarrow_ops_spark.functions.search import unigram_nll
+
+    docs = load_table(spark, "documents", sf_dir)
+    nll = unigram_nll(docs, vocab_size=500).select(
+        "doc_id", F.round("nll", 4).alias("nll")
+    )
+    joined = nll.join(docs.select("doc_id", "source"), on="doc_id")
+    w = W.partitionBy("source").orderBy("nll", "doc_id")
+    ranked = joined.withColumn("pr", F.percent_rank().over(w))
+    return (
+        ranked.filter((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
