@@ -91,7 +91,7 @@ from pyarrow_ops_spark.operators.resample import (
     time_bucket,
     gaps,
 )
-from pyarrow_ops_spark.operators.diff import diff_tables, diff_summary, upsert
+from pyarrow_ops_spark.operators.diff import diff_tables, diff_summary, upsert, upsert_history
 from pyarrow_ops_spark.operators.events import funnel_steps, retention_cohorts
 from pyarrow_ops_spark.functions.stats import zscore, outlier_filter, quantile_rank
 from pyarrow_ops_spark.functions.similarity import (
@@ -207,6 +207,7 @@ __all__ = [
     "gaps",
     "diff_tables",
     "upsert",
+    "upsert_history",
     "funnel_steps",
     "retention_cohorts",
     "diff_summary",

@@ -4907,6 +4907,57 @@ def q_pipeline_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "merge_scd2_orders",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               round(o_totalprice, 2) AS o_totalprice, o_orderdate AS ts
+        FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+           DATE '2023-01-01' AS valid_from,
+           u.ts AS valid_to,
+           (u.o_orderkey IS NULL) AS is_current
+    FROM base b LEFT JOIN upd u USING (o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           ts AS valid_from, CAST(NULL AS DATE) AS valid_to, TRUE
+    FROM upd
+    """,
+)
+def q_merge_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 merge: every 7th order gets a status update effective at its
+    order date — the open row closes at that date (old values preserved)
+    and a new open row appends. Closed history never shuffles; the close
+    join touches the open slice only. Oracle replays the version split
+    as a LEFT JOIN + UNION ALL."""
+    from pyarrow_ops_spark.operators.diff import upsert_history
+
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    history = base.select(
+        "*",
+        F.to_date(F.lit("2023-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return upsert_history(history, updates, ["o_orderkey"], ts_col="ts")
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

@@ -121,3 +121,65 @@ def upsert(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
     return survivors.unionByName(incoming.select(*base.columns))
+
+
+def upsert_history(
+    history: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD-2 MERGE: apply ``updates`` (one row per key, effective at its
+    ``ts_col``) onto a versioned ``history`` table, PRESERVING the old
+    versions — the warehouse pattern for "what did this row say at time
+    t". For each updated key the open row closes (``valid_to`` = the
+    update's timestamp, ``current_col`` false) and a new open row
+    appends; unmatched keys insert as new open rows; untouched history
+    passes through unchanged.
+
+    ``history`` carries ``valid_from``/``valid_to`` (null = open) and
+    ``current_col``; ``updates`` carries the key + attribute columns +
+    ``ts_col``. One row per key in ``updates`` is the caller's contract
+    (dedup to the latest first).
+
+    Plan shape: the update keys join the OPEN history slice only (a
+    filter pushed to the scan), once — closed history never shuffles;
+    with a small delta both the close-join and the pass-through anti-join
+    broadcast, so the common incremental case moves no history at all."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    attr_cols = [c for c in history.columns if c not in (valid_from, valid_to, current_col)]
+    upd_keys = updates.select(*keys)
+    cur = history.filter(F.col(current_col))
+
+    # close the open row of every updated key at the update's timestamp
+    closed = (
+        cur.join(
+            updates.select(*keys, F.col(ts_col).alias("__close_ts")), on=keys
+        )
+        .select(
+            *[F.col(c) for c in attr_cols],
+            F.col(valid_from),
+            F.col("__close_ts").alias(valid_to),
+            F.lit(False).alias(current_col),
+        )
+    )
+    untouched_current = cur.join(upd_keys, on=keys, how="anti")
+    past = history.filter(~F.col(current_col))
+    new_open = updates.select(
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias(valid_from),
+        F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
+        F.lit(True).alias(current_col),
+    )
+    ordered = [*attr_cols, valid_from, valid_to, current_col]
+    return (
+        past.select(*ordered)
+        .unionByName(closed.select(*ordered))
+        .unionByName(untouched_current.select(*ordered))
+        .unionByName(new_open.select(*ordered))
+    )

@@ -106,3 +106,61 @@ class TestUpsert:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             upsert(base, base, [])
+
+
+class TestUpsertHistory:
+    def test_scd2_close_insert_passthrough(self, spark):
+        from pyarrow_ops_spark.operators.diff import upsert_history
+
+        history = spark.createDataFrame(
+            [
+                (1, "a", "2023-01-01", None, True),
+                (2, "b", "2023-01-01", None, True),
+                # an already-closed old version of key 1
+                (1, "a0", "2022-01-01", "2023-01-01", False),
+            ],
+            "k long, val string, valid_from string, valid_to string, is_current boolean",
+        )
+        updates = spark.createDataFrame(
+            [(1, "a2", "2024-06-01"), (9, "z", "2024-06-01")],
+            "k long, val string, ts string",
+        )
+        out = upsert_history(history, updates, ["k"], ts_col="ts").collect()
+        rows = {(r.k, r.val): r for r in out}
+        assert len(out) == 5
+        closed = rows[(1, "a")]
+        assert closed.valid_to == "2024-06-01" and not closed.is_current
+        assert closed.valid_from == "2023-01-01"  # old version preserved
+        new = rows[(1, "a2")]
+        assert new.valid_from == "2024-06-01" and new.valid_to is None and new.is_current
+        inserted = rows[(9, "z")]
+        assert inserted.is_current and inserted.valid_from == "2024-06-01"
+        untouched = rows[(2, "b")]
+        assert untouched.is_current and untouched.valid_to is None
+        past = rows[(1, "a0")]
+        assert not past.is_current and past.valid_to == "2023-01-01"
+
+    def test_current_rows_unique_per_updated_key(self, spark):
+        from pyarrow_ops_spark.operators.diff import upsert_history
+        from pyspark.sql import functions as F
+
+        history = spark.createDataFrame(
+            [(i, f"v{i}", "2023-01-01", None, True) for i in range(10)],
+            "k long, val string, valid_from string, valid_to string, is_current boolean",
+        )
+        updates = spark.createDataFrame(
+            [(i, "new", "2024-01-01") for i in range(0, 10, 2)],
+            "k long, val string, ts string",
+        )
+        out = upsert_history(history, updates, ["k"], ts_col="ts")
+        cur = out.filter(F.col("is_current")).groupBy("k").count().collect()
+        assert all(r["count"] == 1 for r in cur)
+        assert out.count() == 15  # 10 original versions + 5 new opens
+
+    def test_empty_keys_rejected(self, spark):
+        from pyarrow_ops_spark.operators.diff import upsert_history
+
+        df = spark.createDataFrame([(1, "2024-01-01")], "k long, ts string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            upsert_history(df, df, [], ts_col="ts")
