@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "order_curriculum",
     "events_rate_anomaly",
     "embedding_random_projection",
+    "merge_upsert_orders",
+    "merge_scd2_orders",
+    "events_funnel",
+    "events_retention_cohorts",
+    "skew_key_report",
+    "pipeline_perplexity_filter",
 ]
 
 
