@@ -4958,6 +4958,56 @@ def q_merge_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_history(history, updates, ["o_orderkey"], ts_col="ts")
 
 
+@query(
+    "graph_pagerank_events",
+    """
+    WITH ue AS (
+        SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS s,
+               't:' || event_type AS t
+        FROM events
+    ),
+    e AS (SELECT s, t FROM ue UNION SELECT t, s FROM ue),
+    nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+    c1 AS (SELECT e.t, sum(r0.rank / outdeg.d) AS inflow
+           FROM e JOIN r0 ON e.s = r0.node JOIN outdeg ON e.s = outdeg.s
+           GROUP BY e.t),
+    r1 AS (SELECT node, 0.15 / n + 0.85 * coalesce(inflow, 0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c1 ON node = c1.t),
+    c2 AS (SELECT e.t, sum(r1.rank / outdeg.d) AS inflow
+           FROM e JOIN r1 ON e.s = r1.node JOIN outdeg ON e.s = outdeg.s
+           GROUP BY e.t),
+    r2 AS (SELECT node, 0.15 / n + 0.85 * coalesce(inflow, 0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c2 ON node = c2.t),
+    c3 AS (SELECT e.t, sum(r2.rank / outdeg.d) AS inflow
+           FROM e JOIN r2 ON e.s = r2.node JOIN outdeg ON e.s = outdeg.s
+           GROUP BY e.t),
+    r3 AS (SELECT node, 0.15 / n + 0.85 * coalesce(inflow, 0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = c3.t)
+    SELECT node, round(rank, 8) AS rank FROM r3
+    """,
+)
+def q_graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 fixed iterations, d=0.85) over the bipartite
+    user <-> event-type interaction graph — one co-keyed join + one
+    aggregation per iteration, lineage truncated between rounds; the
+    fixed iteration count makes the result a pure function of the edge
+    list, so the oracle replays it by unrolling the three rounds."""
+    from pyarrow_ops_spark.functions.graph import pagerank
+
+    ev = load_table(spark, "events", sf_dir)
+    ue = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = ue.unionByName(
+        ue.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
