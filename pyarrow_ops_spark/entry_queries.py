@@ -5098,11 +5098,22 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "source_quality_report",
     "dedup_exact_normalized",
     # -- (f) r2 certifications, refreshed for family coverage -------------
+    # (dedup_exact_docs and multimodal_features yielded their slots to
+    # category (i): git shows exact_duplicates/fingerprint and
+    # extract_features byte-unchanged since their r2 greens, so those
+    # certifications cannot have rotted, while the (i) rows' code paths
+    # DID change this round.)
     "sample_stratified_events",
     "similarity_topk_bruteforce",
-    "dedup_exact_docs",
-    "multimodal_features",
     "filters_like_between_null",
+    # -- (i) r3-green queries whose code path changed late this round:
+    #    cosine() moved to try_divide (ANSI zero-vector hardening) and
+    #    quality_score's ratios did the same — identical values on all
+    #    nonzero/nonempty inputs, but changed-since-green discipline says
+    #    re-certify. (similarity_threshold_join_lsh shares the cosine
+    #    change but no slot remained; it stays pytest-oracled this round.)
+    "pipeline_llm_curation",
+    "embedding_near_dup_lsh",
     # -- (g) mid-round-4 registrations: new operator families get their
     #    first driver certification. Slots yielded by cube_agg /
     #    groupby_median (grouping family keeps grouping_sets_agg r3-green,
