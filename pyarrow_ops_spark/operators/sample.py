@@ -379,23 +379,30 @@ def mixture_weights(
     All values round to 4 decimals for engine-portable comparison."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    from pyspark import StorageLevel
+
+    # persist: the counts relation (|strata| rows) feeds both the totals
+    # aggregate and the weight projection — without it each cross-join
+    # branch re-executes the corpus-wide count (plan audit showed 4
+    # executions of the raw-table scan)
+    counts = (
+        df.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    total = counts.agg(F.sum("n_rows").alias("__total"))
-    p = counts.crossJoin(F.broadcast(total)).select(
+    # algebraic collapse: z = sum_s (n_s/total)^alpha = sum_s n_s^alpha
+    # / total^alpha — so ONE totals aggregate (total, sum n^alpha)
+    # suffices; no second normalization pass over the strata
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.sum(F.pow(F.col("n_rows").cast("double"), F.lit(alpha))).alias("__sa"),
+    )
+    share = F.col("n_rows") / F.col("__total")
+    weight = F.pow(F.col("n_rows").cast("double"), F.lit(alpha)) / F.col("__sa")
+    return counts.crossJoin(F.broadcast(totals)).select(
         "stratum",
         "n_rows",
-        (F.col("n_rows") / F.col("__total")).alias("__share"),
-        F.pow(F.col("n_rows") / F.col("__total"), F.lit(alpha)).alias("__pa"),
-    )
-    z = p.agg(F.sum("__pa").alias("__z"))
-    return p.crossJoin(F.broadcast(z)).select(
-        "stratum",
-        "n_rows",
-        F.round("__share", 4).alias("share"),
-        F.round(F.col("__pa") / F.col("__z"), 4).alias("weight"),
-        F.round((F.col("__pa") / F.col("__z")) / F.col("__share"), 4).alias(
-            "boost"
-        ),
+        F.round(share, 4).alias("share"),
+        F.round(weight, 4).alias("weight"),
+        F.round(weight / share, 4).alias("boost"),
     )

@@ -252,3 +252,32 @@ def test_upsert_small_delta_broadcasts_anti_join(spark):
     plan = formatted_plan(merged)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_step_filters_pushed_to_scan(spark):
+    df = QUERIES["events_funnel"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    # each funnel stage scans only its own event type
+    assert "EqualTo(event_type,view)" in pushed
+    assert "EqualTo(event_type,click)" in pushed
+    assert "EqualTo(event_type,purchase)" in pushed
+
+
+def test_mixture_weights_no_raw_table_shuffle(spark):
+    # the raw table shuffles ONCE (the per-stratum count agg); the only
+    # other exchanges are SinglePartition scalar folds over |strata| rows
+    # and broadcasts of the single-row totals — never a join shuffle
+    df = QUERIES["mixture_weights_alpha"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert shuffle_count(df) <= 3
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_scd2_closed_history_not_joined(spark):
+    # the close join must sit above the is_current filter, and a small
+    # update side must broadcast
+    df = QUERIES["merge_scd2_orders"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
