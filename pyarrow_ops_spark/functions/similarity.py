@@ -544,7 +544,16 @@ def semantic_dedup_pairs(
     model = KMeans(
         k=n_clusters, seed=seed, featuresCol="fv", predictionCol="cluster"
     ).fit(train)
-    assigned = model.transform(feats).select("id", "v", "cluster")
+    from pyspark import StorageLevel
+
+    # assigned feeds cell grouping AND both verification sides — persist
+    # so the KMeans transform (a full corpus map) runs once, not three
+    # times
+    assigned = (
+        model.transform(feats)
+        .select("id", "v", "cluster")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     cells = (
         assigned.groupBy("cluster")

@@ -64,6 +64,10 @@ def funnel_steps(
                 .groupBy("__u")
                 .agg(F.min("__ts").alias("__t"))
             )
+        # each step's completions feed BOTH the next step's join and the
+        # final count — without truncation step 0's events scan re-executes
+        # once per downstream consumer (compounding along the chain)
+        cur = cur.localCheckpoint(eager=False)
         completions.append(cur)
         prev = cur
 
@@ -122,7 +126,13 @@ def retention_cohorts(
         F.col("__first"),
         F.pmod(F.datediff(F.col("__first"), F.to_date(F.lit("1970-01-05"))), period_days),
     )
-    cohorts = firsts.select("__u", cohort.alias("__cohort"))
+    from pyspark import StorageLevel
+
+    # cohorts feeds the activity join AND the size aggregate — persist so
+    # the per-user first-day aggregation runs once
+    cohorts = firsts.select("__u", cohort.alias("__cohort")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     joined = acts.dropDuplicates(["__u", "__d"]).join(cohorts, on="__u")
     offset = F.floor(
         F.datediff(F.col("__d"), F.col("__cohort")) / period_days

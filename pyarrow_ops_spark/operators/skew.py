@@ -124,7 +124,15 @@ def key_skew_report(
     driver-side beyond k rows."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    from pyspark import StorageLevel
+
+    # counts feeds both the totals aggregate and the ranking — persist so
+    # the corpus-wide count runs once, not once per consumer branch
+    counts = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = counts.agg(
         F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
     )
