@@ -5008,6 +5008,77 @@ def q_graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3)
 
 
+@query(
+    "pipeline_curation_v2",
+    r"""
+    WITH norm AS (
+        SELECT doc_id, source, text,
+               md5(trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(text), '[0-9]', '0', 'g'),
+                       '[^a-z0-9A-Z\s]', ' ', 'g'),
+                   '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    kept AS (  -- one canonical doc per normalized text (min doc_id)
+        SELECT n.doc_id, n.source, n.text
+        FROM norm n
+        JOIN (SELECT fp, min(doc_id) AS canonical_id FROM norm GROUP BY fp) w
+          ON n.doc_id = w.canonical_id
+    ),
+    q AS (
+        SELECT doc_id, source,
+               round(0.4 * least(len(string_split_regex(trim(text), '\s+')) / 64.0, 1.0)
+                     + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                              / length(text))
+                     + 0.3 * greatest(0.0, 1.0 - abs(
+                           length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                           / len(string_split_regex(trim(text), '\s+')) - 5.0) / 5.0),
+                     4) AS quality
+        FROM kept
+    ),
+    survivors AS (SELECT * FROM q WHERE quality >= 0.3),
+    c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 round(avg(quality), 4) AS avg_quality
+          FROM survivors GROUP BY source),
+    t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+                 sum(pow(CAST(n_docs AS DOUBLE), 0.5)) AS sa
+          FROM c)
+    SELECT source, n_docs, avg_quality,
+           round(pow(CAST(n_docs AS DOUBLE), 0.5) / sa, 4) AS weight
+    FROM c CROSS JOIN t
+    """,
+)
+def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone curation composite from this round's operators:
+    normalized exact dedup (digit-zeroed canonical form, digest-only
+    shuffle) -> quality-score gate -> per-source survivor counts ->
+    alpha-sampling mixture weights over the surviving distribution. One
+    linear pass per layer; the oracle replays every layer's exact
+    formula."""
+    from pyarrow_ops_spark.functions.text import normalize_text, quality_score
+    from pyarrow_ops_spark.operators.sample import mixture_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5(normalize_text("text", zero_digits=True))
+    norm = docs.select("doc_id", "source", "text", fp.alias("fp"))
+    winners = norm.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = norm.join(winners.select("doc_id"), on="doc_id", how="semi")
+    survivors = kept.withColumn("quality", quality_score("text")).filter(
+        F.col("quality") >= 0.3
+    )
+    per_source = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+    weights = mixture_weights(
+        survivors.select("source"), "source", alpha=0.5
+    ).select(F.col("stratum").alias("source"), "weight")
+    return per_source.join(weights, on="source").select(
+        "source", "n_docs", "avg_quality", "weight"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
