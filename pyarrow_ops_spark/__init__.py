@@ -94,6 +94,7 @@ from pyarrow_ops_spark.operators.resample import (
 from pyarrow_ops_spark.operators.diff import diff_tables, diff_summary, upsert, upsert_history
 from pyarrow_ops_spark.operators.events import funnel_steps, retention_cohorts
 from pyarrow_ops_spark.functions.graph import pagerank
+from pyarrow_ops_spark.sources.arrow_ipc import read_arrow_ipc, register_arrow_ipc
 from pyarrow_ops_spark.functions.stats import zscore, outlier_filter, quantile_rank
 from pyarrow_ops_spark.functions.similarity import (
     lsh_threshold_join,
@@ -211,6 +212,8 @@ __all__ = [
     "upsert_history",
     "funnel_steps",
     "pagerank",
+    "read_arrow_ipc",
+    "register_arrow_ipc",
     "retention_cohorts",
     "diff_summary",
     "zscore",
