@@ -26,6 +26,7 @@ def funnel_steps(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel completion: a user completes step i at the EARLIEST
     event of ``steps[i]`` that happens strictly after their step i-1
@@ -34,7 +35,9 @@ def funnel_steps(
 
     Output, one row per step in order: (step, event_type, n_users,
     conversion, overall) where ``conversion`` is n_i / n_{i-1} and
-    ``overall`` n_i / n_0, both rounded to 4.
+    ``overall`` n_i / n_0, both rounded to 4. ``max_gap_seconds`` adds
+    the usual conversion window: a step only counts when it happens
+    within that many seconds of the previous step's completion.
 
     Plan shape: step 0 is one hash aggregate (per-user min ts of the
     step-0 event); each later step joins the previous step's per-user
@@ -58,9 +61,15 @@ def funnel_steps(
         if prev is None:
             cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
         else:
+            after = F.col("__ts") > F.col("__pt")
+            if max_gap_seconds is not None:
+                after = after & (
+                    F.unix_timestamp("__ts") - F.unix_timestamp("__pt")
+                    <= max_gap_seconds
+                )
             cur = (
                 ev.join(prev.select("__u", F.col("__t").alias("__pt")), on="__u")
-                .filter(F.col("__ts") > F.col("__pt"))
+                .filter(after)
                 .groupBy("__u")
                 .agg(F.min("__ts").alias("__t"))
             )

@@ -73,3 +73,22 @@ def test_retention_rejects_bad_period(spark):
     df = spark.createDataFrame([(1, "2024-01-01")], "user_id long, ts string")
     with pytest.raises(ValueError):
         retention_cohorts(df, period_days=0)
+
+
+def test_funnel_conversion_window(spark):
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:00:30"),   # within 60s
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "click", "2024-01-01 11:00:00"),   # way past the window
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = {r.step: r.n_users
+           for r in funnel_steps(df, ["view", "click"], max_gap_seconds=60).collect()}
+    assert out == {0: 2, 1: 1}
+    # without the window both clicks count
+    out2 = {r.step: r.n_users
+            for r in funnel_steps(df, ["view", "click"]).collect()}
+    assert out2 == {0: 2, 1: 2}
