@@ -27,6 +27,7 @@ def funnel_steps(
     type_col: str = "event_type",
     ts_col: str = "ts",
     max_gap_seconds: int | None = None,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Ordered-funnel completion: a user completes step i at the EARLIEST
     event of ``steps[i]`` that happens strictly after their step i-1
@@ -75,8 +76,11 @@ def funnel_steps(
             )
         # each step's completions feed BOTH the next step's join and the
         # final count — without truncation step 0's events scan re-executes
-        # once per downstream consumer (compounding along the chain)
-        cur = cur.localCheckpoint(eager=False)
+        # once per downstream consumer (compounding along the chain).
+        # (``truncate_lineage=False`` keeps the full plan visible for
+        # plan-shape inspection/tests.)
+        if truncate_lineage:
+            cur = cur.localCheckpoint(eager=False)
         completions.append(cur)
         prev = cur
 

@@ -255,7 +255,15 @@ def test_upsert_small_delta_broadcasts_anti_join(spark):
 
 
 def test_funnel_step_filters_pushed_to_scan(spark):
-    df = QUERIES["events_funnel"](spark, SF_DIR)
+    # build with lineage intact: the production localCheckpoint hides the
+    # scans from the inspected plan once a previous test materialized it
+    from pyarrow_ops_spark.operators.events import funnel_steps
+    from pyarrow_ops_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
+    df = funnel_steps(
+        ev, ["view", "click", "purchase"], truncate_lineage=False
+    )
     pushed = pushed_filters(df)
     # each funnel stage scans only its own event type
     assert "EqualTo(event_type,view)" in pushed
