@@ -100,3 +100,77 @@ def test_cleaner_roundtrip_determinism(spark, rows):
     c2 = TableCleaner().from_dict(c1.to_dict())
     X2 = c2.clean_table(df).drop("__rid__").collect()
     assert sorted(map(tuple, X1)) == sorted(map(tuple, X2))
+
+
+# ---------------------------------------------------------------------------
+# round-4 operator laws: merge idempotence, normalization idempotence,
+# mixture normalization
+# ---------------------------------------------------------------------------
+
+MERGE_ROWS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6), VALS),
+    min_size=0, max_size=8,
+)
+
+
+@given(base=MERGE_ROWS, upd=MERGE_ROWS)
+@SETTINGS
+def test_upsert_idempotent_and_key_unique(spark, base, upd):
+    from pyarrow_ops_spark.operators.diff import upsert
+
+    b = spark.createDataFrame(
+        [(k, v) for k, v in {k: v for k, v in base}.items()], "k long, v long"
+    ) if base else spark.createDataFrame([], "k long, v long")
+    u = spark.createDataFrame(
+        [(k, v) for k, v in {k: v for k, v in upd}.items()], "k long, v long"
+    ) if upd else spark.createDataFrame([], "k long, v long")
+    once = upsert(b, u, ["k"])
+    twice = upsert(once, u, ["k"])
+    r1 = sorted(map(tuple, once.collect()))
+    r2 = sorted(map(tuple, twice.collect()))
+    assert r1 == r2  # applying the same delta again changes nothing
+    ks = [r[0] for r in r1]
+    assert len(ks) == len(set(ks))  # keys stay unique
+    # every update key carries the update's value
+    uvals = {k: v for k, v in {k: v for k, v in upd}.items()}
+    got = dict(r1)
+    for k, v in uvals.items():
+        assert got[k] == v
+
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs")),
+        max_size=24,
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@given(texts=TEXTS)
+@SETTINGS
+def test_normalize_text_idempotent(spark, texts):
+    from pyarrow_ops_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        normalize_text("t", zero_digits=True).alias("once")
+    ).select(
+        "once", normalize_text("once", zero_digits=True).alias("twice")
+    ).collect()
+    for r in out:
+        assert r.once == r.twice  # canonical form is a fixed point
+
+
+@given(rows=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=20),
+       alpha=st.sampled_from([0.0, 0.3, 0.5, 1.0]))
+@SETTINGS
+def test_mixture_weights_normalized(spark, rows, alpha):
+    from pyarrow_ops_spark.operators.sample import mixture_weights
+
+    df = spark.createDataFrame([(s,) for s in rows], "source string")
+    out = mixture_weights(df, "source", alpha).collect()
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-2  # 4dp rounding slack
+    assert sum(r.n_rows for r in out) == len(rows)
+    for r in out:
+        assert r.weight > 0
