@@ -44,6 +44,10 @@ def get_spark(
         # Spark has no TIMESTAMP(NANOS) parquet type; read as int64 ns and
         # convert to µs timestamps in the loader (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # allow Python DataSources (sources/arrow_ipc.py) to accept
+        # comparison-filter pushdown; the source still works (without
+        # pushdown) on sessions lacking this conf
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -62,6 +62,43 @@ class ArrowIPCReader(DataSourceReader):
         self.files = _list_files(self.path)
         if not self.files:
             raise ValueError(f"no Arrow IPC files under {self.path!r}")
+        self._pushed: list = []
+
+    def _mask(self, batch):
+        """Combined pyarrow.compute mask for the pushed filters (AND)."""
+        import pyarrow.compute as pc
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        mask = None
+        for f in self._pushed:
+            col = batch.column(f.attribute[0])
+            if isinstance(f, EqualTo):
+                m = pc.equal(col, f.value)
+            elif isinstance(f, GreaterThan):
+                m = pc.greater(col, f.value)
+            elif isinstance(f, GreaterThanOrEqual):
+                m = pc.greater_equal(col, f.value)
+            elif isinstance(f, LessThan):
+                m = pc.less(col, f.value)
+            elif isinstance(f, LessThanOrEqual):
+                m = pc.less_equal(col, f.value)
+            elif isinstance(f, IsNull):
+                m = pc.is_null(col)
+            else:  # IsNotNull
+                m = pc.is_valid(col)
+            # comparisons yield null for null inputs; a null predicate is
+            # not a match
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        return mask
 
     def partitions(self):
         # one partition per file: IPC files are not block-splittable, so
@@ -78,7 +115,48 @@ class ArrowIPCReader(DataSourceReader):
         with pa.memory_map(partition.path, "r") as source:
             reader = ipc.open_file(source)
             for i in range(reader.num_record_batches):
-                yield reader.get_batch(i)
+                batch = reader.get_batch(i)
+                if self._pushed:
+                    batch = batch.filter(self._mask(batch))
+                    if batch.num_rows == 0:
+                        continue
+                yield batch
+
+
+class ArrowIPCPushdownReader(ArrowIPCReader):
+    """Reader variant accepting comparison-filter pushdown. Merely
+    DEFINING ``pushFilters`` makes Spark require
+    ``spark.sql.python.filterPushdown.enabled`` (reads fail when the conf
+    is off), so the method lives in this subclass, selected only when the
+    caller opted in via ``option("pushdown", "true")`` —
+    ``read_arrow_ipc`` sets that automatically from the session conf."""
+
+    def pushFilters(self, filters):
+        """Accept the comparison filters pyarrow.compute can evaluate;
+        they run batch-vectorized BEFORE Arrow->JVM transfer, so filtered
+        rows never cross the boundary. Everything else is returned to
+        Spark unchanged (Spark re-applies pushed filters anyway — this is
+        a transfer-size optimization, never a correctness dependency)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        supported = (
+            EqualTo, GreaterThan, GreaterThanOrEqual,
+            LessThan, LessThanOrEqual, IsNull, IsNotNull,
+        )
+        for f in filters:
+            # only top-level columns (attribute path of length 1)
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self._pushed.append(f)
+            else:
+                yield f
 
 
 class ArrowIPCWriter(DataSourceArrowWriter):
@@ -132,6 +210,8 @@ class ArrowIPCDataSource(DataSource):
             return from_arrow_schema(r.schema)
 
     def reader(self, schema: StructType) -> ArrowIPCReader:
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return ArrowIPCPushdownReader(self.options)
         return ArrowIPCReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> ArrowIPCWriter:
@@ -143,7 +223,25 @@ def register_arrow_ipc(spark) -> None:
     spark.dataSource.register(ArrowIPCDataSource)
 
 
-def read_arrow_ipc(spark, path: str):
-    """Read Arrow IPC/Feather files as a DataFrame (registers on use)."""
+def read_arrow_ipc(spark, path: str, pushdown: "bool | None" = None):
+    """Read Arrow IPC/Feather files as a DataFrame (registers on use).
+
+    ``pushdown=None`` follows the session conf
+    (``spark.sql.python.filterPushdown.enabled``); when on, comparison
+    filters evaluate batch-vectorized in pyarrow BEFORE the Arrow->JVM
+    transfer, so filtered rows never cross the boundary."""
     register_arrow_ipc(spark)
-    return spark.read.format("arrowipc").load(path)
+    if pushdown is None:
+        pushdown = (
+            str(
+                spark.conf.get(
+                    "spark.sql.python.filterPushdown.enabled", "false"
+                )
+            ).lower()
+            == "true"
+        )
+    return (
+        spark.read.format("arrowipc")
+        .option("pushdown", "true" if pushdown else "false")
+        .load(path)
+    )
