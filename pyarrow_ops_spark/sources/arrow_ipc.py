@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -191,6 +192,72 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         return WriterCommitMessage()
 
 
+class ArrowIPCStreamReader(SimpleDataSourceStreamReader):
+    """Streaming micro-batches from an Arrow IPC drop directory.
+
+    Offset = the high-watermark FILENAME (files sort lexicographically),
+    so producers must write monotonically-named files — the standard
+    drop-directory convention (``part-00001``, timestamp prefixes; the
+    batch writer's ``part-<pid>-<uuid>`` names do NOT qualify across
+    jobs). The offset dict stays O(1) regardless of history, and
+    ``readBetweenOffsets`` replays any (start, end] slice
+    deterministically for recovery. Rows go through the simple (tuple)
+    API — streaming drops are modest per batch; bulk backfills should
+    use the batch reader.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("arrowipc streaming requires a path")
+
+    def initialOffset(self):
+        return {"watermark": ""}
+
+    def _files_between(self, start: str, end: "str | None" = None):
+        names = [
+            f for f in _list_files(self.path)
+            if os.path.basename(f) > start
+            and (end is None or os.path.basename(f) <= end)
+        ]
+        return sorted(names, key=os.path.basename)
+
+    def _rows(self, files):
+        # a concrete list, not a generator: Spark pickles the returned
+        # iterator for prefetch/replay, and generators don't pickle
+        import pyarrow.ipc as ipc
+
+        rows = []
+        for path in files:
+            with ipc.open_file(path) as r:
+                for i in range(r.num_record_batches):
+                    rows.extend(
+                        tuple(row.values())
+                        for row in r.get_batch(i).to_pylist()
+                    )
+        return rows
+
+    def read(self, start):
+        files = self._files_between(start.get("watermark", ""))
+        if not files:
+            return iter([]), start
+        end = {"watermark": os.path.basename(files[-1])}
+        # iter(list): Spark needs a real iterator (it calls next()) that
+        # ALSO pickles for prefetch-cache replay — list iterators do,
+        # generators don't
+        return iter(self._rows(files)), end
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(
+            self._files_between(
+                start.get("watermark", ""), end.get("watermark", "")
+            )
+        ))
+
+    def commit(self, end):
+        pass
+
+
 class ArrowIPCDataSource(DataSource):
     """``spark.read.format("arrowipc")`` / ``df.write.format("arrowipc")``."""
 
@@ -216,6 +283,9 @@ class ArrowIPCDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ArrowIPCWriter:
         return ArrowIPCWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> ArrowIPCStreamReader:
+        return ArrowIPCStreamReader(self.options)
 
 
 def register_arrow_ipc(spark) -> None:

@@ -78,3 +78,36 @@ def test_filter_pushdown_string_and_null_semantics(spark, tmp_path):
     assert sorted(r.k for r in df.filter("s = 'y'").collect()) == [3]
     assert sorted(r.s for r in df.filter("k IS NULL").collect()) == ["z"]
     assert df.filter("k >= 2").count() == 2  # null k never matches
+
+
+def test_stream_new_files_become_microbatches(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    feather.write_feather(pa.table({"x": [1, 2]}), str(d / "00001.arrow"))
+    register_arrow_ipc(spark)
+    stream = (
+        spark.readStream.format("arrowipc")
+        .schema("x bigint")
+        .option("path", str(d))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ipc_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = sorted(r.x for r in spark.sql("SELECT x FROM ipc_stream_out").collect())
+        assert got1 == [1, 2]
+        # a later-named file lands -> next micro-batch picks it up
+        feather.write_feather(pa.table({"x": [3]}), str(d / "00002.arrow"))
+        q.processAllAvailable()
+        got2 = sorted(r.x for r in spark.sql("SELECT x FROM ipc_stream_out").collect())
+        assert got2 == [1, 2, 3]
+    finally:
+        q.stop()
