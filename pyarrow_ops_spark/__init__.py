@@ -51,6 +51,8 @@ from pyarrow_ops_spark.functions.dedup import (
     winnow_pairs,
     simhash_pairs,
     decontaminate,
+    build_dedup_index,
+    dedup_against_index,
     decontaminate_bloom,
     duplicated_spans,
     strip_duplicated_spans,
@@ -180,6 +182,8 @@ __all__ = [
     "dedup_exact",
     "exact_duplicates",
     "decontaminate",
+    "build_dedup_index",
+    "dedup_against_index",
     "decontaminate_bloom",
     "duplicated_spans",
     "strip_duplicated_spans",

@@ -1066,3 +1066,51 @@ def decontaminate(
     )
     keyed = train.withColumn("__fp", fingerprint(text_col))
     return keyed.join(test_fps, on="__fp", how="left_anti").drop("__fp")
+
+
+def build_dedup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's normalized-text fingerprint set as a parquet
+    digest index — the durable state of INCREMENTAL dedup: build once
+    over the existing corpus, then every new batch dedups against it
+    (``dedup_against_index``) without rescanning history.
+
+    The index is 16 bytes/distinct-document regardless of text width
+    (billions of docs fit in tens of GB), partitioned like any parquet
+    dataset; ``mode='append'`` extends it with a new batch's digests —
+    duplicate digests in the index are harmless (the consumer anti-joins
+    on a distinct build side)."""
+    from pyarrow_ops_spark.functions.text import fingerprint
+
+    df.select(fingerprint(text_col).alias("fp")).distinct().write.mode(
+        mode
+    ).parquet(path)
+
+
+def dedup_against_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every document whose fingerprint is already in the digest
+    index at ``path`` — the incremental-ingest step: new crawl batches
+    check in against the historical corpus without touching it. Digest
+    anti-join only (16-byte payload); a small-enough index broadcasts
+    under AQE so the new batch never shuffles. Compose with
+    ``build_dedup_index(mode='append')`` to enroll survivors."""
+    from pyarrow_ops_spark.functions.text import fingerprint
+
+    spark = df.sparkSession
+    # drop the shared FileStatusCache entry for the index path: a
+    # build_dedup_index(mode='append') in this session otherwise leaves a
+    # stale file listing and the new digests are silently invisible
+    spark.catalog.refreshByPath(path)
+    idx = spark.read.parquet(path).select("fp").distinct()
+    keyed = df.withColumn("__fp", fingerprint(text_col))
+    return keyed.join(
+        idx, on=keyed["__fp"] == idx["fp"], how="anti"
+    ).drop("__fp")

@@ -828,3 +828,26 @@ def test_zero_vectors_never_pair(spark):
     assert {(r.id_a, r.id_b) for r in lsh.collect()} == {(3, 4)}
     sem = S.semantic_dedup_pairs(df, 0.5, n_clusters=2)
     assert {(r.id_a, r.id_b) for r in sem.collect()} == {(3, 4)}
+
+
+def test_dedup_index_incremental_round_trip(spark, docs, tmp_path):
+    idx = str(tmp_path / "digest_index")
+    first = docs.filter(F.col("doc_id") < 250)
+    rest = docs.filter(F.col("doc_id") >= 250)
+    D.build_dedup_index(first, idx)
+    # a new batch containing re-crawls of indexed docs plus fresh ones
+    batch = rest.unionByName(first.limit(50))
+    out = D.dedup_against_index(batch, idx)
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == {r.doc_id for r in rest.select("doc_id").collect()}
+    # the ingest flow: persist survivors, THEN enroll the written rows —
+    # enrolling a still-lazy survivor plan would re-evaluate it against
+    # the index it is itself appending to
+    surv_path = str(tmp_path / "survivors")
+    out.write.parquet(surv_path)
+    written = spark.read.parquet(surv_path)
+    D.build_dedup_index(written, idx, mode="append")
+    # re-presenting the enrolled batch now dedups to empty
+    assert D.dedup_against_index(written, idx).count() == 0
+    # and a never-seen doc still passes through
+    assert D.dedup_against_index(first.limit(0), idx).count() == 0
