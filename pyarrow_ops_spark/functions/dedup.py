@@ -1101,7 +1101,12 @@ def dedup_against_index(
     check in against the historical corpus without touching it. Digest
     anti-join only (16-byte payload); a small-enough index broadcasts
     under AQE so the new batch never shuffles. Compose with
-    ``build_dedup_index(mode='append')`` to enroll survivors."""
+    ``build_dedup_index(mode='append')`` to enroll survivors — but
+    PERSIST the survivor batch first (write it, or checkpoint): enrolling
+    a still-lazy survivor plan re-evaluates it against the very index it
+    is appending to (and Spark's file-listing cache makes the outcome
+    timing-dependent); the ingest flow is dedup -> write -> enroll the
+    written rows."""
     from pyarrow_ops_spark.functions.text import fingerprint
 
     spark = df.sparkSession
