@@ -5064,8 +5064,14 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = docs.select("doc_id", "source", "text", fp.alias("fp"))
     winners = norm.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = norm.join(winners.select("doc_id"), on="doc_id", how="semi")
-    survivors = kept.withColumn("quality", quality_score("text")).filter(
-        F.col("quality") >= 0.3
+    from pyspark import StorageLevel
+
+    # survivors feed the per-source stats AND the mixture weights —
+    # persist so the dedup join + quality scan run once, not twice
+    survivors = (
+        kept.withColumn("quality", quality_score("text"))
+        .filter(F.col("quality") >= 0.3)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     per_source = survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -44,17 +44,23 @@ def pagerank(
     if not 0.0 <= damping <= 1.0:
         raise ValueError(f"damping must be in [0, 1], got {damping}")
 
+    from pyspark import StorageLevel
+
+    # nodes and the normalized edge list feed every iteration — persist
+    # both so the distinct-edges shuffle and degree aggregate run once,
+    # not once per consumer per round
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("t").alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    norm = e.join(outdeg, on="s")  # (s, t, d)
+    norm = e.join(outdeg, on="s").persist(StorageLevel.MEMORY_AND_DISK)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n

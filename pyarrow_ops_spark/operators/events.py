@@ -64,9 +64,12 @@ def funnel_steps(
         else:
             after = F.col("__ts") > F.col("__pt")
             if max_gap_seconds is not None:
+                # cast-to-double keeps sub-second precision; unix_timestamp
+                # truncates to whole seconds and would admit events up to
+                # ~1s past the window
                 after = after & (
-                    F.unix_timestamp("__ts") - F.unix_timestamp("__pt")
-                    <= max_gap_seconds
+                    F.col("__ts").cast("double") - F.col("__pt").cast("double")
+                    <= float(max_gap_seconds)
                 )
             cur = (
                 ev.join(prev.select("__u", F.col("__t").alias("__pt")), on="__u")

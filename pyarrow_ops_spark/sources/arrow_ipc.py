@@ -133,11 +133,20 @@ class ArrowIPCPushdownReader(ArrowIPCReader):
     ``read_arrow_ipc`` sets that automatically from the session conf."""
 
     def pushFilters(self, filters):
-        """Accept the comparison filters pyarrow.compute can evaluate;
-        they run batch-vectorized BEFORE Arrow->JVM transfer, so filtered
-        rows never cross the boundary. Everything else is returned to
-        Spark unchanged (Spark re-applies pushed filters anyway — this is
-        a transfer-size optimization, never a correctness dependency)."""
+        """Accept the comparison filters pyarrow.compute evaluates with
+        Spark-identical semantics; they run batch-vectorized BEFORE the
+        Arrow->JVM transfer, so filtered rows never cross the boundary.
+
+        ACCEPTED FILTERS ARE AUTHORITATIVE: per the DataSource contract
+        Spark re-evaluates only the filters this method RETURNS, so a
+        filter may be kept only when the pyarrow mask matches Spark SQL
+        exactly. That excludes float comparisons (Spark's `= NaN` is
+        TRUE for NaN pairs; IEEE/pyarrow says false) and date/timestamp
+        values (tz coercion differs) — only int/bool/string comparison
+        values and the null tests are kept; everything else goes back to
+        Spark."""
+        import datetime as _dt
+
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
@@ -148,19 +157,42 @@ class ArrowIPCPushdownReader(ArrowIPCReader):
             LessThanOrEqual,
         )
 
-        supported = (
+        comparisons = (
             EqualTo, GreaterThan, GreaterThanOrEqual,
-            LessThan, LessThanOrEqual, IsNull, IsNotNull,
+            LessThan, LessThanOrEqual,
         )
+
+        def _safe_value(v) -> bool:
+            # bool is an int subclass — fine either way
+            return isinstance(v, (int, str)) and not isinstance(v, _dt.date)
+
         for f in filters:
             # only top-level columns (attribute path of length 1)
-            if isinstance(f, supported) and len(f.attribute) == 1:
+            if len(getattr(f, "attribute", ())) != 1:
+                yield f
+            elif isinstance(f, (IsNull, IsNotNull)):
+                self._pushed.append(f)
+            elif isinstance(f, comparisons) and _safe_value(f.value):
                 self._pushed.append(f)
             else:
                 yield f
 
 
+class _IPCCommit(WriterCommitMessage):
+    def __init__(self, tmp: "str | None", final: "str | None"):
+        self.tmp = tmp
+        self.final = final
+
+
 class ArrowIPCWriter(DataSourceArrowWriter):
+    """Temp-then-rename commit protocol: tasks write ``*.arrow.tmp``
+    (invisible to the reader's ``*.arrow`` globs), the driver-side
+    ``commit`` renames exactly the successful attempts' files — so a
+    failed or speculative duplicate attempt can never surface partial or
+    doubled data — and honors ``mode('overwrite')`` by removing the
+    previous ``*.arrow`` files in the same commit. ``abort`` deletes the
+    temps."""
+
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
@@ -168,28 +200,53 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
-        import pyarrow as pa
         import pyarrow.ipc as ipc
         from pyspark import TaskContext
 
         os.makedirs(self.path, exist_ok=True)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
-        out = os.path.join(
+        final = os.path.join(
             self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.arrow"
         )
+        tmp = final + ".tmp"
         # DataSourceArrowWriter hands the iterator over as RecordBatches —
         # Arrow on both sides of the exchange, no per-row Python
         writer = None
         try:
             for batch in iterator:
                 if writer is None:
-                    writer = ipc.new_file(out, batch.schema)
+                    writer = ipc.new_file(tmp, batch.schema)
                 writer.write_batch(batch)
         finally:
             if writer is not None:
                 writer.close()
-        return WriterCommitMessage()
+        if writer is None:  # empty partition: nothing to commit
+            return _IPCCommit(None, None)
+        return _IPCCommit(tmp, final)
+
+    def commit(self, messages):
+        keep = set()
+        if self.overwrite:
+            old = set(_list_files(self.path))
+        for m in messages:
+            if m is not None and m.tmp is not None:
+                os.replace(m.tmp, m.final)
+                keep.add(m.final)
+        if self.overwrite:
+            for f in old - keep:
+                os.remove(f)
+        # sweep stray temps from failed/speculative attempts
+        for f in _glob.glob(os.path.join(self.path, "*.arrow.tmp")):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and m.tmp is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
 
 
 class ArrowIPCStreamReader(SimpleDataSourceStreamReader):

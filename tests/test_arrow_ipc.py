@@ -61,9 +61,29 @@ def test_filter_pushdown_results_and_plan(spark, ipc_dir):
     df = read_arrow_ipc(spark, ipc_dir).filter("id > 2 AND name IS NOT NULL")
     rows = sorted((r.id, r.name) for r in df.collect())
     assert rows == [(3, "c"), (4, "d"), (5, "e")]
-    # planner reports the pushed filters on the scan node
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" in plan or "id" in plan  # tolerant across versions
+
+
+def test_pushdown_acceptance_unit(ipc_dir):
+    # unit-level: which filters the reader keeps vs returns to Spark
+    import datetime
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull
+
+    from pyarrow_ops_spark.sources.arrow_ipc import ArrowIPCPushdownReader
+
+    r = ArrowIPCPushdownReader({"path": ipc_dir})
+    returned = list(
+        r.pushFilters(
+            [
+                GreaterThan(("id",), 2),           # safe int -> kept
+                IsNotNull(("name",)),              # null test -> kept
+                EqualTo(("v",), float("nan")),     # float -> returned
+                EqualTo(("d",), datetime.date(2024, 1, 1)),  # date -> returned
+                EqualTo(("a", "b"), 1),            # nested path -> returned
+            ]
+        )
+    )
+    assert len(r._pushed) == 2
+    assert len(returned) == 3
 
 
 def test_filter_pushdown_string_and_null_semantics(spark, tmp_path):
@@ -111,3 +131,22 @@ def test_stream_new_files_become_microbatches(spark, tmp_path):
         assert got2 == [1, 2, 3]
     finally:
         q.stop()
+
+
+def test_write_overwrite_replaces_old_files(spark, tmp_path, ipc_dir):
+    import glob as _g
+
+    register_arrow_ipc(spark)
+    df = read_arrow_ipc(spark, ipc_dir)
+    out = str(tmp_path / "ow")
+    df.write.format("arrowipc").mode("append").save(out)
+    n_files_1 = len(_g.glob(out + "/*.arrow"))
+    # overwrite with a SUBSET: old files must disappear, not accumulate
+    df.filter("id <= 2").coalesce(1).write.format("arrowipc").mode(
+        "overwrite"
+    ).save(out)
+    back = read_arrow_ipc(spark, out)
+    assert sorted(r.id for r in back.collect()) == [1, 2]
+    assert len(_g.glob(out + "/*.arrow")) == 1
+    assert n_files_1 >= 1
+    assert _g.glob(out + "/*.arrow.tmp") == []  # no stray temps
