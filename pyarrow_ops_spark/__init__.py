@@ -105,6 +105,8 @@ from pyarrow_ops_spark.functions.similarity import (
     similarity_join,
     lsh_topk,
     ivf_topk,
+    build_ivf_index,
+    ivf_topk_indexed,
     embedding_near_dup,
     embedding_lsh_pairs,
     embedding_lsh_edges,
@@ -236,6 +238,8 @@ __all__ = [
     "similarity_join",
     "lsh_topk",
     "ivf_topk",
+    "build_ivf_index",
+    "ivf_topk_indexed",
     "embedding_near_dup",
     "embedding_lsh_pairs",
     "embedding_lsh_edges",

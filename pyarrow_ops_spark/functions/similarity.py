@@ -1000,3 +1000,102 @@ def label_centroids(
         .groupBy(label_col, "pos")
         .agg(F.round(F.avg("v"), 4).alias("avg_v"))
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: KMeans centroids (tiny parquet) plus the
+    corpus assigned to cells and written PARTITIONED BY CLUSTER — the
+    FAISS build/load lifecycle on plain parquet. Cell locality is
+    physical: each cell is its own directory, so a probe reads only the
+    probed cells' files via partition pruning; the unprobed ~(1 -
+    n_probe/n_clusters) of the corpus is never opened, which is the
+    entire point of IVF at 100 TB. Rebuild (or train on a sample with
+    ``train_fraction``) as the corpus drifts, like any ANN index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("c_vec"))
+    feats = c.withColumn("fv", array_to_vector("c_vec"))
+    train = feats if train_fraction >= 1.0 else feats.sample(train_fraction, seed=seed)
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="fv", predictionCol="cluster"
+    ).fit(train)
+    assigned = model.transform(feats).select(id_col, "c_vec", "cluster")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/cells"
+    )
+    spark = corpus.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cluster int, center array<double>",
+    )
+    centers.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED IVF index (see
+    ``build_ivf_index``): centroids broadcast, each query picks its
+    ``n_probe`` nearest cells, and the cell scan is a partition-pruned
+    read — only the probed cells' files open. Same ranking semantics as
+    the in-memory ``ivf_topk`` (exact cosine within probed cells,
+    rounded, id tie-break)."""
+    query_id_col = query_id_col or id_col
+    spark.catalog.refreshByPath(f"{path}/cells")
+    centers = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec")
+    )
+    probe_w = W.partitionBy("q_id").orderBy(
+        F.col("centroid_sim").desc(), F.col("cluster")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centers))
+        .select(
+            "q_id", "q_vec", "cluster",
+            cosine(F.col("q_vec"), F.col("center")).alias("centroid_sim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("q_id", "q_vec", "cluster")
+    )
+    # driver-side cell list (n_probe × |queries| ints) -> an isin filter
+    # on the PARTITION column, so the scan prunes unprobed directories
+    probed_cells = sorted(
+        {r.cluster for r in probes.select("cluster").distinct().collect()}
+    )
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cluster").isin(probed_cells)
+    )
+    cands = cells.join(F.broadcast(probes), on="cluster").filter(
+        F.col("q_id") != F.col(id_col)
+    )
+    sims = cands.select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -851,3 +851,35 @@ def test_dedup_index_incremental_round_trip(spark, docs, tmp_path):
     assert D.dedup_against_index(written, idx).count() == 0
     # and a never-seen doc still passes through
     assert D.dedup_against_index(first.limit(0), idx).count() == 0
+
+
+def test_ivf_index_persisted_matches_in_memory(emb, tmp_path):
+    idx = str(tmp_path / "ivf_index")
+    S.build_ivf_index(emb, idx, n_clusters=8)
+    spark = emb.sparkSession
+    queries = emb.filter(F.col("vec_id") < 5)
+    mem = {
+        (r.q_id, r.vec_id)
+        for r in S.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3).collect()
+    }
+    disk = {
+        (r.q_id, r.vec_id)
+        for r in S.ivf_topk_indexed(spark, idx, queries, k=5, n_probe=3).collect()
+    }
+    assert disk == mem  # same model seed, same cells, same ranking
+
+
+def test_ivf_index_scan_prunes_unprobed_cells(emb, tmp_path):
+    import glob
+
+    idx = str(tmp_path / "ivf_idx2")
+    S.build_ivf_index(emb, idx, n_clusters=8)
+    # physical layout: one directory per cell
+    assert len(glob.glob(f"{idx}/cells/cluster=*")) == 8
+    spark = emb.sparkSession
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = S.ivf_topk_indexed(spark, idx, queries, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partition filter on the cluster column reaches the scan
+    assert "cluster" in plan
+    assert out.count() == 3
