@@ -78,6 +78,8 @@ from pyarrow_ops_spark.functions.ordering import (
 )
 from pyarrow_ops_spark.functions.search import (
     bm25_topk,
+    bm25_topk_indexed,
+    build_text_index,
     tfidf_topk,
     unigram_nll,
     bigram_nll,
@@ -203,6 +205,8 @@ __all__ = [
     "pack_token_batches",
     "curriculum_order",
     "bm25_topk",
+    "bm25_topk_indexed",
+    "build_text_index",
     "tfidf_topk",
     "unigram_nll",
     "bigram_nll",

@@ -315,3 +315,113 @@ def unigram_nll(
             F.avg("__nl").alias("nll"),
         )
     )
+
+
+N_TERM_BUCKETS = 64
+
+
+def build_text_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist a BM25 postings index: (term, doc, tf, doc-length) rows
+    PARTITIONED BY a hash bucket of the term, plus the corpus stats
+    (N, avgdl) and per-term document frequencies. A query then reads
+    ONLY the buckets its terms hash into — partition pruning over the
+    postings, the inverted-index analog of the IVF cell layout. Rebuild
+    as the corpus changes (or append new docs' postings and accept
+    slightly stale df/avgdl, like any search engine's segment model)."""
+    base = df.select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    ).select(id_col, "__toks", F.size("__toks").alias("dl"))
+    postings = (
+        base.select(id_col, "dl", F.explode("__toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS))
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    spark = df.sparkSession
+    spark.catalog.refreshByPath(f"{path}/postings")
+    written = spark.read.parquet(f"{path}/postings")
+    dfreq = written.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
+    base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query: "Sequence[str] | str",
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k against a PERSISTED index (``build_text_index``):
+    the postings scan prunes to the query terms' hash buckets — at most
+    |terms| directories open regardless of corpus size — and the term
+    filter inside each bucket pushes to parquet. Scoring math and
+    tie-breaks match the index-free ``bm25_topk`` exactly."""
+    if isinstance(query, str):
+        import re
+
+        terms = sorted(set(re.findall(WORD_RE, query.lower())))
+    else:
+        terms = sorted({t.lower() for t in query})
+    if not terms:
+        raise ValueError("query produced no terms")
+
+    # the query terms' buckets, via the SAME xxhash64 the index used — a
+    # one-row-per-term Spark job (|terms| values to the driver), since
+    # Spark's xxhash64 has no portable Python twin
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = sorted(
+        {
+            r.b
+            for r in tdf.select(
+                F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("b")
+            ).collect()
+        }
+    )
+    spark.catalog.refreshByPath(f"{path}/postings")
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))  # partition pruning
+        .filter(F.col("term").isin(terms))      # pushed within buckets
+    )
+    dfreq = spark.read.parquet(f"{path}/dfreq").filter(
+        F.col("term").isin(terms)
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                F.log(
+                    1.0
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -193,3 +193,42 @@ class TestTfidf:
         )
         out = tfidf_topk(df, "same", k=3).collect()
         assert [r.doc_id for r in out] == [0, 1, 2]  # id tie-break
+
+
+class TestIndexedBM25:
+    def test_indexed_matches_index_free(self, spark, tmp_path):
+        from pyarrow_ops_spark.functions.search import (
+            bm25_topk,
+            bm25_topk_indexed,
+            build_text_index,
+        )
+        from pyarrow_ops_spark.sources.tables import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, "documents", SF_DIR)
+        idx = str(tmp_path / "text_index")
+        build_text_index(docs, idx)
+        q = "the data pipeline model"
+        free = [(r.doc_id, round(r.score, 4)) for r in bm25_topk(docs, q, k=10).collect()]
+        indexed = [
+            (r.doc_id, round(r.score, 4))
+            for r in bm25_topk_indexed(spark, idx, q, k=10).collect()
+        ]
+        assert indexed == free
+
+    def test_postings_partitioned_by_bucket(self, spark, tmp_path):
+        import glob
+        from pyarrow_ops_spark.functions.search import build_text_index
+        from pyarrow_ops_spark.sources.tables import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, "documents", SF_DIR).limit(50)
+        idx = str(tmp_path / "ti2")
+        build_text_index(docs, idx)
+        assert len(glob.glob(f"{idx}/postings/bucket=*")) > 1
+
+    def test_empty_query_raises(self, spark, tmp_path):
+        from pyarrow_ops_spark.functions.search import bm25_topk_indexed
+
+        with pytest.raises(ValueError):
+            bm25_topk_indexed(spark, str(tmp_path), "!!!")
