@@ -5112,6 +5112,59 @@ def q_stats_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "search_bm25_indexed",
+    """
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base),
+    tf AS (
+        SELECT doc_id, dl, t, count(*) AS tf FROM (
+            SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM base
+        ) WHERE t IN ('data', 'model', 'pipeline', 'the')
+        GROUP BY doc_id, dl, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               sum( ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) )
+                   AS score
+        FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the PERSISTED postings index: build (term-bucket-
+    partitioned postings + dfreq + stats) then query with partition-
+    pruned bucket reads. The oracle is the index-free formula — indexed
+    and index-free scoring are provably identical, so this row hash-
+    certifies the whole build/probe lifecycle. The index build is a
+    deterministic side effect under /tmp, keyed by sf_dir."""
+    import hashlib
+    import os
+
+    from pyarrow_ops_spark.functions.search import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/spark_graft_text_index_{key}"
+    # rebuild unless this sf_dir's index already exists (stats dir last)
+    if not os.path.exists(os.path.join(idx, "stats")):
+        build_text_index(docs, idx)
+    out = bm25_topk_indexed(spark, idx, "the data pipeline model", k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
