@@ -5165,6 +5165,48 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+@query(
+    "similarity_topk_ivf_indexed",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT q_id, vec_id, sim FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               round(list_cosine_similarity(q.v, c.v), 4) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id) AS rn
+        FROM e q JOIN e c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 5) t
+    WHERE rn <= 5
+    """,
+)
+def q_similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index in its exact configuration (n_probe =
+    n_clusters, every cell-partition read): the result must equal brute
+    force, so the whole on-disk lifecycle — KMeans train, cell-partitioned
+    write, centroid persistence, partition-pruned probe, candidate
+    ranking — hash-certifies against the brute-force oracle. Production
+    n_probe < n_clusters configs stay rows-only (recall < 1 by design,
+    pytest parity vs the in-memory path). Index build is a deterministic
+    side effect under /tmp keyed by sf_dir."""
+    import hashlib
+    import os
+
+    from pyarrow_ops_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/spark_graft_ivf_index_{key}"
+    if not os.path.exists(os.path.join(idx, "centroids")):
+        build_ivf_index(emb, idx, n_clusters=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_indexed(spark, idx, queries, k=5, n_probe=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
