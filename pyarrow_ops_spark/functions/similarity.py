@@ -135,8 +135,21 @@ def _collapse_exact_vectors(e: DataFrame) -> "tuple[DataFrame, bool]":
     itself still groups by the full vector), never merge distinct
     vectors.
 
+    The input relation is persisted HERE, before the pre-check agg runs:
+    the agg job materializes the cache, so the pre-check costs one
+    cached-relation aggregate instead of a second source-scan pipeline
+    (the r4 shape paid scan+cast twice on dup-free corpora — a measured
+    ~2x constant on the sf0.1 bench), and both the skip path's signature
+    pass and the dup path's groupBy read the cached rows. The persist is
+    deliberately left referenced by the returned plan (MEMORY_AND_DISK,
+    LRU-evictable); long-lived sessions clear it via
+    ``spark.catalog.clearCache()`` between pipelines, as the bench does.
+
     Returns ``(groups, had_dups)`` so call sites can skip the group
     persist and member-expansion machinery entirely on the skip path."""
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     n_dups = e.agg(
         (F.count(F.lit(1)) - F.count_distinct(F.xxhash64("v"))).alias("d")
     ).collect()[0]["d"]
@@ -885,31 +898,38 @@ def lsh_threshold_join(
     defaults give ~1-1e-12 candidate probability at cosine >= 0.99 and
     prune near-orthogonal pairs to ~6%.
 
-    Both sides collapse byte-identical vectors first (the two-sided analog
-    of ``_collapse_exact_vectors``): candidate generation and cosine
+    Both sides collapse byte-identical vectors first via
+    ``_collapse_exact_vectors``: candidate generation and cosine
     verification run on UNIQUE vectors per side, and member ids expand
     only into the final output — so duplicate mass (replicated queries, a
     corpus with heavy exact-dup content) costs output rows, never
     candidate or verification work. The 10×-replica scale test measured
-    14× growth at 10× data before the collapse."""
+    14× growth at 10× data before the collapse. Dup-free sides skip the
+    full-vector groupBy shuffle entirely (digest pre-check; the r4 shape
+    paid two unconditional collapse shuffles + persists, a ~2× constant
+    on the dup-free sf0.1 bench)."""
     from pyspark import StorageLevel
 
     query_id_col = query_id_col or id_col
-    qg = (
-        queries.select(
-            F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("v")
-        )
-        .groupBy("v")
-        .agg(F.collect_list("q_id").alias("q_ids"))
-        .withColumn("q_rep", F.array_min("q_ids"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    qg, q_dups = _collapse_exact_vectors(
+        queries.select(F.col(query_id_col).alias("id"), _as_double(vec_col).alias("v"))
     )
-    cg = (
-        corpus.select(F.col(id_col).alias("c_id"), _as_double(vec_col).alias("v"))
-        .groupBy("v")
-        .agg(F.collect_list("c_id").alias("c_ids"))
-        .withColumn("c_rep", F.array_min("c_ids"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cg, c_dups = _collapse_exact_vectors(
+        corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    )
+    if q_dups:
+        qg = qg.persist(StorageLevel.MEMORY_AND_DISK)
+    if c_dups:
+        cg = cg.persist(StorageLevel.MEMORY_AND_DISK)
+    qg = qg.select(
+        F.element_at("members", 1).alias("q_rep"),
+        F.col("members").alias("q_ids"),
+        "v",
+    )
+    cg = cg.select(
+        F.element_at("members", 1).alias("c_rep"),
+        F.col("members").alias("c_ids"),
+        "v",
     )
 
     qb = banded_rows(
