@@ -1011,10 +1011,35 @@ def decontaminate_bloom(
                 np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
         yield pd.DataFrame({"bits": [bm.tobytes()]} if seen else {"bits": []})
 
-    parts = test_h.mapInPandas(_partial_bloom, "bits binary").collect()
-    bitmap = np.zeros(m // 8, dtype=np.uint8)
-    for row in parts:
-        bitmap |= np.frombuffer(row["bits"], dtype=np.uint8)
+    def _or_combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for b in batches:
+            for buf in b["bits"]:
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                acc = arr.copy() if acc is None else (acc | arr)
+        yield pd.DataFrame({"bits": [acc.tobytes()]} if acc is not None else {"bits": []})
+
+    # Executor-side tree OR of the per-partition partial bitmaps: the
+    # driver receives exactly ONE m/8-byte bitmap regardless of eval-side
+    # partition count. Collecting the partials directly would move
+    # n_partitions x m/8 bytes through the driver (~5 GiB at 10k
+    # partitions x 2^22 bits) for a 512 KiB result. The two repartition
+    # levels are shuffle barriers on purpose — a narrow coalesce here
+    # would propagate up and collapse the scan/hash parallelism to the
+    # reduced slot count.
+    parts = (
+        test_h.mapInPandas(_partial_bloom, "bits binary")
+        .repartition(64)
+        .mapInPandas(_or_combine, "bits binary")
+        .repartition(1)
+        .mapInPandas(_or_combine, "bits binary")
+        .collect()
+    )
+    if parts:
+        bitmap = np.frombuffer(parts[0]["bits"], dtype=np.uint8).copy()
+    else:
+        bitmap = np.zeros(m // 8, dtype=np.uint8)
+    assert len(parts) <= 1, f"tree OR must yield one bitmap, got {len(parts)}"
     bc = train.sparkSession.sparkContext.broadcast(bitmap.tobytes())
 
     from pyspark.sql.functions import pandas_udf

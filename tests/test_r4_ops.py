@@ -252,3 +252,16 @@ def test_decontaminate_bloom_tiny_filter_still_exact(spark, docs):
 def test_decontaminate_bloom_empty_eval_keeps_all(spark, docs):
     test = docs.filter(F.lit(False))
     assert D.decontaminate_bloom(docs, test).count() == docs.count()
+
+
+def test_decontaminate_bloom_many_partitions_one_driver_bitmap(spark, docs):
+    # The eval side at 50 partitions exercises the executor-side tree OR:
+    # the in-function assert guarantees the driver receives exactly one
+    # m/8-byte bitmap (collecting per-partition partials would be
+    # n_partitions x 512 KiB at the default size); the result must still
+    # equal the exact path.
+    test = docs.filter(F.col("doc_id") % 9 == 0).repartition(50)
+    exact = D.decontaminate(docs, test).select("doc_id")
+    bloom = D.decontaminate_bloom(docs, test).select("doc_id")
+    assert exact.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(exact).count() == 0
