@@ -87,6 +87,17 @@ def diff_summary(
     return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n_keys"))
 
 
+def _null_safe_key_cond(left_alias: str, right_alias: str, keys: Sequence[str]):
+    """Conjunctive null-safe (``<=>``) equality over the key columns of two
+    aliased relations — NULL keys match NULL keys. Catalyst treats
+    EqualNullSafe as a hash-join key, so this costs the same as ``on=keys``."""
+    cond = None
+    for k in keys:
+        c = F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
 def upsert(
     base: DataFrame,
     updates: DataFrame,
@@ -110,11 +121,22 @@ def upsert(
 
     Duplicate keys within ``updates`` are the caller's contract to
     prevent (dedup first — e.g. keep the latest by version); schema of
-    ``updates`` must cover base's columns (plus ``delete_col``)."""
+    ``updates`` must cover base's columns (plus ``delete_col``).
+
+    NULL key values are ordinary values: the anti-join matches with
+    null-safe equality (``<=>``), so a NULL-key update row REPLACES the
+    NULL-key base row instead of silently duplicating it (plain ``=``
+    never matches NULL, which would keep the base row AND union in the
+    update). EqualNullSafe is a hash-join key to Catalyst, so the plan
+    shape is unchanged."""
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty")
-    survivors = base.join(updates.select(*keys), on=keys, how="anti")
+    survivors = base.alias("b").join(
+        updates.select(*keys).alias("u"),
+        on=_null_safe_key_cond("b", "u", keys),
+        how="anti",
+    )
     incoming = updates
     if delete_col is not None:
         incoming = incoming.filter(
@@ -148,28 +170,40 @@ def upsert_history(
     Plan shape: the update keys join the OPEN history slice only (a
     filter pushed to the scan), once — closed history never shuffles;
     with a small delta both the close-join and the pass-through anti-join
-    broadcast, so the common incremental case moves no history at all."""
+    broadcast, so the common incremental case moves no history at all.
+
+    NULL handling: key matching is null-safe (``<=>``) like :func:`upsert`
+    — a NULL-key update closes and replaces the NULL-key open row instead
+    of duplicating it — and a NULL ``current_col`` is treated as *not
+    current* (the row rides the closed-history slice) rather than
+    vanishing from both slices as a plain boolean filter would have it."""
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty")
     attr_cols = [c for c in history.columns if c not in (valid_from, valid_to, current_col)]
-    upd_keys = updates.select(*keys)
-    cur = history.filter(F.col(current_col))
+    is_cur = F.coalesce(F.col(current_col), F.lit(False))
+    cur = history.filter(is_cur)
 
     # close the open row of every updated key at the update's timestamp
     closed = (
-        cur.join(
-            updates.select(*keys, F.col(ts_col).alias("__close_ts")), on=keys
+        cur.alias("c")
+        .join(
+            updates.select(*keys, F.col(ts_col).alias("__close_ts")).alias("u"),
+            on=_null_safe_key_cond("c", "u", keys),
         )
         .select(
-            *[F.col(c) for c in attr_cols],
-            F.col(valid_from),
+            *[F.col(f"c.{c}") for c in attr_cols],
+            F.col(f"c.{valid_from}"),
             F.col("__close_ts").alias(valid_to),
             F.lit(False).alias(current_col),
         )
     )
-    untouched_current = cur.join(upd_keys, on=keys, how="anti")
-    past = history.filter(~F.col(current_col))
+    untouched_current = cur.alias("c").join(
+        updates.select(*keys).alias("u"),
+        on=_null_safe_key_cond("c", "u", keys),
+        how="anti",
+    )
+    past = history.filter(~is_cur)
     new_open = updates.select(
         *[F.col(c) for c in attr_cols],
         F.col(ts_col).alias(valid_from),

@@ -164,3 +164,54 @@ class TestUpsertHistory:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             upsert_history(df, df, [], ts_col="ts")
+
+
+class TestNullKeys:
+    """NULL key values are ordinary values (null-safe key equality) and a
+    NULL is_current rides the closed slice — the silent-duplication /
+    vanishing-row classes flagged in round-4 advice."""
+
+    def test_upsert_null_key_replaces_not_duplicates(self, spark):
+        from pyspark.sql import functions as F
+
+        from pyarrow_ops_spark.operators.diff import upsert
+
+        base = spark.createDataFrame(
+            [(1, "a"), (None, "b"), (2, "c")], "k long, val string"
+        )
+        updates = spark.createDataFrame(
+            [(None, "B2"), (3, "d")], "k long, val string"
+        )
+        out = upsert(base, updates, ["k"])
+        assert out.count() == 4  # keys stay unique, incl. the NULL key
+        got = {r.val for r in out.filter(F.col("k").isNull()).collect()}
+        assert got == {"B2"}
+
+    def test_upsert_history_null_key_and_null_is_current(self, spark):
+        from pyspark.sql import functions as F
+
+        from pyarrow_ops_spark.operators.diff import upsert_history
+
+        history = spark.createDataFrame(
+            [
+                (None, "n0", "2023-01-01", None, True),
+                (1, "v1", "2023-01-01", None, None),  # NULL is_current
+            ],
+            "k long, val string, valid_from string, valid_to string,"
+            " is_current boolean",
+        )
+        updates = spark.createDataFrame(
+            [(None, "n1", "2024-01-01")], "k long, val string, ts string"
+        )
+        out = upsert_history(history, updates, ["k"], ts_col="ts")
+        # NULL-key open row closed + new open row; NULL is_current row
+        # preserved in the closed slice — nothing vanishes, no duplicate
+        # open rows for the NULL key
+        assert out.count() == 3
+        nk = out.filter(F.col("k").isNull())
+        opens = nk.filter(F.coalesce("is_current", F.lit(False))).collect()
+        assert len(opens) == 1 and opens[0].val == "n1"
+        closed = nk.filter(~F.coalesce("is_current", F.lit(True))).collect()
+        assert len(closed) == 1 and closed[0].valid_to == "2024-01-01"
+        kept = out.filter(F.col("k") == 1).collect()
+        assert len(kept) == 1 and kept[0].val == "v1"
