@@ -4477,25 +4477,26 @@ def q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_rows
         FROM documents GROUP BY source
     ),
-    t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM c),
-    p AS (
-        SELECT stratum, n_rows, n_rows / total AS share,
-               pow(n_rows / total, 0.5) AS pa
-        FROM c CROSS JOIN t
-    ),
-    z AS (SELECT sum(pa) AS z FROM p)
+    t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+                 sum(pow(CAST(n_rows AS DOUBLE), 0.5)) AS sa
+          FROM c)
     SELECT stratum, n_rows,
-           round(share, 4) AS share,
-           round(pa / z, 4) AS weight,
-           round((pa / z) / share, 4) AS boost
-    FROM p CROSS JOIN z
+           round(n_rows / total, 4) AS share,
+           round(pow(CAST(n_rows AS DOUBLE), 0.5) / sa, 4) AS weight,
+           round((pow(CAST(n_rows AS DOUBLE), 0.5) / sa)
+                 / (n_rows / total), 4) AS boost
+    FROM c CROSS JOIN t
     """,
 )
 def q_mixture_weights_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha=0.5) mixture weights over document
     sources — the alpha-sampling rule that boosts low-resource domains.
     One count-per-stratum aggregate + two broadcast single-row joins; the
-    shuffled payload is |strata| rows regardless of corpus size."""
+    shuffled payload is |strata| rows regardless of corpus size. The
+    oracle replays the SAME collapsed normalizer the operator computes
+    (sum(pow(n_rows, alpha)), not sum(pow(n_rows/total, alpha))): the two
+    are algebraically equal but not FP-identical, and a last-ulp delta at
+    a round(.,4) boundary would flake the hash certification."""
     from pyarrow_ops_spark.operators.sample import mixture_weights
 
     docs = load_table(spark, "documents", sf_dir)

@@ -185,12 +185,14 @@ class _IPCCommit(WriterCommitMessage):
 
 
 class ArrowIPCWriter(DataSourceArrowWriter):
-    """Temp-then-rename commit protocol: tasks write ``*.arrow.tmp``
-    (invisible to the reader's ``*.arrow`` globs), the driver-side
-    ``commit`` renames exactly the successful attempts' files — so a
-    failed or speculative duplicate attempt can never surface partial or
-    doubled data — and honors ``mode('overwrite')`` by removing the
-    previous ``*.arrow`` files in the same commit. ``abort`` deletes the
+    """Temp-then-rename commit protocol: tasks write
+    ``*.arrow.<job_token>.tmp`` (invisible to the reader's ``*.arrow``
+    globs, and namespaced per write job so concurrent jobs on one path
+    never sweep each other's in-flight temps), the driver-side ``commit``
+    renames exactly the successful attempts' files — so a failed or
+    speculative duplicate attempt can never surface partial or doubled
+    data — and honors ``mode('overwrite')`` by removing the previous
+    ``*.arrow`` files in the same commit. ``abort`` deletes this job's
     temps."""
 
     def __init__(self, options, overwrite: bool):
@@ -198,6 +200,13 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         if not self.path:
             raise ValueError("arrowipc requires a path")
         self.overwrite = overwrite
+        # per-job temp namespace: constructed once on the driver and
+        # pickled to every task, so all of THIS job's temps share the
+        # token and commit/abort sweep only them — a concurrent write job
+        # on the same path keeps its in-flight temps (sweeping every
+        # *.tmp made the first committer delete the other job's files and
+        # fail its os.replace)
+        self.job_token = uuid.uuid4().hex[:8]
 
     def write(self, iterator):
         import pyarrow.ipc as ipc
@@ -209,7 +218,7 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         final = os.path.join(
             self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.arrow"
         )
-        tmp = final + ".tmp"
+        tmp = f"{final}.{self.job_token}.tmp"
         # DataSourceArrowWriter hands the iterator over as RecordBatches —
         # Arrow on both sides of the exchange, no per-row Python
         writer = None
@@ -236,8 +245,11 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         if self.overwrite:
             for f in old - keep:
                 os.remove(f)
-        # sweep stray temps from failed/speculative attempts
-        for f in _glob.glob(os.path.join(self.path, "*.arrow.tmp")):
+        # sweep stray temps from THIS job's failed/speculative attempts
+        # only — other jobs' temps carry a different token
+        for f in _glob.glob(
+            os.path.join(self.path, f"*.arrow.{self.job_token}.tmp")
+        ):
             try:
                 os.remove(f)
             except OSError:
@@ -261,12 +273,22 @@ class ArrowIPCStreamReader(SimpleDataSourceStreamReader):
     deterministically for recovery. Rows go through the simple (tuple)
     API — streaming drops are modest per batch; bulk backfills should
     use the batch reader.
+
+    The monotonic-name contract is ENFORCED, not just documented: each
+    poll compares the files at or below the watermark against the set it
+    has already accounted for, and a NEW file sorting at or below the
+    watermark raises instead of being silently skipped forever (the
+    failure mode of composing the batch writer's non-monotonic
+    ``part-<pid>-<uuid>`` names with a streamed drop directory). On the
+    first poll of a (re)started run, everything at or below the restored
+    watermark is assumed ingested by the previous run.
     """
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("arrowipc streaming requires a path")
+        self._seen_low: "set[str] | None" = None
 
     def initialOffset(self):
         return {"watermark": ""}
@@ -295,10 +317,30 @@ class ArrowIPCStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def read(self, start):
-        files = self._files_between(start.get("watermark", ""))
+        wm = start.get("watermark", "")
+        low = {
+            os.path.basename(f)
+            for f in _list_files(self.path)
+            if os.path.basename(f) <= wm
+        }
+        if self._seen_low is None:
+            self._seen_low = low
+        else:
+            late = low - self._seen_low
+            if late:
+                raise RuntimeError(
+                    "arrowipc stream: new file(s) sort at or below the "
+                    f"current watermark {wm!r} and would be silently "
+                    f"skipped: {sorted(late)}. Producers must write "
+                    "lexicographically increasing names (the batch "
+                    "writer's part-<pid>-<uuid> names do not qualify)."
+                )
+            self._seen_low = low
+        files = self._files_between(wm)
         if not files:
             return iter([]), start
         end = {"watermark": os.path.basename(files[-1])}
+        self._seen_low |= {os.path.basename(f) for f in files}
         # iter(list): Spark needs a real iterator (it calls next()) that
         # ALSO pickles for prefetch-cache replay — list iterators do,
         # generators don't

@@ -150,3 +150,62 @@ def test_write_overwrite_replaces_old_files(spark, tmp_path, ipc_dir):
     assert len(_g.glob(out + "/*.arrow")) == 1
     assert n_files_1 >= 1
     assert _g.glob(out + "/*.arrow.tmp") == []  # no stray temps
+
+
+def test_commit_sweeps_only_own_jobs_temps(spark, tmp_path, ipc_dir):
+    # a concurrent job's in-flight temp (different job token) must survive
+    # this job's commit sweep; this job's own stray temps must not
+    register_arrow_ipc(spark)
+    out = tmp_path / "concurrent"
+    out.mkdir()
+    foreign = out / "part-00000-beef0000.arrow.deadbeef.tmp"
+    foreign.write_bytes(b"other job in flight")
+    df = read_arrow_ipc(spark, ipc_dir)
+    df.write.format("arrowipc").mode("append").save(str(out))
+    assert foreign.exists(), "commit swept a foreign job's temp file"
+    assert sorted(r.id for r in read_arrow_ipc(spark, str(out)).collect()) == [
+        1, 2, 3, 4, 5,
+    ]
+
+
+def test_stream_late_sorting_file_fails_loudly(tmp_path):
+    # unit-level: a file landing at or below the watermark raises instead
+    # of being silently skipped forever
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    from pyarrow_ops_spark.sources.arrow_ipc import ArrowIPCStreamReader
+
+    d = tmp_path / "drop2"
+    d.mkdir()
+    feather.write_feather(pa.table({"x": [1]}), str(d / "00005.arrow"))
+    r = ArrowIPCStreamReader({"path": str(d)})
+    rows, end = r.read(r.initialOffset())
+    assert end["watermark"] == "00005.arrow" and len(list(rows)) == 1
+    # monotonic arrival is fine
+    feather.write_feather(pa.table({"x": [2]}), str(d / "00007.arrow"))
+    rows, end = r.read(end)
+    assert end["watermark"] == "00007.arrow"
+    # late arrival below the watermark: loud failure
+    feather.write_feather(pa.table({"x": [3]}), str(d / "00006.arrow"))
+    with pytest.raises(RuntimeError, match="00006.arrow"):
+        r.read(end)
+
+
+def test_stream_restart_assumes_watermark_files_ingested(tmp_path):
+    # a RESTARTED reader (fresh instance, restored offset) must not flag
+    # pre-existing files at/below the watermark as late
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    from pyarrow_ops_spark.sources.arrow_ipc import ArrowIPCStreamReader
+
+    d = tmp_path / "drop3"
+    d.mkdir()
+    feather.write_feather(pa.table({"x": [1]}), str(d / "00005.arrow"))
+    r = ArrowIPCStreamReader({"path": str(d)})
+    rows, end = r.read({"watermark": "00005.arrow"})
+    assert list(rows) == [] and end["watermark"] == "00005.arrow"
+    feather.write_feather(pa.table({"x": [2]}), str(d / "00009.arrow"))
+    rows, end = r.read(end)
+    assert end["watermark"] == "00009.arrow" and len(list(rows)) == 1
