@@ -98,9 +98,14 @@ def funnel_steps(
 
     from pyspark.sql import Window
 
-    w = Window.orderBy("step")
+    # input is one row per funnel step (a handful): partition by a literal
+    # so the single-partition window is explicit and WindowExec's "No
+    # Partition Defined" warning doesn't pollute driver logs
+    w = Window.partitionBy(F.lit(0)).orderBy("step")
     first = F.first("n_users").over(
-        Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Window.partitionBy(F.lit(0))
+        .orderBy("step")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return counts.select(
         "step",

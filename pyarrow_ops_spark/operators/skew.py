@@ -151,7 +151,12 @@ def key_skew_report(
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols])
+    # input is already .limit(k): a literal partition key makes the
+    # single-partition rank explicit and silences WindowExec's "No
+    # Partition Defined" log noise
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n_rows").desc(), *[F.col(c) for c in key_cols]
+    )
     return ranked.withColumn("rank", F.row_number().over(w)).select(
         "rank", *key_cols, "n_rows", "share", "skew"
     )
