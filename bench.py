@@ -3,6 +3,25 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
+Methodology (round-5 rework — the round-4 record was invalidated by
+shared-host contention, with per-query disagreements up to 80x between
+two runs of the same code):
+
+- The whole suite runs as THREE INTERLEAVED PASSES (q1..qN, q1..qN,
+  q1..qN) and each query records its MINIMUM wall time across passes. A
+  transient host stall lands on different queries each pass, so the min
+  recovers the true cost; pass 1 also absorbs plan-compile/codegen, so
+  no separate warm-up double-run is needed.
+- Each query also records EXECUTOR TASK TIME (the sum of executorRunTime
+  over the Spark stages its run scheduled, read from the AppStatusStore
+  after each run, min across passes). Task time is what the executors
+  actually burned and is far less sensitive to host contention than wall
+  time — it is the number a 100x-scale plan audit wants. Stages are
+  attributed by delta: every stage not yet counted when a query finishes
+  belongs to that query (the bench loop is the only workload in the
+  session; the listener bus lags by at most a stage or two, and the
+  cross-pass min squeezes that noise out too).
+
 Each query is materialized through the no-op sink (``format("noop")``) so
 the full plan executes distributed without collecting results to the
 driver — the standard way to benchmark Spark plans.
@@ -89,6 +108,41 @@ BENCH_QUERIES = [
     "pipeline_perplexity_filter",
 ]
 
+N_PASSES = 3
+
+
+class _StageTaskTime:
+    """Cumulative executor task-time reader over the AppStatusStore.
+
+    ``delta()`` returns the summed executorRunTime (seconds) of every
+    COMPLETE/FAILED stage attempt not seen by a previous call. Stages
+    evicted from the store after being counted stay counted; stages are
+    read immediately after each query, long before eviction."""
+
+    def __init__(self, sc):
+        self._store = sc._jsc.sc().statusStore()
+        jvm, gw = sc._jvm, sc._gateway
+        self._empty = jvm.java.util.Collections.emptyList()
+        self._darr = gw.new_array(jvm.double, 0)
+        self._seen: set[int] = set()
+
+    def delta(self) -> float:
+        stages = self._store.stageList(
+            self._empty, False, False, self._darr, self._empty
+        )
+        total_ms = 0
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            key = s.stageId() * 1000 + s.attemptId()
+            if key in self._seen:
+                continue
+            if s.status().toString() == "ACTIVE":
+                continue  # still running (listener lag) — count it later
+            self._seen.add(key)
+            total_ms += s.executorRunTime()
+        return total_ms / 1000.0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,42 +150,40 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     spark = get_spark(app_name="pyarrow_ops_spark_bench")
-
-    timings: dict[str, float] = {}
     names = [n for n in BENCH_QUERIES if n in QUERIES]
-    # Warm the JVM/codegen once with the cheapest query so the first timed
-    # run doesn't pay session startup.
-    QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    tracker = _StageTaskTime(spark.sparkContext)
 
-    total = 0.0
-    for name in names:
-        # Execute twice and record the SECOND run: the first execution pays
-        # one-time plan-compile/codegen (seconds for wide plans) and is
-        # exposed to shared-VM stalls — round-1 recorded a 60s outlier on a
-        # 0.5s map-only query. Steady-state is what a resident engine
-        # serves and what the plan actually costs.
-        best = None
-        for _ in range(2):
+    wall: dict[str, list[float]] = {n: [] for n in names}
+    task: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(N_PASSES):
+        for name in names:
+            tracker.delta()  # drain anything pending before the run
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = time.perf_counter() - t0
-        timings[name] = round(best, 3)
-        total += best
-        # Drop THIS query's persisted relations before the next one: cached
-        # blocks accumulating across the whole suite evict each other under
-        # storage-memory pressure, making later queries pay recompute that
-        # has nothing to do with their own plan. Each query's second run
-        # still reuses its own first-run cache (steady state), measured
-        # before the clear.
-        spark.catalog.clearCache()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall[name].append(time.perf_counter() - t0)
+            task[name].append(tracker.delta())
+            # Drop THIS query's persisted relations before the next one:
+            # cached blocks accumulating across the suite evict each other
+            # under storage-memory pressure, making later queries pay
+            # recompute that has nothing to do with their own plan.
+            spark.catalog.clearCache()
+
+    timings = {n: round(min(wall[n]), 3) for n in names}
+    task_time = {n: round(min(task[n]), 3) for n in names}
+    total = sum(timings.values())
 
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_min3",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "task_time_sec": task_time,
+                "task_time_total": round(sum(task_time.values()), 3),
+                "passes": N_PASSES,
                 "sf": sf,
             }
         )
