@@ -5243,6 +5243,54 @@ def q_similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     return ivf_topk_indexed(spark, idx, queries, k=5, n_probe=8)
 
 
+@query(
+    "arrow_ipc_roundtrip",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE event_type = 'click' AND value > 10.0
+    """,
+)
+def q_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end certification of the Arrow IPC source: the events table
+    is WRITTEN through the ``arrowipc`` sink (temp-then-rename commit,
+    one file per partition) into a content-keyed /tmp cache, READ BACK
+    through the ``arrowipc`` reader with vectorized filter pushdown ON
+    (the predicate evaluates in pyarrow before the Arrow->JVM boundary),
+    and compared against the same rows scanned from parquet by DuckDB —
+    writer, commit protocol, reader, and pushdown semantics in one hash.
+    Ref: the reference engine's native pyarrow.Table file world
+    (pyarrow_ops/__init__.py), here as a Spark 4 Python DataSource."""
+    from pyarrow_ops_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+        register_arrow_ipc,
+    )
+
+    register_arrow_ipc(spark)
+    # plain sessions ship with Python-datasource filter pushdown off; the
+    # pushdown reader is rejected outright unless this runtime conf is on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ipc_dir = _cached_index(
+        sf_dir,
+        "ipc_events",
+        "events",
+        lambda d: events.write.format("arrowipc").mode("append").save(d),
+    )
+    back = read_arrow_ipc(spark, ipc_dir, pushdown=True)
+    return (
+        back.filter((F.col("event_type") == "click") & (F.col("value") > 10.0))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
