@@ -174,6 +174,41 @@ def main() -> None:
     task_time = {n: round(min(task[n]), 3) for n in names}
     total = sum(timings.values())
 
+    # Scale trend, promoted into the per-round bench (r4 verdict stretch):
+    # each trend query re-runs on 10x derived data and records the growth
+    # ratio, so sub-linearity is certified continuously instead of as a
+    # mid-round one-off. Only meaningful from the sf0.1 base; skip with
+    # SPARK_GRAFT_SCALE_TREND=0.
+    scale_ratio: dict[str, float] = {}
+    if (
+        os.environ.get("SPARK_GRAFT_SCALE_TREND", "1") != "0"
+        and os.path.basename(sf_dir.rstrip("/")) == "sf0.1"
+    ):
+        from benchmarks.scale_trend import (  # noqa: E402
+            DEFAULT_QUERIES as TREND_QUERIES,
+            SF1,
+            build_sf1,
+        )
+
+        build_sf1(spark)
+
+        def _min2(name: str, d: str) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            return best
+
+        for name in TREND_QUERIES:
+            if name not in QUERIES:
+                continue
+            base = timings.get(name) or _min2(name, sf_dir)
+            scale_ratio[name] = round(_min2(name, SF1) / base, 2)
+
     print(
         json.dumps(
             {
@@ -184,6 +219,7 @@ def main() -> None:
                 "task_time_sec": task_time,
                 "task_time_total": round(sum(task_time.values()), 3),
                 "passes": N_PASSES,
+                "scale_ratio_10x": scale_ratio,
                 "sf": sf,
             }
         )

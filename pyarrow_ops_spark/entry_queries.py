@@ -4987,7 +4987,7 @@ def q_merge_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY e.t),
     r3 AS (SELECT node, 0.15 / n + 0.85 * coalesce(inflow, 0) AS rank
            FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = c3.t)
-    SELECT node, round(rank, 8) AS rank FROM r3
+    SELECT node, round(rank, 6) AS rank FROM r3
     """,
 )
 def q_graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5288,6 +5288,96 @@ def q_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.round("value", 4).alias("value"),
         )
+    )
+
+
+@query(
+    "dedup_resolve_longest",
+    r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS grams
+        FROM documents
+    ),
+    p AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.8
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, p.dst FROM reach JOIN p ON reach.r = p.src
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.canonical_id, d.doc_id,
+               row_number() OVER (PARTITION BY c.canonical_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    reps AS (SELECT canonical_id, doc_id AS rep_id FROM ranked WHERE rn = 1)
+    SELECT c.doc_id, c.canonical_id, r.rep_id,
+           c.doc_id != r.rep_id AS is_duplicate
+    FROM clusters c JOIN reps r ON c.canonical_id = r.canonical_id
+    """,
+)
+def q_dedup_resolve_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based cluster resolution: near-dup clusters (MinHash-LSH ->
+    connected components, the certified dedup_clusters_lsh construction)
+    keep their LONGEST member (ties -> smallest doc_id) instead of the
+    min-id canonical — what curation pipelines actually do. The
+    representative comes from a map-side-combinable max_by aggregate +
+    key join, not a per-cluster sort window; the oracle replays clusters
+    via the recursive-CTE reachability and the policy via a window."""
+    from pyarrow_ops_spark.functions.dedup import (
+        dedup_clusters,
+        resolve_cluster_representatives,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    clusters = dedup_clusters(docs, threshold=0.8)
+    joined = clusters.join(docs.select("doc_id", "n_chars"), on="doc_id")
+    out = resolve_cluster_representatives(
+        joined, "canonical_id", "doc_id", F.col("n_chars")
+    )
+    return out.select("doc_id", "canonical_id", "rep_id", "is_duplicate")
+
+
+@query(
+    "stats_winsorize_docs",
+    """
+    WITH s AS (
+        SELECT source, quantile_cont(n_chars, 0.05) AS lo,
+               quantile_cont(n_chars, 0.95) AS hi
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round(least(greatest(CAST(d.n_chars AS DOUBLE), s.lo), s.hi), 4)
+               AS n_chars_w
+    FROM documents d JOIN s USING (source)
+    """,
+)
+def q_stats_winsorize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization of document length at [p05, p95] — exact
+    interpolated quantiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the stats_percentiles_exact parity), computed in
+    ONE aggregate whose |groups| rows broadcast back; the corpus never
+    shuffles."""
+    from pyarrow_ops_spark.functions.stats import winsorize
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = winsorize(
+        docs, "n_chars", ["source"], lower=0.05, upper=0.95, out="n_chars_w"
+    )
+    return w.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("n_chars_w", 4).alias("n_chars_w"),
     )
 
 

@@ -514,6 +514,40 @@ def dedup_clusters(
     ).withColumn("is_duplicate", F.col("canonical_id") != F.col(id_col))
 
 
+def resolve_cluster_representatives(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    score,
+    rep_col: str = "rep_id",
+) -> DataFrame:
+    """Pick each cluster's representative by POLICY instead of min-id:
+    the row with the highest ``score`` (a Column — e.g. ``F.col
+    ("n_chars")`` keeps the longest document, a quality score keeps the
+    best), ties broken by smallest id. Appends ``rep_col`` plus an
+    ``is_duplicate`` flag (true for every non-representative member).
+
+    Curation pipelines rarely want "keep the smallest doc_id" — they keep
+    the longest / highest-quality / newest member of each near-dup
+    cluster. Compose with :func:`dedup_clusters` /
+    ``embedding_dedup_clusters`` (their ``canonical_id`` is the cluster
+    key) and filter ``~is_duplicate``.
+
+    Scale shape: a map-side-combinable ``max_by`` aggregate produces one
+    row per cluster, joined back on the cluster key — no per-cluster sort
+    window over the corpus. The argmax payload is (score, id), not the
+    row, so wide rows never ride the aggregate buffer."""
+    tie = F.struct(
+        score.alias("__s"), (-F.col(id_col)).alias("__tb")
+    )
+    reps = df.groupBy(cluster_col).agg(
+        F.max_by(F.col(id_col), tie).alias(rep_col)
+    )
+    return df.join(reps, on=cluster_col).withColumn(
+        "is_duplicate", F.col(id_col) != F.col(rep_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

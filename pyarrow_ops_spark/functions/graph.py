@@ -37,8 +37,11 @@ def pagerank(
     (no out-edges) is not redistributed — the usual simplification;
     ranks then sum to < 1, which is fine for ranking purposes.
 
-    Ranks round to 8 decimals (values are O(1/N); per-engine sum-order
-    ulp noise sits ~10 orders below)."""
+    Ranks round to 6 decimals: values are O(1/N) and per-engine
+    sum-order noise compounds over iterations (large in-degree groups sum
+    in different orders on different engines), so the rounding margin is
+    kept several orders above the worst-case reorder error rather than
+    the single-sum ulp."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0.0 <= damping <= 1.0:
@@ -82,4 +85,4 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -80,6 +80,56 @@ def outlier_filter(
     return z.filter(cond).drop("__zs")
 
 
+def winsorize(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out: str | None = None,
+) -> DataFrame:
+    """Append ``out`` (default ``<col>_w``) = the value clipped to its
+    group's exact [lower, upper] quantiles — the classic heavy-tail
+    taming step before scaling or training ("cap document length at the
+    per-source p99").
+
+    EXACT interpolated quantiles (Spark ``percentile``; DuckDB
+    ``quantile_cont`` uses the same linear interpolation, so oracles
+    hash-match). Same scale shape as :func:`zscore`: ONE percentile
+    aggregate produces |groups| rows that broadcast-join back — the raw
+    table is never shuffled; the order statistics are computed inside the
+    aggregate buffer, not via a per-group sort window. Null values pass
+    through unclipped (null stays null)."""
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}, {upper}")
+    out = out or f"{col}_w"
+    aggs = [
+        F.expr(f"percentile({col}, {lower!r})").alias("__lo"),
+        F.expr(f"percentile({col}, {upper!r})").alias("__hi"),
+    ]
+    stats = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+    if by:
+        # null-safe group-key join, same reasoning as zscore
+        s = stats
+        cond = None
+        for c in by:
+            s = s.withColumnRenamed(c, f"__g_{c}")
+            this = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = this if cond is None else (cond & this)
+        joined = df.join(F.broadcast(s), on=cond)
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
+    # least/greatest SKIP nulls in Spark (a null value would "clip" to the
+    # lower bound) — null passes through explicitly
+    clipped = F.when(
+        F.col(col).isNotNull(),
+        F.least(
+            F.greatest(F.col(col).cast("double"), F.col("__lo")), F.col("__hi")
+        ),
+    )
+    return joined.select(*[df[c] for c in df.columns], clipped.alias(out))
+
+
 def quantile_rank(
     df: DataFrame,
     col: str,

@@ -883,3 +883,32 @@ def test_ivf_index_scan_prunes_unprobed_cells(emb, tmp_path):
     # partition filter on the cluster column reaches the scan
     assert "cluster" in plan
     assert out.count() == 3
+
+
+def test_resolve_cluster_representatives_policy(spark):
+    from pyspark.sql import functions as F
+
+    from pyarrow_ops_spark.functions.dedup import resolve_cluster_representatives
+
+    df = spark.createDataFrame(
+        [
+            # cluster 1: lengths 10, 50, 50 -> rep = id 2 (longest, tie -> min id)
+            (1, 1, 10),
+            (2, 1, 50),
+            (3, 1, 50),
+            # cluster 4: singleton keeps itself
+            (4, 4, 7),
+        ],
+        "doc_id long, canonical_id long, n_chars long",
+    )
+    out = resolve_cluster_representatives(
+        df, "canonical_id", "doc_id", F.col("n_chars")
+    )
+    rows = {r.doc_id: (r.rep_id, r.is_duplicate) for r in out.collect()}
+    assert rows[1] == (2, True)
+    assert rows[2] == (2, False)
+    assert rows[3] == (2, True)
+    assert rows[4] == (4, False)
+    # exactly one representative per cluster
+    reps = out.filter(~F.col("is_duplicate")).groupBy("canonical_id").count()
+    assert all(r["count"] == 1 for r in reps.collect())

@@ -78,3 +78,40 @@ def test_zscore_keeps_null_group_rows(spark):
     assert abs(nulls[20.0]) < 1e-9
     assert nulls[10.0] < 0 < nulls[30.0]
     assert outlier_filter(df, "v", by=["g"], k=3.0).count() == 5
+
+
+class TestWinsorize:
+    def test_global_clip(self, spark):
+        from pyarrow_ops_spark.functions.stats import winsorize
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)], "id long, v double")
+        out = winsorize(df, "v", lower=0.1, upper=0.9)
+        rows = {r.id: r.v_w for r in out.collect()}
+        # exact interpolated p10/p90 of 1..100 = 10.9 / 90.1
+        assert rows[1] == pytest.approx(10.9)
+        assert rows[100] == pytest.approx(90.1)
+        assert rows[50] == pytest.approx(50.0)
+
+    def test_grouped_and_nulls(self, spark):
+        from pyarrow_ops_spark.functions.stats import winsorize
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 100.0), ("b", 5.0), ("b", None)],
+            "g string, v double",
+        )
+        out = winsorize(df, "v", by=["g"], lower=0.0, upper=0.5)
+        rows = {(r.g, r.v): r.v_w for r in out.collect()}
+        # group a: p50 of (1,2,100) = 2 -> 100 clips to 2
+        assert rows[("a", 100.0)] == pytest.approx(2.0)
+        assert rows[("a", 1.0)] == pytest.approx(1.0)
+        # null passes through unclipped
+        assert rows[("b", None)] is None
+
+    def test_bad_bounds_rejected(self, spark):
+        from pyarrow_ops_spark.functions.stats import winsorize
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError):
+            winsorize(df, "v", lower=0.9, upper=0.1)
