@@ -5381,6 +5381,77 @@ def q_stats_winsorize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ml_nb_classifier",
+    """
+    WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 5 = 0),
+    eval AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    ttok AS (
+        SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM train
+    ),
+    wc AS (SELECT lang, w, count(*) AS c FROM ttok GROUP BY lang, w),
+    cls AS (SELECT lang, count(*) AS n_tokens FROM ttok GROUP BY lang),
+    priors AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs
+               FROM train GROUP BY lang),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM train),
+    vocab AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM wc),
+    etok AS (
+        SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS k FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM eval
+        ) GROUP BY doc_id, w
+    ),
+    edoc AS (
+        SELECT e.doc_id, coalesce(t.kk, 0.0) AS kk
+        FROM eval e LEFT JOIN (
+            SELECT doc_id, sum(k) AS kk FROM etok GROUP BY doc_id
+        ) t USING (doc_id)
+    ),
+    known AS (
+        SELECT e.doc_id, wc.lang, sum(e.k * ln(wc.c + 1.0)) AS s
+        FROM etok e JOIN wc ON wc.w = e.w
+        GROUP BY e.doc_id, wc.lang
+    ),
+    scored AS (
+        SELECT d.doc_id, c.lang,
+               ln(p.n_docs / t.n)
+               - d.kk * ln(c.n_tokens + vb.v)
+               + coalesce(k.s, 0.0) AS logp
+        FROM edoc d
+        CROSS JOIN cls c
+        LEFT JOIN known k ON k.doc_id = d.doc_id AND k.lang = c.lang
+        JOIN priors p ON p.lang = c.lang
+        CROSS JOIN tot t CROSS JOIN vocab vb
+    )
+    SELECT doc_id, lang AS predicted, round(logp, 4) AS logp FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY logp DESC, lang) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_ml_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes lifecycle, fully hash-certified: TRAIN on
+    every 5th document (label = lang) and CLASSIFY the rest, with the
+    DuckDB oracle replaying both the count-based training and the
+    factored smoothed scoring formula expression-for-expression (see
+    ml/nb.py). The argmax margins are sampling-noise-sized (>> reorder
+    ulp) and ties break on the label, so the prediction column is
+    engine-stable."""
+    from pyarrow_ops_spark.ml.nb import nb_fit, nb_predict
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("lang").alias("label"), "text"
+    )
+    evals = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    model = nb_fit(train)
+    out = nb_predict(model, evals)
+    return out.select("doc_id", "predicted", F.round("logp", 4).alias("logp"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

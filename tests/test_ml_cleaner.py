@@ -129,3 +129,37 @@ def test_split_alignment_survives_nondeterministic_source(spark, train):
     assert X_train.count() == y_train.count()
     assert X_test.count() == y_test.count()
     assert X_train.count() + X_test.count() == src.count()
+
+
+class TestNaiveBayes:
+    def test_planted_separable_classes(self, spark):
+        from pyspark.sql import functions as F
+
+        from pyarrow_ops_spark.ml.nb import nb_fit, nb_predict
+
+        rows = []
+        for i in range(30):
+            marker = "alpha" if i % 2 == 0 else "beta"
+            rows.append((i, marker, f"common words here {marker} {marker}"))
+        df = spark.createDataFrame(rows, "doc_id long, label string, text string")
+        model = nb_fit(df.filter("doc_id < 20"), "label", "text")
+        pred = nb_predict(model, df.filter("doc_id >= 20"), "doc_id", "text")
+        got = {r.doc_id: r.predicted for r in pred.collect()}
+        assert all(
+            got[i] == ("alpha" if i % 2 == 0 else "beta") for i in range(20, 30)
+        )
+
+    def test_empty_token_doc_gets_prior_argmax(self, spark):
+        from pyarrow_ops_spark.ml.nb import nb_fit, nb_predict
+
+        train = spark.createDataFrame(
+            [("a", "x x x"), ("a", "x y"), ("b", "z z")],
+            "label string, text string",
+        )
+        model = nb_fit(train)
+        evals = spark.createDataFrame([(1, "???"), (2, "z z z")],
+                                      "doc_id long, text string")
+        pred = {r.doc_id: r.predicted for r in nb_predict(model, evals).collect()}
+        # tokenless doc scores on priors alone: P(a)=2/3 wins
+        assert pred[1] == "a"
+        assert pred[2] == "b"
