@@ -17,8 +17,10 @@ def test_pagerank_star_center_dominates(spark):
     assert out["a"] > out["b"] > 0
     leaf_ranks = {out[n] for n in ["b", "c", "d", "e"]}
     assert len(leaf_ranks) == 1  # symmetry
-    # no sinks in an undirected graph: total mass conserved
-    assert abs(sum(out.values()) - 1.0) < 1e-6
+    # no sinks in an undirected graph: total mass conserved (ranks round
+    # to 6 decimals on output, so 5 nodes can carry up to 2.5e-6 of
+    # aggregate rounding)
+    assert abs(sum(out.values()) - 1.0) < 3e-6
 
 
 def test_pagerank_hand_computed_two_cycle(spark):
