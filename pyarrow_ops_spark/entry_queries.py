@@ -5452,6 +5452,71 @@ def q_ml_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "predicted", F.round("logp", 4).alias("logp"))
 
 
+@query(
+    "stats_robust_z_docs",
+    """
+    WITH m AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med
+        FROM documents GROUP BY source
+    ),
+    d AS (
+        SELECT doc_id, source, n_chars, med
+        FROM documents JOIN m USING (source)
+    ),
+    md AS (
+        SELECT source, quantile_cont(abs(n_chars - med), 0.5) AS mad
+        FROM d GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           CASE WHEN md.mad > 0
+                THEN round((d.n_chars - d.med) / (1.4826 * md.mad), 4)
+           END AS rz
+    FROM d JOIN md USING (source)
+    """,
+)
+def q_stats_robust_z_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score of document length per source — the
+    outlier signal extreme values can't corrupt (one huge document drags
+    the mean/stddev baseline; it cannot move the median). Two exact-
+    percentile aggregates broadcast back; the corpus never shuffles. The
+    oracle replays the identical (x-med)/(1.4826*mad) expression on
+    DuckDB's quantile_cont (== Spark percentile interpolation)."""
+    from pyarrow_ops_spark.functions.stats import robust_zscore
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = robust_zscore(docs, "n_chars", ["source"], out="rz")
+    return out.select(
+        "doc_id", "source", "n_chars", F.round("rz", 4).alias("rz")
+    )
+
+
+@query(
+    "events_top_user_paths",
+    """
+    WITH p AS (
+        SELECT user_id,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:20], ' > '
+               ) AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 10
+    """,
+)
+def q_events_top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 user journeys (first 20 events per user, ordered by
+    (ts, event_id) so ties are deterministic, joined into a path string).
+    One groupBy(user) builds the ordered path from a (ts, id, type)
+    struct list — never the payload row — then a map-side-combined path
+    count and TakeOrderedAndProject."""
+    from pyarrow_ops_spark.operators.events import top_user_paths
+
+    ev = load_table(spark, "events", sf_dir)
+    return top_user_paths(ev, k=10, max_steps=20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

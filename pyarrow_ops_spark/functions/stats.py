@@ -130,6 +130,54 @@ def winsorize(
     return joined.select(*[df[c] for c in df.columns], clipped.alias(out))
 
 
+def robust_zscore(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    out: str | None = None,
+) -> DataFrame:
+    """Append ``out`` (default ``<col>_rz``) = the MEDIAN/MAD z-score
+    (x - median) / (1.4826 * MAD) — the outlier signal that a handful of
+    extreme values cannot corrupt, unlike the mean/stddev z-score whose
+    own baseline the outliers drag (one 10 GB document inflates sigma
+    enough to hide every 100 MB one).
+
+    1.4826 makes MAD a consistent sigma estimator under normality, so
+    thresholds transfer from :func:`zscore`. Zero-MAD groups yield null.
+
+    Two exact-percentile aggregates (medians are order statistics, so one
+    pass computes the median, a second the median absolute deviation
+    around it) — each |groups| rows broadcast back; the corpus is scanned
+    twice but never shuffled."""
+    out = out or f"{col}_rz"
+    med_agg = [F.expr(f"percentile({col}, 0.5)").alias("__med")]
+    med = df.groupBy(*by).agg(*med_agg) if by else df.agg(*med_agg)
+
+    def _join_back(base: DataFrame, stats: DataFrame) -> DataFrame:
+        if not by:
+            return base.crossJoin(F.broadcast(stats))
+        s = stats
+        cond = None
+        for c in by:
+            s = s.withColumnRenamed(c, f"__g_{c}")
+            this = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = this if cond is None else (cond & this)
+        return base.join(F.broadcast(s), on=cond)
+
+    with_med = _join_back(df, med)
+    dev = with_med.select(
+        *by, (F.abs(F.col(col) - F.col("__med"))).alias("__dev")
+    )
+    mad_agg = [F.expr("percentile(__dev, 0.5)").alias("__mad")]
+    mad = dev.groupBy(*by).agg(*mad_agg) if by else dev.agg(*mad_agg)
+    joined = _join_back(with_med.select(*df.columns, "__med"), mad)
+    rz = F.when(
+        F.col("__mad") > 0,
+        (F.col(col) - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")),
+    )
+    return joined.select(*[df[c] for c in df.columns], rz.alias(out))
+
+
 def quantile_rank(
     df: DataFrame,
     col: str,

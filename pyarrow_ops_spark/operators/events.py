@@ -173,3 +173,44 @@ def retention_cohorts(
         F.col("n_users").cast("long").alias("n_users"),
         F.round(F.col("n_users") / F.col("__size"), 4).alias("retention"),
     )
+
+
+def top_user_paths(
+    events: DataFrame,
+    k: int = 10,
+    max_steps: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    sep: str = " > ",
+) -> DataFrame:
+    """The k most common user journeys: each user's first ``max_steps``
+    events (ordered deterministically by ``order_cols``) joined into a
+    path string, counted, top-k by (count desc, path) — the product-
+    analytics "what do users actually do" report.
+
+    Plan shape: ONE groupBy(user) builds the per-user ordered path via
+    sort_array(collect_list(struct(order, type))) — the struct carries
+    only the tiny ordering key + type, never the payload row, and
+    ``max_steps`` bounds the aggregation state per user; then a
+    count-by-path aggregate (map-side combined) and a
+    TakeOrderedAndProject for the top k. Two linear shuffles, no window
+    over the raw events."""
+    if k < 1 or max_steps < 1:
+        raise ValueError(f"k and max_steps must be >= 1, got {k}, {max_steps}")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(type_col)))
+    )
+    path = F.array_join(
+        F.transform(
+            F.slice(ordered, 1, max_steps), lambda s: s[type_col]
+        ),
+        sep,
+    )
+    paths = events.groupBy(F.col(user_col)).agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(k)
+    )

@@ -92,3 +92,42 @@ def test_funnel_conversion_window(spark):
     out2 = {r.step: r.n_users
             for r in funnel_steps(df, ["view", "click"]).collect()}
     assert out2 == {0: 2, 1: 2}
+
+
+def test_top_user_paths_orders_and_truncates(spark):
+    from pyarrow_ops_spark.operators.events import top_user_paths
+    from pyspark.sql import functions as F
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    # users 1,2 share path a>b; user 3 does b>a; user 4 emits 25 events
+    for u, types in [(1, ["a", "b"]), (2, ["a", "b"]), (3, ["b", "a"])]:
+        for i, ty in enumerate(types):
+            rows.append((u * 100 + i, t0 + dt.timedelta(minutes=i), u, ty))
+    for i in range(25):
+        rows.append((400 + i, t0 + dt.timedelta(minutes=i), 4, "x"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = top_user_paths(ev, k=3, max_steps=20)
+    got = [(r.path, r.n_users) for r in out.collect()]
+    assert got[0] == ("a > b", 2)
+    # user 4's path truncates at 20 steps
+    x20 = " > ".join(["x"] * 20)
+    assert (x20, 1) in got
+    assert ("b > a", 1) in got
+
+
+def test_top_user_paths_tie_order_deterministic(spark):
+    from pyarrow_ops_spark.operators.events import top_user_paths
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    # same ts -> event_id breaks the tie: 10 before 11
+    ev = spark.createDataFrame(
+        [(11, t, 1, "late"), (10, t, 1, "early")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = top_user_paths(ev, k=1)
+    assert out.collect()[0].path == "early > late"

@@ -115,3 +115,24 @@ class TestWinsorize:
         df = spark.createDataFrame([(1.0,)], "v double")
         with pytest.raises(ValueError):
             winsorize(df, "v", lower=0.9, upper=0.1)
+
+
+class TestRobustZscore:
+    def test_outlier_cannot_corrupt_baseline(self, spark):
+        from pyarrow_ops_spark.functions.stats import robust_zscore
+
+        # 9 values near 10, one at 1000: the classic mean/std z hides the
+        # outlier (it inflates sigma); median/MAD flags it hard
+        vals = [9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 11.0, 1000.0]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+        out = {r.id: r.v_rz for r in robust_zscore(df, "v").collect()}
+        # med = 10.25, mad = 0.5 -> outlier rz ~ 1335
+        assert out[9] > 100
+        assert abs(out[0]) < 3
+
+    def test_zero_mad_yields_null(self, spark):
+        from pyarrow_ops_spark.functions.stats import robust_zscore
+
+        df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)], "id long, v double")
+        out = robust_zscore(df, "v").collect()
+        assert all(r.v_rz is None for r in out)
