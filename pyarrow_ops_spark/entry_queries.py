@@ -5517,6 +5517,51 @@ def q_events_top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_user_paths(ev, k=10, max_steps=20)
 
 
+@query(
+    "multimodal_dedup_binary",
+    """
+    WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+    g AS (
+        SELECT digest, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM d GROUP BY digest
+    )
+    SELECT d.doc_id, d.digest, g.canonical_id, g.n_copies,
+           d.doc_id != g.canonical_id AS is_duplicate
+    FROM d JOIN g USING (digest)
+    """,
+)
+def q_multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact dedup of BINARY media payloads through the multimodal
+    feature-extraction path: payloads (here the utf-8 bytes of each
+    document, standing in for image/audio blobs) flow through the
+    Arrow-batched ``extract_features`` mapInPandas (Python md5 per
+    payload), then a digest-only groupBy assigns canonicals. The DuckDB
+    oracle computes md5 over the same utf-8 bytes JVM-free, so the hash
+    certifies the binary column plumbing, the Arrow batch boundary, AND
+    the digest arithmetic — the dedup decision a crawl pipeline applies
+    to raw media before any decode. Payloads never shuffle (digest-only
+    exchange); see functions/multimodal.py for the batch shape."""
+    from pyarrow_ops_spark.functions.multimodal import extract_features
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    feats = extract_features(media, "payload", "doc_id").select(
+        "doc_id", "digest"
+    )
+    groups = feats.groupBy("digest").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return feats.join(groups, on="digest").select(
+        "doc_id",
+        "digest",
+        "canonical_id",
+        "n_copies",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------
