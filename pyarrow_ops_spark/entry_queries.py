@@ -5562,6 +5562,105 @@ def q_multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bigram_pmi",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c_ab
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks)
+        GROUP BY w1, w2
+    ),
+    uni AS (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest(t) AS w FROM toks
+        ) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni)
+    SELECT concat(w1, ' ', w2) AS bigram, CAST(c_ab AS BIGINT) AS c_ab,
+           round(ln(c_ab * n / (ua.c * ub.c)), 4) AS pmi
+    FROM bi
+    JOIN uni ua ON ua.w = bi.w1
+    JOIN uni ub ON ub.w = bi.w2
+    CROSS JOIN tot
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+)
+def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI (min count 5) — the phrase-mining pass
+    behind tokenizer merges. Both engines evaluate the one collapsed
+    expression ln(c_ab*N/(c_a*c_b)) and rank on the ROUNDED pmi with the
+    bigram tiebreak, so the top-k cut is engine-deterministic. Counts are
+    vocabulary-bounded map-side-combined aggregates."""
+    from pyarrow_ops_spark.functions.text import bigram_pmi_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bigram_pmi_topk(docs, k=20, min_count=5)
+
+
+@query(
+    "orders_rfm_segments",
+    """
+    WITH cust AS (
+        SELECT o_custkey AS customer, max(o_orderdate) AS last_d,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+    base AS (
+        SELECT customer, CAST(date_diff('day', last_d, a) AS BIGINT)
+                   AS recency_days,
+               frequency, monetary
+        FROM cust CROSS JOIN anchor
+    ),
+    cuts AS (
+        SELECT quantile_cont(recency_days, 0.25) AS r1,
+               quantile_cont(recency_days, 0.5) AS r2,
+               quantile_cont(recency_days, 0.75) AS r3,
+               quantile_cont(frequency, 0.25) AS f1,
+               quantile_cont(frequency, 0.5) AS f2,
+               quantile_cont(frequency, 0.75) AS f3,
+               quantile_cont(monetary, 0.25) AS m1,
+               quantile_cont(monetary, 0.5) AS m2,
+               quantile_cont(monetary, 0.75) AS m3
+        FROM base
+    )
+    SELECT customer, recency_days, frequency, monetary,
+           CAST(5 - (1 + (recency_days > r1)::INT + (recency_days > r2)::INT
+                       + (recency_days > r3)::INT) AS INT) AS r_score,
+           CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT
+                  + (frequency > f3)::INT AS INT) AS f_score,
+           CAST(1 + (monetary > m1)::INT + (monetary > m2)::INT
+                  + (monetary > m3)::INT AS INT) AS m_score,
+           concat(
+               5 - (1 + (recency_days > r1)::INT + (recency_days > r2)::INT
+                      + (recency_days > r3)::INT),
+               1 + (frequency > f1)::INT + (frequency > f2)::INT
+                 + (frequency > f3)::INT,
+               1 + (monetary > m1)::INT + (monetary > m2)::INT
+                 + (monetary > m3)::INT
+           ) AS segment
+    FROM base CROSS JOIN cuts
+    """,
+)
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: per-customer aggregate, one
+    nine-cut exact-percentile aggregate broadcast back, map-only quartile
+    scoring (4 = best) — no ntile window (global sort) anywhere; strict-
+    greater bucket edges make every score engine-deterministic."""
+    from pyarrow_ops_spark.operators.segments import rfm_segments
+
+    orders = load_table(spark, "orders", sf_dir)
+    return rfm_segments(orders)
+
+
 # ---------------------------------------------------------------------------
 # Driver-cap ordering
 # ---------------------------------------------------------------------------

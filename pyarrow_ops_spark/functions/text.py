@@ -366,6 +366,65 @@ def vocab_topk(df: DataFrame, col: str = "text", k: int = 100) -> DataFrame:
     )
 
 
+def bigram_pmi_topk(
+    df: DataFrame, col: str = "text", k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: adjacent token
+    pairs whose co-occurrence beats chance — the phrase-mining pass that
+    feeds tokenizer merges and stop-phrase lists.
+
+    PMI = ln( (c_ab / N) / ((c_a / N) * (c_b / N)) ) computed in the
+    collapsed form ln(c_ab * N / (c_a * c_b)) so both engines evaluate
+    one identical expression; ``min_count`` drops the unstable low-count
+    tail (a pair seen twice has meaningless PMI). Ranking is on the
+    ROUNDED pmi (4 dp) with the bigram string as tiebreak, so the top-k
+    cut is engine-deterministic.
+
+    Plan shape: one explode with a posexplode-free adjacent zip
+    (arrays_zip of the token array with itself shifted), map-side-combined
+    bigram and unigram counts (both bounded by vocabulary, not corpus
+    size), broadcast of the single-row total, TakeOrderedAndProject."""
+    toks = F.expr(f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)")
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    bi = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    # no broadcast hint on the unigram joins: vocabulary is uncapped at
+    # corpus scale (AQE broadcasts when it fits); the single-row total is
+    # always broadcast
+    scored = (
+        bi.filter(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), on="w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), on="w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c_ab"),
+            F.round(
+                F.log(F.col("c_ab") * F.col("n") / (F.col("c_a") * F.col("c_b"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bigram").limit(k)
+
+
 def scrub_pii(col: Column | str) -> Column:
     """Redact common PII-shaped spans: emails -> <EMAIL>, URLs -> <URL>,
     long digit runs (phones, ids, card numbers) -> <NUM>. Pure Catalyst

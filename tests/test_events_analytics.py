@@ -131,3 +131,28 @@ def test_top_user_paths_tie_order_deterministic(spark):
     )
     out = top_user_paths(ev, k=1)
     assert out.collect()[0].path == "early > late"
+
+
+def test_rfm_segments_scores_and_determinism(spark):
+    import datetime as dt
+
+    from pyarrow_ops_spark.operators.segments import rfm_segments
+
+    rows = []
+    base = dt.date(2024, 1, 1)
+    # customer c gets c orders of 100*c, last order at day c -> monotone
+    # R (later last order = fewer recency days = higher r), F, M
+    oid = 0
+    for c in range(1, 9):
+        for i in range(c):
+            rows.append((oid, c, base + dt.timedelta(days=c), 100.0 * c))
+            oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {r.customer: r for r in rfm_segments(orders).collect()}
+    assert out[8].segment == "444" and out[1].segment == "111"
+    # quartiles of 1..8: strict > cuts -> two customers per bucket
+    fs = [out[c].f_score for c in range(1, 9)]
+    assert fs == [1, 1, 2, 2, 3, 3, 4, 4]
+    assert out[8].recency_days == 0 and out[1].recency_days == 7

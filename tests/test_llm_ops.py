@@ -912,3 +912,26 @@ def test_resolve_cluster_representatives_policy(spark):
     # exactly one representative per cluster
     reps = out.filter(~F.col("is_duplicate")).groupBy("canonical_id").count()
     assert all(r["count"] == 1 for r in reps.collect())
+
+
+def test_bigram_pmi_collocation_beats_chance(spark):
+    from pyarrow_ops_spark.functions.text import bigram_pmi_topk
+
+    # "new york" always adjacent; "the" everywhere -> PMI(new york) high,
+    # PMI(the *) ~ 0
+    rows = [(i, "the city of new york and the people of new york") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_pmi_topk(df, k=5, min_count=5).collect()
+    assert out[0].bigram in ("new york", "city of", "of new")
+    pmis = {r.bigram: r.pmi for r in out}
+    assert pmis["new york"] > 1.0
+
+
+def test_bigram_pmi_min_count_prunes(spark):
+    from pyarrow_ops_spark.functions.text import bigram_pmi_topk
+
+    df = spark.createDataFrame([(1, "rare pair"), (2, "a b a b a b a b a b")],
+                               "doc_id long, text string")
+    out = bigram_pmi_topk(df, k=10, min_count=5).collect()
+    assert all(r.bigram != "rare pair" for r in out)
+    assert any(r.bigram in ("a b", "b a") for r in out)
