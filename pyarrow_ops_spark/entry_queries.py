@@ -5147,8 +5147,12 @@ def _cached_index(sf_dir: str, kind: str, source: str, build) -> str:
         try:
             os.rename(tmp, idx)
         except OSError:
-            # another session promoted its build first — use theirs
+            # either another session promoted its build first (fine — use
+            # theirs) or the rename itself failed (permissions, cross-
+            # device): only swallow the error if a promoted index exists.
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(idx):
+                raise
     return idx
 
 

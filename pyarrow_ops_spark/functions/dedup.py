@@ -536,13 +536,29 @@ def resolve_cluster_representatives(
     Scale shape: a map-side-combinable ``max_by`` aggregate produces one
     row per cluster, joined back on the cluster key — no per-cluster sort
     window over the corpus. The argmax payload is (score, id), not the
-    row, so wide rows never ride the aggregate buffer."""
-    tie = F.struct(
-        score.alias("__s"), (-F.col(id_col)).alias("__tb")
-    )
-    reps = df.groupBy(cluster_col).agg(
-        F.max_by(F.col(id_col), tie).alias(rep_col)
-    )
+    row, so wide rows never ride the aggregate buffer. Numeric ids use a
+    single max_by over (score, -id); string ids (crawl doc hashes) take
+    a two-aggregate path — per-cluster max score, then min id among the
+    max-score rows — since string ids cannot be order-negated."""
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        tie = F.struct(
+            score.alias("__s"), (-F.col(id_col)).alias("__tb")
+        )
+        reps = df.groupBy(cluster_col).agg(
+            F.max_by(F.col(id_col), tie).alias(rep_col)
+        )
+    else:
+        scored = df.select(
+            F.col(cluster_col), F.col(id_col), score.alias("__s")
+        )
+        smax = scored.groupBy(cluster_col).agg(F.max("__s").alias("__s"))
+        reps = (
+            scored.join(smax, on=[cluster_col, "__s"])
+            .groupBy(cluster_col)
+            .agg(F.min(F.col(id_col)).alias(rep_col))
+        )
     return df.join(reps, on=cluster_col).withColumn(
         "is_duplicate", F.col(id_col) != F.col(rep_col)
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -189,25 +189,35 @@ def top_user_paths(
     path string, counted, top-k by (count desc, path) — the product-
     analytics "what do users actually do" report.
 
-    Plan shape: ONE groupBy(user) builds the per-user ordered path via
-    sort_array(collect_list(struct(order, type))) — the struct carries
-    only the tiny ordering key + type, never the payload row, and
-    ``max_steps`` bounds the aggregation state per user; then a
-    count-by-path aggregate (map-side combined) and a
-    TakeOrderedAndProject for the top k. Two linear shuffles, no window
-    over the raw events."""
+    Plan shape: a row_number() window over (user) keeps only each user's
+    first ``max_steps`` events BEFORE any aggregation — window state is
+    streaming/spillable, so a 10M-event bot key never materializes in an
+    aggregation buffer; then ONE groupBy(user) collects the <=max_steps
+    surviving (order, type) structs (aggregation state is genuinely
+    bounded per user), a count-by-path aggregate (map-side combined),
+    and a TakeOrderedAndProject for the top k."""
     if k < 1 or max_steps < 1:
         raise ValueError(f"k and max_steps must be >= 1, got {k}, {max_steps}")
+    w = Window.partitionBy(F.col(user_col)).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    truncated = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col),
+            *[F.col(c) for c in order_cols],
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_steps)
+    )
     ordered = F.array_sort(
-        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(type_col)))
+        F.collect_list(F.struct(F.col("__rn"), F.col(type_col)))
     )
     path = F.array_join(
-        F.transform(
-            F.slice(ordered, 1, max_steps), lambda s: s[type_col]
-        ),
+        F.transform(ordered, lambda s: s[type_col]),
         sep,
     )
-    paths = events.groupBy(F.col(user_col)).agg(path.alias("path"))
+    paths = truncated.groupBy(F.col(user_col)).agg(path.alias("path"))
     return (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))

@@ -133,6 +133,37 @@ def test_top_user_paths_tie_order_deterministic(spark):
     assert out.collect()[0].path == "early > late"
 
 
+def test_top_user_paths_bounded_state_on_power_user(spark):
+    """A 100k-event bot key must not ride the aggregation buffer: the
+    plan truncates to max_steps with a (spillable) row_number window
+    BEFORE the collect_list groupBy, so per-user agg state is bounded."""
+    from pyarrow_ops_spark.operators.events import top_user_paths
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.range(100_000)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+            F.lit(1).alias("user_id"),
+            F.concat(F.lit("e"), F.col("id") % 3).alias("event_type"),
+        )
+    )
+    out = top_user_paths(ev, k=1, max_steps=5)
+    rows = out.collect()
+    assert rows[0].path == "e0 > e1 > e2 > e0 > e1"
+    assert rows[0].n_users == 1
+    # plan hygiene: the filter on the window rank sits below the aggregate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan
+    win_i = plan.find("Window")
+    agg_i = plan.find("HashAggregate")
+    assert win_i != -1 and agg_i != -1
+    # executedPlan prints top-down: the aggregate appears BEFORE (above)
+    # the window that feeds it
+    assert agg_i < win_i
+
+
 def test_rfm_segments_scores_and_determinism(spark):
     import datetime as dt
 

@@ -914,17 +914,57 @@ def test_resolve_cluster_representatives_policy(spark):
     assert all(r["count"] == 1 for r in reps.collect())
 
 
+def test_resolve_cluster_representatives_string_ids(spark):
+    """String doc_ids (crawl-corpus hashes) take the two-aggregate path:
+    max score wins, ties break to the lexicographically smallest id."""
+    from pyarrow_ops_spark.functions.dedup import resolve_cluster_representatives
+
+    df = spark.createDataFrame(
+        [
+            ("docB", "c1", 10),
+            ("docA", "c1", 20),
+            ("docC", "c1", 20),  # ties docA on score; docA wins (smaller id)
+            ("docZ", "c2", 5),
+        ],
+        "doc_id string, canonical_id string, n_chars long",
+    )
+    out = resolve_cluster_representatives(
+        df, "canonical_id", "doc_id", F.col("n_chars")
+    )
+    rows = {r.doc_id: (r.rep_id, r.is_duplicate) for r in out.collect()}
+    assert rows["docB"] == ("docA", True)
+    assert rows["docA"] == ("docA", False)
+    assert rows["docC"] == ("docA", True)
+    assert rows["docZ"] == ("docZ", False)
+
+
 def test_bigram_pmi_collocation_beats_chance(spark):
     from pyarrow_ops_spark.functions.text import bigram_pmi_topk
 
-    # "new york" always adjacent; "the" everywhere -> PMI(new york) high,
-    # PMI(the *) ~ 0
-    rows = [(i, "the city of new york and the people of new york") for i in range(10)]
+    # "new york" always adjacent; the filler varies per doc so ordinary
+    # bigrams ("and the", "the people") occur in shifting contexts and
+    # cannot tie "new york"'s PMI — a uniform corpus makes EVERY bigram
+    # tie at ln(5.5) and the alphabetical tiebreak wins instead.
+    # "the" appears 3x per doc but its partners vary per doc (each "the X"
+    # bigram count stays below min_count except "the city"), so P(the) is
+    # diluted and PMI(the city) = ln(N/30) < PMI(new york) = ln(N/20).
+    a = ["people", "crowds", "tourists", "workers", "artists"]
+    b = ["parks", "streets", "bridges", "markets", "rivers"]
+    rows = [
+        (i, f"the city of new york {a[i % 5]} the {b[i % 5]} the {a[(i + 1) % 5]} new york")
+        for i in range(10)
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = bigram_pmi_topk(df, k=5, min_count=5).collect()
-    assert out[0].bigram in ("new york", "city of", "of new")
+    out = bigram_pmi_topk(df, k=10, min_count=5).collect()
     pmis = {r.bigram: r.pmi for r in out}
+    # a genuine collocation tops the list, not a chance-level filler bigram
+    assert out[0].bigram in ("new york", "city of", "of new")
+    assert "new york" in pmis
     assert pmis["new york"] > 1.0
+    # "new york" strictly beats every chance-level bigram involving "the"
+    for bigram, pmi in pmis.items():
+        if "the" in bigram.split():
+            assert pmis["new york"] > pmi, (bigram, pmi)
 
 
 def test_bigram_pmi_min_count_prunes(spark):
