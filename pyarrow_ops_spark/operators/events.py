@@ -183,6 +183,7 @@ def top_user_paths(
     type_col: str = "event_type",
     order_cols: Sequence[str] = ("ts", "event_id"),
     sep: str = " > ",
+    salt_skew: bool = False,
 ) -> DataFrame:
     """The k most common user journeys: each user's first ``max_steps``
     events (ordered deterministically by ``order_cols``) joined into a
@@ -195,21 +196,33 @@ def top_user_paths(
     aggregation buffer; then ONE groupBy(user) collects the <=max_steps
     surviving (order, type) structs (aggregation state is genuinely
     bounded per user), a count-by-path aggregate (map-side combined),
-    and a TakeOrderedAndProject for the top k."""
+    and a TakeOrderedAndProject for the top k.
+
+    ``salt_skew=True`` swaps the truncation window for the two-stage
+    ``skew.salted_first_n_per_key`` rewrite: same rows, but a bot key's
+    events stay spread across their source partitions in stage 1 instead
+    of funnelling through one window task — use it when
+    ``key_skew_report`` on ``user_col`` shows genuine hot keys."""
     if k < 1 or max_steps < 1:
         raise ValueError(f"k and max_steps must be >= 1, got {k}, {max_steps}")
-    w = Window.partitionBy(F.col(user_col)).orderBy(
-        *[F.col(c) for c in order_cols]
+    slim = events.select(
+        F.col(user_col),
+        F.col(type_col),
+        *[F.col(c) for c in order_cols],
     )
-    truncated = (
-        events.select(
-            F.col(user_col),
-            F.col(type_col),
-            *[F.col(c) for c in order_cols],
+    if salt_skew:
+        from pyarrow_ops_spark.operators.skew import salted_first_n_per_key
+
+        truncated = salted_first_n_per_key(
+            slim, [user_col], list(order_cols), max_steps, rank_col="__rn"
         )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_steps)
-    )
+    else:
+        w = Window.partitionBy(F.col(user_col)).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        truncated = slim.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= max_steps
+        )
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col("__rn"), F.col(type_col)))
     )

@@ -105,6 +105,56 @@ def salted_join(
     return l.join(r, on=on + [_SALT], how=how).drop(_SALT)
 
 
+def salted_first_n_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    n: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Skew-proof "first ``n`` rows per key by ``order_cols``" — the
+    two-stage rewrite of ``row_number() OVER (PARTITION BY key ORDER BY
+    order) <= n`` for bot-key distributions.
+
+    A single window funnels EVERY row of a hot key through one task: the
+    state is bounded (row_number streams), but the task's input is not —
+    a 10M-event bot user serializes one reducer. Stage 1 here partitions
+    by (key, source-partition-id): the hot key's rows stay spread across
+    however many input partitions they arrived in, and each slice keeps
+    only its local first ``n``. Stage 2 runs the plain per-key window on
+    the survivors — at most ``n × n_input_partitions`` rows per key, an
+    executor-bounded constant. The global first ``n`` of a key is always
+    within the union of its per-slice first ``n``, so the result is
+    row-identical to the single-window plan (asserted in tests).
+
+    Only worth the second shuffle when a skew report shows genuine hot
+    keys; the mergeable aggregates (min/max/sum/count — funnels,
+    retention cohorts) never need this, because partial aggregation
+    already combines map-side. Reach for it when the operation is
+    ORDER-SENSITIVE (first-N, top-N-per-key, collect_list prefixes).
+
+    ``rank_col`` optionally keeps the final per-key rank (1..n) as a
+    column, saving callers a third window when they need it."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    order = [F.col(c) for c in order_cols]
+    w1 = Window.partitionBy(*keys, F.col(_SALT)).orderBy(*order)
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    rn2 = rank_col or "__rn2"
+    out = (
+        df.withColumn(_SALT, F.spark_partition_id())
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= n)
+        .drop(_SALT, "__rn1")
+        .withColumn(rn2, F.row_number().over(w2))
+        .filter(F.col(rn2) <= n)
+    )
+    return out if rank_col else out.drop(rn2)
+
+
 def key_skew_report(
     df: DataFrame,
     key_cols: "list[str]",

@@ -153,3 +153,68 @@ def test_key_skew_report_bad_k(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError):
         key_skew_report(df, ["k"], k=0)
+
+
+def test_salted_first_n_equals_single_window(spark, skewed):
+    from pyspark.sql import Window
+
+    from pyarrow_ops_spark.operators.skew import salted_first_n_per_key
+
+    df = skewed.select("k", "l_orderkey", "l_linenumber", "l_quantity")
+    w = Window.partitionBy("k").orderBy("l_orderkey", "l_linenumber")
+    plain = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 7)
+        .drop("__rn")
+    )
+    salted = salted_first_n_per_key(
+        df, ["k"], ["l_orderkey", "l_linenumber"], 7
+    )
+    assert rows(salted) == rows(plain)
+    # rank_col matches the plain window's rank
+    ranked = salted_first_n_per_key(
+        df, ["k"], ["l_orderkey", "l_linenumber"], 7, rank_col="rn"
+    )
+    plain_rn = df.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 7
+    )
+    assert rows(ranked) == rows(plain_rn)
+
+
+def test_salted_first_n_plan_shape(spark, skewed):
+    """Plan hygiene: stage 1 windows over (key, salt=spark_partition_id)
+    so the hot key never funnels through one task with its full row set;
+    stage 2's window input is already truncated."""
+    from pyarrow_ops_spark.operators.skew import salted_first_n_per_key
+
+    df = skewed.select("k", "l_orderkey", "l_linenumber")
+    out = salted_first_n_per_key(df, ["k"], ["l_orderkey", "l_linenumber"], 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("row_number") >= 2
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+    # both filters sit below their consumers: two Window nodes present
+    assert plan.count("Window") >= 2
+
+
+def test_top_user_paths_salted_equals_plain(spark):
+    import datetime as dt
+
+    from pyarrow_ops_spark.operators.events import top_user_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = []
+    # bot user 1 with 500 events; normal users 2..40 with short paths
+    for i in range(500):
+        data.append((i, t0 + dt.timedelta(seconds=i), 1, f"e{i % 4}"))
+    for u in range(2, 41):
+        for i, ty in enumerate(["a", "b"] if u % 2 else ["b", "a"]):
+            data.append((u * 1000 + i, t0 + dt.timedelta(minutes=i), u, ty))
+    ev = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    plain = [(r.path, r.n_users) for r in top_user_paths(ev, k=5, max_steps=6).collect()]
+    salted = [
+        (r.path, r.n_users)
+        for r in top_user_paths(ev, k=5, max_steps=6, salt_skew=True).collect()
+    ]
+    assert salted == plain
