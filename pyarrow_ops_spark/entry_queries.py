@@ -4850,6 +4850,37 @@ def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_first_n_salted",
+    """
+    SELECT user_id, event_id, event_type, CAST(rn AS INT) AS rn FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_skew_first_n_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's first 3 events through the TWO-STAGE salted rewrite
+    (`salted_first_n_per_key`): stage 1 windows over (user,
+    spark_partition_id) so a bot key's rows stay spread across source
+    partitions, stage 2 re-ranks the bounded survivors. The oracle is
+    the plain single-window SQL — the rewrite is row-identical by
+    construction (the global first-n of a key is always within the union
+    of its per-slice first-n), so the hash certifies the equivalence the
+    skew docs promise."""
+    from pyarrow_ops_spark.operators.skew import salted_first_n_per_key
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    out = salted_first_n_per_key(
+        ev, ["user_id"], ["ts", "event_id"], 3, rank_col="rn"
+    )
+    return out.select("user_id", "event_id", "event_type", "rn")
+
+
+@query(
     "events_funnel",
     """
     WITH s0 AS (
@@ -5595,6 +5626,55 @@ def q_dedup_resolve_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, "canonical_id", "doc_id", F.col("n_chars")
     )
     return out.select("doc_id", "canonical_id", "rep_id", "is_duplicate")
+
+
+@query(
+    "stats_profile_documents",
+    """
+    SELECT * FROM (
+        SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+               CAST(min(doc_id) AS VARCHAR) AS min_value,
+               CAST(max(doc_id) AS VARCHAR) AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'lang', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT lang) AS BIGINT),
+               CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'source', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT source) AS BIGINT),
+               CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT n_chars) AS BIGINT),
+               CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM documents
+    ) ORDER BY "column"
+    """,
+)
+def q_stats_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile (one row per column: n_rows, nulls,
+    distincts, min/max as strings) over the ingest-safe columns of
+    documents — ONE corpus pass, map-side-combined partials, the table
+    itself never shuffles. Certification uses exact_distinct=True so the
+    DuckDB oracle matches exactly; production default is HLL distincts
+    (no Expand). Text/float columns are excluded from the certified set
+    only because engines format float/long-string extremes differently —
+    the operator itself profiles any column."""
+    from pyarrow_ops_spark.functions.stats import profile_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return profile_table(
+        docs, ["doc_id", "lang", "source", "n_chars"], exact_distinct=True
+    ).orderBy("column")
 
 
 @query(

@@ -192,3 +192,58 @@ def quantile_rank(
     out = out or f"{col}_qrank"
     w = Window.partitionBy(*by).orderBy(F.col(col))
     return df.withColumn(out, F.percent_rank().over(w))
+
+
+def profile_table(
+    df: DataFrame,
+    columns: "Sequence[str] | None" = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Column-level profile — the ANALYZE-style diagnostic every ingest
+    runs before trusting a new drop: one output row per column with
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value), min/max
+    cast to string so heterogeneous column types share one schema.
+
+    Plan shape: ONE corpus pass building every statistic in a single
+    aggregate (map-side combined partials), then a driver-plan reshape of
+    the single result row into |columns| rows — the table is never
+    shuffled, only the fixed-width partial-agg state is. With the
+    default ``exact_distinct=False`` the distinct counts are HLL
+    (``approx_count_distinct``), which keeps the aggregate a plain
+    partial+final pair; ``exact_distinct=True`` is the certification
+    mode — Spark expands the input once per distinct-agg, so reserve it
+    for sf-small oracle comparison or single-column profiles.
+
+    Reference has no profiling surface (SURVEY §2.2); extension per
+    BASELINE.json."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        distinct = (
+            F.count_distinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
+            distinct.alias(f"__d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__nul_{c}").cast("long").alias("n_nulls"),
+                F.col(f"__d_{c}").cast("long").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

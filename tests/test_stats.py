@@ -136,3 +136,39 @@ class TestRobustZscore:
         df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)], "id long, v double")
         out = robust_zscore(df, "v").collect()
         assert all(r.v_rz is None for r in out)
+
+
+def test_profile_table_exact_and_approx(spark):
+    from pyarrow_ops_spark.functions.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, None, 5.0), (4, "b", 7.5)],
+        "id long, s string, v double",
+    )
+    prof = {r.column: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nulls == 0
+    assert prof["id"].n_distinct == 4
+    assert prof["id"].min_value == "1" and prof["id"].max_value == "4"
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
+    assert prof["v"].min_value == "5.0" and prof["v"].max_value == "7.5"
+    # approx mode: same shape, HLL distincts within standard error on 4 rows
+    ap = {r.column: r for r in profile_table(df).collect()}
+    assert ap["id"].n_distinct == 4
+    # single pass, no shuffle of the table: plan has exactly one pair of
+    # hash aggregates and no Exchange keyed on data columns
+    plan = (
+        profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_profile_table_empty_columns_raises(spark):
+    import pytest as _pytest
+
+    from pyarrow_ops_spark.functions.stats import profile_table
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        profile_table(df, [])
