@@ -3037,6 +3037,50 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "histogram_equidepth_totalprice",
+    """
+    WITH c AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+                   AS cuts
+        FROM orders
+    ),
+    assigned AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_totalprice <= cuts[1] THEN 0
+                    WHEN o_totalprice <= cuts[2] THEN 1
+                    WHEN o_totalprice <= cuts[3] THEN 2
+                    WHEN o_totalprice <= cuts[4] THEN 3
+                    WHEN o_totalprice <= cuts[5] THEN 4
+                    WHEN o_totalprice <= cuts[6] THEN 5
+                    WHEN o_totalprice <= cuts[7] THEN 6
+                    ELSE 7 END AS bucket
+        FROM orders CROSS JOIN c
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           round(min(v), 4) AS lo, round(max(v), 4) AS hi,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM assigned GROUP BY bucket
+    """,
+)
+def q_histogram_equidepth_totalprice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-depth 8-bucket histogram of order value — exact interpolated
+    percentile cuts broadcast back, map-only CASE assignment, a <=8-group
+    final aggregate; the corpus never shuffles. Engine-deterministic even
+    at cut boundaries: an interpolated cut lies strictly between adjacent
+    data values (so last-ulp differences can't move a row), and a cut
+    that lands ON a data value is that exact value in both engines; the
+    1/8 fractions are exact binary, keeping the rank arithmetic
+    identical. Complements the fixed-width histogram_totalprice row."""
+    from pyarrow_ops_spark.functions.stats import histogram_equidepth
+
+    orders = load_table(spark, "orders", sf_dir)
+    return histogram_equidepth(orders, "o_totalprice", n_buckets=8)
+
+
+@query(
     "window_ntile_quartiles",
     """
     WITH t AS (

@@ -247,3 +247,58 @@ def profile_table(
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def histogram_equidepth(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram: ``n_buckets`` buckets holding ~equal row
+    counts, the shape optimizers and skew reports want when the value
+    distribution is long-tailed (a fixed-width histogram puts 99% of rows
+    in one bar). Output per non-empty bucket: (bucket, lo, hi, n_rows),
+    where lo/hi are the observed min/max inside the bucket.
+
+    Bucket assignment is DETERMINISTIC across engines: cut points are
+    exact interpolated percentiles i/n (i=1..n-1), and a value lands in
+    the smallest bucket whose upper cut is >= it (strictly-ordered CASE
+    over the broadcast cut row) — the same rule a DuckDB oracle writes
+    with quantile_cont, so ties on a cut boundary bucket identically.
+
+    Plan shape: ONE percentile aggregate produces a single (n-1)-value
+    row, broadcast back as a literal-free cross join; assignment is then
+    a map-only expression and the final count is a partial+final
+    aggregate over at most n groups. The corpus shuffles zero times; the
+    sort work hides inside the percentile partial-aggregates. At 100 TB
+    swap the exact percentile for approx_percentile (same plan shape,
+    sketch-mergeable partials) when a ±epsilon bucket boundary is
+    acceptable."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    # nulls carry no position in the value order: drop them (the CASE
+    # chain would otherwise silently dump them in the last bucket)
+    df = df.filter(F.col(col).isNotNull())
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.expr(
+            f"percentile({col}, array({', '.join(str(f) for f in fracs)}))"
+        ).alias("__cuts")
+    )
+    assigned = df.select(F.col(col)).crossJoin(F.broadcast(cuts))
+    bucket = F.lit(n_buckets - 1)
+    # smallest bucket whose cut >= value; built right-to-left so the CASE
+    # tests cuts in ascending order
+    for i in range(n_buckets - 2, -1, -1):
+        bucket = F.when(
+            F.col(col) <= F.col("__cuts").getItem(i), F.lit(i)
+        ).otherwise(bucket)
+    return (
+        assigned.select(F.col(col), bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min(col), 4).alias("lo"),
+            F.round(F.max(col), 4).alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

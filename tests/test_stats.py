@@ -172,3 +172,29 @@ def test_profile_table_empty_columns_raises(spark):
     df = spark.range(3)
     with _pytest.raises(ValueError):
         profile_table(df, [])
+
+
+def test_histogram_equidepth_balanced_and_complete(spark):
+    from pyarrow_ops_spark.functions.stats import histogram_equidepth
+
+    df = spark.range(1000).select((F.col("id") * 3 % 997).alias("v"))
+    out = histogram_equidepth(df, "v", n_buckets=10).collect()
+    assert sum(r.n_rows for r in out) == 1000
+    # equal depth within interpolation slack
+    assert all(80 <= r.n_rows <= 120 for r in out), out
+    # buckets tile the range in order without overlap
+    rows = sorted(out, key=lambda r: r.bucket)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+def test_histogram_equidepth_nulls_dropped_and_bad_k(spark):
+    import pytest as _pytest
+
+    from pyarrow_ops_spark.functions.stats import histogram_equidepth
+
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,), (3.0,), (4.0,)], "v double")
+    out = histogram_equidepth(df, "v", n_buckets=2).collect()
+    assert sum(r.n_rows for r in out) == 4
+    with _pytest.raises(ValueError):
+        histogram_equidepth(df, "v", n_buckets=1)
