@@ -5550,26 +5550,43 @@ def q_streaming_tumbling_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     built once (_cached_index); each call runs a fresh streaming query
     with its own checkpoint. Ref: streaming is an extension surface
     (SURVEY §2.2) — the reference engine has no incremental execution."""
+    from pyarrow_ops_spark.streaming.windows import tumbling_counts
+
+    stream = (
+        _ipc_stream(spark, sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "2 hours")
+    )
+    return _run_stream_to_table(
+        tumbling_counts(stream, "1 hour"), "complete", "stream_tumbling"
+    )
+
+
+_IPC_DROP_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, "
+    "value double, ts_us bigint"
+)
+
+
+def _ipc_stream_drop(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, content-keyed) the monotonic-named 4-file Arrow IPC
+    drop directory the streaming certification rows read. The batch
+    sink's part-<pid>-<uuid> names don't satisfy the stream reader's
+    ordering contract, so each chunk is staged and renamed into the drop
+    sequence."""
     import os
     import shutil
     import tempfile
-    import uuid
 
-    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
-    from pyarrow_ops_spark.streaming.windows import tumbling_counts
-
-    register_arrow_ipc(spark)
     events = load_table(spark, "events", sf_dir).select(
         "event_id",
+        "user_id",
         "event_type",
         "value",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
 
     def build(tmp: str) -> None:
-        # one monotonic name per chunk: the batch sink's part-<pid>-<uuid>
-        # names don't satisfy the stream reader's ordering contract, so
-        # each chunk is staged and renamed into the drop sequence
         for i in range(4):
             stage = tempfile.mkdtemp(prefix="spark_graft_ipc_stage_")
             try:
@@ -5589,22 +5606,35 @@ def q_streaming_tumbling_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
             finally:
                 shutil.rmtree(stage, ignore_errors=True)
 
-    drop = _cached_index(sf_dir, "ipc_stream_drop", "events", build)
-    stream = (
+    return _cached_index(sf_dir, "ipc_stream_drop2", "events", build)
+
+
+def _ipc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the shared certification drop dir."""
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+
+    register_arrow_ipc(spark)
+    return (
         spark.readStream.format("arrowipc")
-        .schema("event_id bigint, event_type string, value double, ts_us bigint")
-        .option("path", drop)
+        .schema(_IPC_DROP_SCHEMA)
+        .option("path", _ipc_stream_drop(spark, sf_dir))
         .load()
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        .withWatermark("ts", "2 hours")
     )
-    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="spark_graft_ipc_ckpt_")
+
+
+def _run_stream_to_table(out: DataFrame, mode: str, prefix: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    uniquely-named memory sink and return the sink table."""
+    import shutil
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_ckpt_")
     q = (
-        tumbling_counts(stream, "1 hour")
-        .writeStream.format("memory")
+        out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -5613,7 +5643,32 @@ def q_streaming_tumbling_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    return out.sparkSession.table(name)
+
+
+@query(
+    "streaming_dedup_ipc",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_streaming_dedup_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication certified end-to-end: the same IPC drop
+    dir as streaming_tumbling_ipc, ``dropDuplicates`` on the PROJECTED
+    key columns (any kept row is then byte-identical, so the output is
+    deterministic no matter how the source slices micro-batches),
+    append-mode memory sink, ``trigger(availableNow)``. Oracle = batch
+    DISTINCT. This is the exact-variant twin of the production
+    ``stream_dedup`` (dropDuplicatesWithinWatermark, whose state is
+    bounded by the watermark horizon but whose emissions depend on
+    arrival order — certifiable only through the exact variant); state
+    here grows with distinct keys, the documented trade for exactness."""
+    deduped = (
+        _ipc_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return _run_stream_to_table(deduped, "append", "stream_dedup")
 
 
 @query(
