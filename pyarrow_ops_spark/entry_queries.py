@@ -5647,6 +5647,64 @@ def _run_stream_to_table(out: DataFrame, mode: str, prefix: str) -> DataFrame:
 
 
 @query(
+    "streaming_sessions_ipc",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_streaming_sessions_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization certified end-to-end: the
+    built-in ``session_window`` (30 min gap) over the IPC drop stream,
+    watermarked, complete-mode memory sink, ``availableNow``. The DuckDB
+    oracle replays Spark's exact merge rule — a new session starts when
+    the gap to the previous event is >= the gap duration (session ranges
+    are end-EXCLUSIVE: an event at exactly last+gap does not merge) and
+    every session's end is last_event + gap. Third streaming row, same
+    batch-equivalence discipline as streaming_tumbling_ipc."""
+    stream = (
+        _ipc_stream(spark, sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "2 hours")
+    )
+    out = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_stream_to_table(out, "complete", "stream_sessions")
+
+
+@query(
     "streaming_dedup_ipc",
     """
     SELECT DISTINCT user_id, event_type FROM events
