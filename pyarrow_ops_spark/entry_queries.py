@@ -6171,15 +6171,24 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       reworked _cached_index promotion path (rename-failure now
 #       re-raises unless a promoted index exists) — search_bm25_indexed,
 #       similarity_topk_ivf_indexed, arrow_ipc_roundtrip.
-#   (c) 34 oldest-refresh slots: ALL sixteen r2-latest rows (3 rounds
+#   (a2) 5 MORE first-time rows added mid-round-6 (18 first-time total):
+#       skew_first_n_salted (the two-stage bot-key-proof first-N vs the
+#       plain window SQL), stats_profile_documents (ANALYZE-style
+#       one-pass profile), histogram_equidepth_totalprice (exact-
+#       percentile-cut equi-depth buckets), and the second and third
+#       STREAMING rows (streaming_dedup_ipc — exact dropDuplicates
+#       through a real availableNow run vs batch DISTINCT;
+#       streaming_sessions_ipc — session_window gap sessionization vs
+#       the end-exclusive merge-rule SQL). First-time certs outrank
+#       3-round-old refreshes, so these take 5 of the refresh slots.
+#   (c) 29 oldest-refresh slots: ALL sixteen r2-latest rows (3 rounds
 #       old — filters_conjunction, groupby_sum_all/stddev/callable,
 #       join_inner/left/broadcast, range_join, rollup, having,
 #       sort_limit_topn, approx_distinct, date_parts, explode_word_count,
-#       skew_salted_agg, sql_frontend_q4) and eighteen r3-latest rows
+#       skew_salted_agg, sql_frontend_q4) and thirteen r3-latest rows
 #       picked for operator-family diversity (TPC-H q2/q6/q9/q10/q13/
-#       q17/q19/q22, sessionize, tumbling agg, ml_clean_encode, chunking,
-#       PII scrub, winnowing, lag/lead, window_topk, HLL sketch, token
-#       packing).
+#       q17/q22, sessionize, tumbling agg, ml_clean_encode, chunking,
+#       PII scrub, lag/lead).
 # Everything else is r4/r5-green with its code path unchanged this
 # round; it rides after the cap, still covered by the pytest oracle
 # suite (tests/test_oracle_queries.py runs ALL entries).
@@ -6200,6 +6209,12 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "dedup_simhash",
     "similarity_topk_ivf",
     "similarity_topk_lsh",
+    # -- (a2) first-time: mid-round-6 additions ---------------------------
+    "skew_first_n_salted",
+    "stats_profile_documents",
+    "histogram_equidepth_totalprice",
+    "streaming_dedup_ipc",
+    "streaming_sessions_ipc",
     # -- (b) changed-since-green: _cached_index consumers -----------------
     "search_bm25_indexed",
     "similarity_topk_ivf_indexed",
@@ -6228,18 +6243,13 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "q10_returned_top_customers",
     "q13_order_count_distribution",
     "q17_small_quantity_revenue",
-    "q19_disjunctive_filter",
     "q22_sales_opportunity",
     "events_sessionize",
     "events_tumbling_agg",
     "ml_clean_encode",
     "text_chunk_documents",
     "text_scrub_pii",
-    "text_winnow_fingerprints",
     "window_lag_lead",
-    "window_topk",
-    "hll_sketch_distinct",
-    "order_pack_token_batches",
 ]
 
 
