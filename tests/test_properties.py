@@ -174,3 +174,41 @@ def test_mixture_weights_normalized(spark, rows, alpha):
     assert sum(r.n_rows for r in out) == len(rows)
     for r in out:
         assert r.weight > 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key (few -> collisions)
+            st.integers(min_value=0, max_value=50),  # order value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n=st.sampled_from([1, 2, 5]),
+)
+@SETTINGS
+def test_salted_first_n_property_equals_plain(spark, rows, n):
+    """The two-stage salted first-N is row-identical to the single-window
+    plan on arbitrary key/order distributions (ties broken by a unique
+    second order column, so both plans are deterministic)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyarrow_ops_spark.operators.skew import salted_first_n_per_key
+
+    data = [(k, o, i) for i, (k, o) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, o long, uid long")
+    w = Window.partitionBy("k").orderBy("o", "uid")
+    plain = sorted(
+        (r.k, r.o, r.uid)
+        for r in df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+        .collect()
+    )
+    salted = sorted(
+        (r.k, r.o, r.uid)
+        for r in salted_first_n_per_key(df, ["k"], ["o", "uid"], n).collect()
+    )
+    assert salted == plain
