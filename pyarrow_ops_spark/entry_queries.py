@@ -1687,6 +1687,51 @@ def _ml_with_key(cust: DataFrame, cleaner) -> DataFrame:
     return cust.select(*exprs)
 
 
+@query(
+    "ml_cleaner_dict_roundtrip",
+    """
+    SELECT c_custkey,
+           CASE c_mktsegment
+             WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2 WHEN 'FURNITURE' THEN 3
+             ELSE 0 END AS c_mktsegment,
+           c_mktsegment = 'AUTOMOBILE' AS c_mktsegment_AUTOMOBILE,
+           c_mktsegment = 'BUILDING' AS c_mktsegment_BUILDING,
+           c_mktsegment = 'FURNITURE' AS c_mktsegment_FURNITURE,
+           c_mktsegment = 'HOUSEHOLD' AS c_mktsegment_HOUSEHOLD,
+           c_mktsegment = 'MACHINERY' AS c_mktsegment_MACHINERY
+    FROM customer
+    """,
+)
+def q_ml_cleaner_dict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableCleaner serialization certified through the driver hash: fit
+    the same cleaner as ml_clean_encode, round-trip it through
+    ``to_dict`` -> JSON -> ``from_dict`` (the persistence format a
+    production pipeline ships between fit and serve jobs), and transform
+    with the RECONSTRUCTED cleaner. The oracle is identical to
+    ml_clean_encode's — any drift introduced by serialization (lost
+    categories, reordered label ids, dropped columns) hash-mismatches.
+    Ref: reference ml.py to_dict/from_dict (§2.1 #28), previously
+    pytest-only."""
+    import json as _json
+
+    from pyarrow_ops_spark.ml.cleaner import TableCleaner
+
+    cust = load_table(spark, "customer", sf_dir)
+    cleaner = TableCleaner()
+    cleaner.register_label(
+        "c_mktsegment", categories=["AUTOMOBILE", "BUILDING", "FURNITURE"]
+    )
+    cleaner.register_one_hot(
+        "c_mktsegment",
+        categories=[
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+        ],
+    )
+    wire = _json.dumps(cleaner.to_dict())  # through a real JSON boundary
+    rebuilt = TableCleaner().from_dict(_json.loads(wire))
+    return _ml_with_key(cust, rebuilt)
+
+
 # ---------------------------------------------------------------------------
 # Arbitrary-callable aggregation + approximate aggs (rows-only: not
 # SQL-expressible / approximate by design)
