@@ -5695,7 +5695,7 @@ def _run_stream_to_table(out: DataFrame, mode: str, prefix: str) -> DataFrame:
     "streaming_sessions_ipc",
     """
     WITH gaps AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                          OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS ns
@@ -5704,7 +5704,7 @@ def _run_stream_to_table(out: DataFrame, mode: str, prefix: str) -> DataFrame:
     ),
     s AS (
         SELECT user_id, ts, value,
-               sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
         FROM gaps
     )
