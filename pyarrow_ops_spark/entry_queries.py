@@ -1034,7 +1034,7 @@ def _recall_bound_row(
     against DuckDB), average per-query recall over ALL queries (a query
     with zero surviving candidates counts 0, not absent), and emit one
     row asserting the bound. The bound is deliberately far below the
-    measured operating point (avg 0.36-0.64 across sf0.001-sf0.1 for
+    measured operating point (avg 0.32-0.64 across sf0.001-sf0.1 for
     both ANN paths vs bound 0.2) so box-to-box KMeans/partitioning
     jitter never flips it, while a real recall collapse — broken
     bucketing, probe pruning, or candidate ranking — still goes red."""
