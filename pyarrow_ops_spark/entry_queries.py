@@ -4939,6 +4939,65 @@ def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_attribution_lasttouch",
+    """
+    WITH c AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           (SELECT c.click_id FROM c
+            WHERE c.user_id = p.user_id AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 1 HOUR
+            ORDER BY c.ts DESC LIMIT 1) AS click_id
+    FROM p
+    """,
+)
+def q_events_attribution_lasttouch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click within a 1-hour lookback — the as-of join put to its
+    canonical marketing use, with the attribution window as a post-join
+    predicate (outside the window -> unattributed NULL, the row is
+    kept). Clicks are pre-collapsed to one per (user, ts) with a max-id
+    tiebreak so equal-timestamp ties are engine-deterministic. Plan:
+    one union+window pass (the asof operator — no per-purchase scan),
+    map-only window arithmetic after it; the DuckDB oracle is the
+    correlated-subquery formulation of the same rule."""
+    from pyarrow_ops_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_id"],
+        direction="backward",
+    )
+    in_window = F.col("ts_asof") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(in_window, F.col("click_id_asof")).alias("click_id"),
+    )
+
+
+@query(
     "skew_first_n_salted",
     """
     SELECT user_id, event_id, event_type, CAST(rn AS INT) AS rn FROM (
