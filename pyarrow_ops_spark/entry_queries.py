@@ -3296,6 +3296,108 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_contamination_score",
+    r"""
+    WITH norm AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')),
+                       '\s+'),
+                   t -> t <> '') AS w
+        FROM documents
+    ),
+    gl AS (
+        SELECT doc_id,
+               list_distinct(
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS grams
+        FROM norm
+    ),
+    ev AS (
+        SELECT DISTINCT unnest(grams) AS g FROM gl WHERE doc_id % 37 = 0
+    ),
+    tot AS (
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams
+        FROM gl WHERE doc_id % 37 <> 0
+    ),
+    m AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+        FROM (SELECT doc_id, unnest(grams) AS g FROM gl
+              WHERE doc_id % 37 <> 0) t
+        JOIN ev USING (g) GROUP BY t.doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(m.n_matched, 0) AS n_matched,
+           round(COALESCE(m.n_matched, 0) /
+                 CAST(CASE WHEN t.n_grams = 0 THEN 1 ELSE t.n_grams END
+                      AS DOUBLE), 4) AS score
+    FROM tot t LEFT JOIN m USING (doc_id)
+    """,
+)
+def q_text_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination REPORT (the audit twin of
+    dedup_ngram_overlap): every train doc gets (n_grams, n_matched,
+    score) including clean docs at 0.0 — the distribution a curation run
+    inspects before choosing a drop threshold. Same broadcast-gram plan
+    as the overlap query; the only shuffle is the per-doc count pair."""
+    from pyarrow_ops_spark.functions.dedup import contamination_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    tr = docs.filter(F.col("doc_id") % 37 != 0)
+    return contamination_score(tr, ev, id_col="doc_id", text_col="text", n=3)
+
+
+@query(
+    "text_strip_repeated_lines",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text || chr(10) || substr(text, 1, 30) || chr(10) ||
+               substr(text, 1, 30) || chr(10) || text AS t
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+               unnest(string_split(t, chr(10))) AS part,
+               generate_subscripts(string_split(t, chr(10)), 1) AS pos
+        FROM aug
+    ),
+    firsts AS (
+        SELECT doc_id, part, min(pos) AS pos
+        FROM parts GROUP BY doc_id, part
+    )
+    SELECT doc_id,
+           string_agg(part, chr(10) ORDER BY pos) AS text
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def q_text_strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document line dedup (C4-style boilerplate removal) on a
+    PLANTED construction: each doc becomes [text, first-30-chars,
+    first-30-chars, text] joined by newlines, so every row carries real
+    repetition for the operator to strip — the survivors must be exactly
+    the first occurrences in order. Spark side is the map-only
+    split -> array_distinct (first-occurrence order by contract) ->
+    array_join chain; the oracle replays it positionally (min-position
+    per line, reassembled in position order)."""
+    from pyarrow_ops_spark.functions.text import strip_repeated_lines
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.substring("text", 1, 30),
+            F.substring("text", 1, 30),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return strip_repeated_lines(docs, "text")
+
+
+@query(
     "text_scrub_pii",
     r"""
     WITH aug AS (

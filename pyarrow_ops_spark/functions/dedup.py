@@ -1194,3 +1194,62 @@ def dedup_against_index(
     return keyed.join(
         idx, on=keyed["__fp"] == idx["fp"], how="anti"
     ).drop("__fp")
+
+
+def contamination_score(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    test_text_col: "str | None" = None,
+) -> DataFrame:
+    """Per-train-document contamination REPORT: ``(id, n_grams,
+    n_matched, score)`` for EVERY train document (score = matched /
+    distinct grams, 0.0 when clean, rounded to 4) — the audit step a
+    curation pipeline runs before deciding a drop threshold, where
+    :func:`ngram_decontaminate` is the act-on-it step.
+
+    Scale shape follows :func:`ngram_overlap`: the eval side collapses to
+    a distinct broadcast gram set; train explodes its per-document
+    ``array_distinct`` grams map-side into the broadcast join, and the
+    only shuffled relation is the per-doc (total, matched) count pair —
+    train text itself never moves. Documents too short to form one
+    ``n``-gram report (0, 0, 0.0)."""
+    test_grams = (
+        test.select(
+            F.explode(word_ngrams(test_text_col or text_col, n)).alias("__gram")
+        )
+        .distinct()
+    )
+    train_grams = train.select(
+        id_col,
+        F.explode_outer(F.array_distinct(word_ngrams(text_col, n))).alias(
+            "__gram"
+        ),
+    )
+    hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+    scored = (
+        train_grams.join(
+            F.broadcast(test_grams.withColumn("__hit", F.lit(1))),
+            on="__gram",
+            how="left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("__gram").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_grams"),
+            F.sum(hit).cast("long").alias("n_matched"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_grams",
+        "n_matched",
+        F.round(
+            F.when(F.col("n_grams") > 0,
+                   F.col("n_matched") / F.col("n_grams")).otherwise(0.0),
+            4,
+        ).alias("score"),
+    )

@@ -616,3 +616,31 @@ def char_entropy(
         n.alias("n_chars"),
         F.round((F.log(n) - klogk / n) / ln2, 4).alias("entropy"),
     )
+
+
+def strip_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style INTRA-document line dedup: split each document on ``sep``,
+    keep each line's FIRST occurrence in order, and reassemble — the
+    fix for boilerplate that repeats inside a single page (cookie
+    banners, nav text, chorus lines), where cross-document dedup never
+    looks.
+
+    Pure Catalyst map-only chain (``split`` -> ``array_distinct`` ->
+    ``array_join``): ``array_distinct`` preserves first-occurrence order
+    by contract, so the result is deterministic and an engine-neutral
+    oracle can replay it with a min-position window. Rides the scan at
+    100 TB — no shuffle, no state.
+
+    ``sep`` is a literal separator (regex-escaped before the split)."""
+    import re as _re
+
+    c = F.col(text_col)
+    deduped = F.array_join(
+        F.array_distinct(F.split(c, _re.escape(sep))), sep
+    )
+    return df.withColumn(out or text_col, deduped)

@@ -975,3 +975,45 @@ def test_bigram_pmi_min_count_prunes(spark):
     out = bigram_pmi_topk(df, k=10, min_count=5).collect()
     assert all(r.bigram != "rare pair" for r in out)
     assert any(r.bigram in ("a b", "b a") for r in out)
+
+
+def test_contamination_score_includes_clean_docs(spark):
+    from pyarrow_ops_spark.functions.dedup import contamination_score
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shares "alpha beta gamma"
+            (2, "zeta eta theta iota kappa"),   # clean
+            (3, "xy"),                          # too short for any 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in contamination_score(train, test, n=3).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_matched >= 1 and rows[1].score > 0
+    assert rows[2].n_matched == 0 and rows[2].score == 0.0
+    assert rows[3].n_grams == 0 and rows[3].score == 0.0
+
+
+def test_strip_repeated_lines_first_occurrence_order(spark):
+    from pyarrow_ops_spark.functions.text import strip_repeated_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content\ncookie banner\nmore text"),
+            (2, "only line"),
+            (3, "a\na\na"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in strip_repeated_lines(df).collect()}
+    assert got[1] == "cookie banner\nreal content\nmore text"
+    assert got[2] == "only line"
+    assert got[3] == "a"
+    # custom separator + out column leaves the original intact
+    df2 = spark.createDataFrame([(1, "x. y. x. z")], "doc_id long, text string")
+    out = strip_repeated_lines(df2, "text", out="clean", sep=". ").collect()[0]
+    assert out.text == "x. y. x. z" and out.clean == "x. y. z"
