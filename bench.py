@@ -98,6 +98,12 @@ BENCH_QUERIES = [
     "text_char_entropy",
     "mixture_weights_alpha",
     "order_curriculum",
+    # round-6 additions: equi-depth histogram, one-pass profile, as-of
+    # attribution, salted first-N
+    "histogram_equidepth_totalprice",
+    "stats_profile_documents",
+    "events_attribution_lasttouch",
+    "skew_first_n_salted",
     "events_rate_anomaly",
     "embedding_random_projection",
     "merge_upsert_orders",

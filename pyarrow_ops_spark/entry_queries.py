@@ -5100,6 +5100,62 @@ def q_events_attribution_lasttouch(
 
 
 @query(
+    "events_conversion_firsttouch",
+    """
+    WITH p AS (
+        SELECT user_id, ts, min(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    c AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           (SELECT p.purchase_id FROM p
+            WHERE p.user_id = c.user_id AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL 1 HOUR
+            ORDER BY p.ts ASC LIMIT 1) AS purchase_id
+    FROM c
+    """,
+)
+def q_events_conversion_firsttouch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch conversion: each click credits the user's EARLIEST
+    purchase within the next hour — the FORWARD direction of the as-of
+    join (events_attribution_lasttouch certifies backward), same
+    union+window plan mirrored, window bound as a post-join predicate,
+    unconverted clicks kept with NULL. Purchases pre-collapsed per
+    (user, ts) with a min-id tiebreak for engine-deterministic ties."""
+    from pyarrow_ops_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_id"],
+        direction="forward",
+    )
+    in_window = F.col("ts_asof") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(in_window, F.col("purchase_id_asof")).alias("purchase_id"),
+    )
+
+
+@query(
     "skew_first_n_salted",
     """
     SELECT user_id, event_id, event_type, CAST(rn AS INT) AS rn FROM (
@@ -5908,6 +5964,41 @@ def q_streaming_sessions_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_stream_to_table(out, "complete", "stream_sessions")
+
+
+@query(
+    "streaming_sliding_ipc",
+    """
+    WITH shifted AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - (k * INTERVAL '30 minutes') AS window_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+        WHERE ts < time_bucket(INTERVAL '30 minutes', ts) - (k * INTERVAL '30 minutes') + INTERVAL '1 hour'
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM shifted GROUP BY 1, 2
+    """,
+)
+def q_streaming_sliding_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth streaming row: SLIDING 1h/30m windows (every event lands in
+    two windows) over the IPC drop stream — watermark, complete-mode
+    memory sink, availableNow; oracle identical to the certified batch
+    events_sliding_agg formulation. Completes the windowed-aggregation
+    family (tumbling/sliding/session) under real streaming execution."""
+    from pyarrow_ops_spark.streaming.windows import sliding_counts
+
+    stream = (
+        _ipc_stream(spark, sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "2 hours")
+    )
+    return _run_stream_to_table(
+        sliding_counts(stream, "1 hour", "30 minutes"),
+        "complete",
+        "stream_sliding",
+    )
 
 
 @query(
