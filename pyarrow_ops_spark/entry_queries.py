@@ -6468,24 +6468,29 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       reworked _cached_index promotion path (rename-failure now
 #       re-raises unless a promoted index exists) — search_bm25_indexed,
 #       similarity_topk_ivf_indexed, arrow_ipc_roundtrip.
-#   (a2) 5 MORE first-time rows added mid-round-6 (18 first-time total):
+#   (a2) 11 MORE first-time rows added mid-round-6 (24 first-time total):
 #       skew_first_n_salted (the two-stage bot-key-proof first-N vs the
 #       plain window SQL), stats_profile_documents (ANALYZE-style
 #       one-pass profile), histogram_equidepth_totalprice (exact-
-#       percentile-cut equi-depth buckets), and the second and third
-#       STREAMING rows (streaming_dedup_ipc — exact dropDuplicates
-#       through a real availableNow run vs batch DISTINCT;
-#       streaming_sessions_ipc — session_window gap sessionization vs
-#       the end-exclusive merge-rule SQL). First-time certs outrank
-#       3-round-old refreshes, so these take 5 of the refresh slots.
-#   (c) 29 oldest-refresh slots: ALL sixteen r2-latest rows (3 rounds
+#       percentile-cut equi-depth buckets), FOUR streaming rows
+#       completing the windowed family under real streaming execution
+#       (streaming_dedup_ipc — exact dropDuplicates vs batch DISTINCT;
+#       streaming_sessions_ipc — session_window vs the end-exclusive
+#       merge-rule SQL; streaming_sliding_ipc — 1h/30m sliding windows;
+#       all via availableNow over the monotonic IPC drop), both as-of
+#       attribution directions (events_attribution_lasttouch backward,
+#       events_conversion_firsttouch forward), the contamination-score
+#       audit report, intra-doc line dedup on a planted-repetition
+#       construction, and the TableCleaner dict-serialization round-trip.
+#       First-time certs outrank 3-round-old refreshes, so these take
+#       refresh slots.
+#   (c) 23 oldest-refresh slots: ALL sixteen r2-latest rows (3 rounds
 #       old — filters_conjunction, groupby_sum_all/stddev/callable,
 #       join_inner/left/broadcast, range_join, rollup, having,
 #       sort_limit_topn, approx_distinct, date_parts, explode_word_count,
-#       skew_salted_agg, sql_frontend_q4) and thirteen r3-latest rows
-#       picked for operator-family diversity (TPC-H q2/q6/q9/q10/q13/
-#       q17/q22, sessionize, tumbling agg, ml_clean_encode, chunking,
-#       PII scrub, lag/lead).
+#       skew_salted_agg, sql_frontend_q4) and seven r3-latest rows
+#       picked for operator-family diversity (TPC-H q2/q6/q9/q13,
+#       sessionize, ml_clean_encode, lag/lead).
 # Everything else is r4/r5-green with its code path unchanged this
 # round; it rides after the cap, still covered by the pytest oracle
 # suite (tests/test_oracle_queries.py runs ALL entries).
@@ -6512,6 +6517,12 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "histogram_equidepth_totalprice",
     "streaming_dedup_ipc",
     "streaming_sessions_ipc",
+    "streaming_sliding_ipc",
+    "events_attribution_lasttouch",
+    "events_conversion_firsttouch",
+    "text_contamination_score",
+    "text_strip_repeated_lines",
+    "ml_cleaner_dict_roundtrip",
     # -- (b) changed-since-green: _cached_index consumers -----------------
     "search_bm25_indexed",
     "similarity_topk_ivf_indexed",
@@ -6537,15 +6548,9 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q9_profit_by_nation_year",
-    "q10_returned_top_customers",
     "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q22_sales_opportunity",
     "events_sessionize",
-    "events_tumbling_agg",
     "ml_clean_encode",
-    "text_chunk_documents",
-    "text_scrub_pii",
     "window_lag_lead",
 ]
 
