@@ -212,3 +212,53 @@ def test_salted_first_n_property_equals_plain(spark, rows, n):
         for r in salted_first_n_per_key(df, ["k"], ["o", "uid"], n).collect()
     )
     assert salted == plain
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=4, max_size=40
+    ),
+    k=st.sampled_from([2, 4]),
+)
+@SETTINGS
+def test_histogram_equidepth_property(spark, vals, k):
+    """Counts sum to the input size, buckets tile the range in order, and
+    each bucket's lo <= hi."""
+    from pyarrow_ops_spark.functions.stats import histogram_equidepth
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    rows = sorted(
+        histogram_equidepth(df, "v", n_buckets=k).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n_rows for r in rows) == len(vals)
+    for r in rows:
+        assert r.lo <= r.hi
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_profile_table_property(spark, rows):
+    """Null counts and exact distincts match Python ground truth."""
+    from pyarrow_ops_spark.functions.stats import profile_table
+
+    df = spark.createDataFrame(rows, "x long, s string")
+    prof = {r.column: r for r in profile_table(df, exact_distinct=True).collect()}
+    xs = [r[0] for r in rows]
+    ss = [r[1] for r in rows]
+    assert prof["x"].n_rows == len(rows)
+    assert prof["x"].n_nulls == sum(1 for v in xs if v is None)
+    assert prof["x"].n_distinct == len({v for v in xs if v is not None})
+    assert prof["s"].n_nulls == sum(1 for v in ss if v is None)
+    assert prof["s"].n_distinct == len({v for v in ss if v is not None})
