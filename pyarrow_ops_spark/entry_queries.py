@@ -5677,6 +5677,112 @@ def q_similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "sources_partitioned_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def q_sources_partitioned_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive-partitioned write/read certified end-to-end: events written
+    ``partitionBy(event_type)`` into a content-keyed cache, read back
+    with an IN-filter on the partition column, aggregated, and compared
+    to the same aggregate over the original parquet. The partition
+    column round-trips through directory names (value-to-string-to-value)
+    and pruned directories are never opened — `test_sources` pins
+    PartitionFilters in the plan; this row hash-pins the VALUES. At
+    100 TB this layout is why a date/type filter costs only its slice of
+    the corpus."""
+    from pyarrow_ops_spark.sources.tables import read_source, write_sink
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    part_dir = _cached_index(
+        sf_dir,
+        "part_events",
+        "events",
+        lambda d: write_sink(
+            events, d, mode="overwrite", partition_by=["event_type"]
+        ),
+    )
+    back = read_source(spark, part_dir)
+    return (
+        back.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "sources_merge_schema",
+    """
+    WITH a AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b AS (
+        SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
+           CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM u
+    """,
+)
+def q_sources_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across parquet drops, handled at READ time: two
+    generations of the orders table land in one directory with different
+    columns (old files carry o_totalprice, new ones o_orderpriority);
+    ``mergeSchema=true`` reads the union schema with NULLs where a file
+    lacks a column. The aggregate pins row counts per column presence and
+    the price sum, so a dropped generation, a misaligned column, or
+    default-off mergeSchema silently reading one footer all
+    hash-mismatch. This is the 100 TB reality of long-lived datasets —
+    producers evolve schemas; readers must not require a rewrite."""
+    import os
+
+    orders = load_table(spark, "orders", sf_dir)
+
+    def build(tmp: str) -> None:
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("append")
+            .parquet(os.path.join(tmp, "gen=a"))
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_orderpriority")
+            .write.mode("append")
+            .parquet(os.path.join(tmp, "gen=b"))
+        )
+
+    drop = _cached_index(sf_dir, "schema_drift", "orders", build)
+    u = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(drop)
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_totalprice").cast("long").alias("n_with_price"),
+        F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
     "dedup_index_lifecycle",
     """
     WITH n AS (
