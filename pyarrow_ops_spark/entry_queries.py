@@ -1768,6 +1768,59 @@ def q_groupby_aggregate_callable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_lateral_tokens",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(trim(text), '\s+'), t -> t <> ''))
+                   AS token,
+               generate_subscripts(list_filter(
+                   regexp_split_to_array(trim(text), '\s+'), t -> t <> ''), 1)
+                   - 1 AS pos
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, CAST(pos AS INT) AS pos, token
+    FROM toks WHERE pos < 5
+    """,
+)
+def q_udtf_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The formal Python UDTF extension point (SURVEY §2.2 'UDF/UDAF/
+    UDTF') certified through the driver hash: a table function expanding
+    each document into (pos, token) rows, invoked with SQL LATERAL over
+    the documents table — one input row to many output rows through the
+    arrow-serialized UDTF protocol, compared against DuckDB's
+    unnest+subscripts formulation of the same tokenization (Python
+    str.split == regexp split on whitespace runs with empties dropped).
+    Every tenth doc, first five tokens, keeps the certified row set
+    sharp. UDTFs are the Python-row path — fine for expansion logic like
+    this; bulk token work stays in Catalyst (see functions/text.py)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class SplitTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split()):
+                if i >= 5:
+                    break
+                yield i, tok
+
+    spark.udtf.register("split_tokens_udtf", SplitTokens)
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    docs.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM docs_for_udtf d, LATERAL split_tokens_udtf(d.text) t
+        """
+    )
+
+
+@query(
     "approx_distinct_quantile",
     """
     SELECT l_returnflag, TRUE AS distinct_ok, TRUE AS median_ok,
