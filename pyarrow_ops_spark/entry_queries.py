@@ -1365,6 +1365,93 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "range_join_bucketed_events",
+    """
+    SELECT p.event_id, CAST(count(c.c_ts) AS BIGINT) AS any_clicks_5m
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT ts AS c_ts FROM events WHERE event_type = 'click') c
+      ON c.c_ts >= p.ts AND c.c_ts < p.ts + INTERVAL '5 minutes'
+    GROUP BY p.event_id
+    """,
+)
+def q_range_join_bucketed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACT×FACT pure range join (NO equi-key: clicks by ANY user within 5
+    minutes after each purchase) via the grid-bucket rewrite — the big×big
+    case range_join's broadcast nested loop cannot scale to. Both sides
+    map to 5-minute grid cells over unix_micros (each interval overlaps
+    ≤ 2 cells), the join is a plain equi-join on cell id with the exact
+    interval predicate as a post-filter — shuffles linear in rows, plan
+    asserted nested-loop-free (tests/test_plan_hygiene.py). Left
+    semantics (purchases with zero clicks kept) come from aggregating the
+    inner pair set and joining back — the documented composition for
+    outer variants. Ref: SURVEY §2.2 'Joins' gap; the reference has inner
+    equi-join only (join.py:15-47)."""
+    from pyarrow_ops_spark.operators.join import range_join_bucketed
+
+    ev = load_table(spark, "events", sf_dir)
+    five_min_us = 5 * 60 * 1_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("lo_us"),
+        (F.unix_micros(F.col("ts")) + F.lit(five_min_us)).alias("hi_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.unix_micros(F.col("ts")).alias("c_us")
+    )
+    pairs = range_join_bucketed(
+        clicks, purchases, "c_us", "lo_us", "hi_us", bucket_width=five_min_us
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return purchases.select("event_id").join(counts, "event_id", "left").select(
+        "event_id",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("any_clicks_5m"),
+    )
+
+
+@query(
+    "skew_salted_join",
+    """
+    SELECT e.user_id, s.first_signup,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e
+    JOIN (SELECT user_id, min(ts) AS first_signup FROM events
+          WHERE event_type = 'signup' GROUP BY user_id) s
+      ON e.user_id = s.user_id
+    GROUP BY e.user_id, s.first_signup
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join certification: the fact side's rows are spread
+    across 8 salt slices by a CONTENT hash (deterministic under task
+    retry), the dim side is exploded 8×, and the join runs on
+    (user_id, salt) — a hot user's rows land on 8 reducers instead of
+    one. Row-identity with the plain join is the invariant (also
+    asserted against literal equality in tests/test_skew.py); the oracle
+    is the unsalted SQL join. Completes the skew-helper family's driver
+    coverage (salted_agg and salted first-N already certified). At real
+    skew, prefer AQE's skew-join split for sort-merge plans and this
+    rewrite when the skew is concentrated in few known-hot keys."""
+    from pyarrow_ops_spark.operators.skew import salted_join
+
+    ev = load_table(spark, "events", sf_dir)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    joined = salted_join(
+        ev.select("user_id", "value"), signups, on=["user_id"], n_salts=8
+    )
+    return joined.groupBy("user_id", "first_signup").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deeper TPC-H-style multi-join analytics
 # ---------------------------------------------------------------------------
@@ -6183,6 +6270,92 @@ def q_streaming_dedup_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
     )
     return _run_stream_to_table(deduped, "append", "stream_dedup")
+
+
+@query(
+    "streaming_join_ipc",
+    """
+    SELECT p.event_id AS p_event_id, c.event_id AS c_event_id,
+           p.user_id AS user_id, p.ts AS p_ts, c.ts AS c_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    """,
+)
+def q_streaming_join_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join certified end-to-end: two independent
+    ``readStream.format("arrowipc")`` instances over the shared drop dir
+    (purchases vs clicks), BOTH watermarked, joined on the user equi-key
+    plus a 30-minute time-range condition — Spark plans
+    StreamingSymmetricHashJoinExec and uses watermark + range bound to
+    evict per-side state (bounded by rate x horizon, not stream length;
+    see streaming/joins.py). Inner stream-stream joins emit matches as
+    they form, so append mode + availableNow yields exactly the batch
+    result; the oracle is the literal batch interval join in DuckDB —
+    the streaming twin of the certified interval_join_attribution.
+    Ref: streaming is an extension surface (SURVEY §2.2); the reference
+    engine has no incremental execution."""
+
+    def side(tag: str, etype: str) -> DataFrame:
+        return (
+            _ipc_stream(spark, sf_dir)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{tag}_event_id"),
+                F.col("user_id").alias(f"{tag}_user_id"),
+                F.timestamp_micros(F.col("ts_us")).alias(f"{tag}_ts"),
+            )
+            .withWatermark(f"{tag}_ts", "2 hours")
+        )
+
+    purchases = side("p", "purchase")
+    clicks = side("c", "click")
+    cond = (
+        (purchases.p_user_id == clicks.c_user_id)
+        & (clicks.c_ts > purchases.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (clicks.c_ts <= purchases.p_ts)
+    )
+    joined = purchases.join(clicks, cond, "inner").select(
+        "p_event_id",
+        "c_event_id",
+        F.col("p_user_id").alias("user_id"),
+        "p_ts",
+        "c_ts",
+    )
+    return _run_stream_to_table(joined, "append", "stream_join")
+
+
+@query(
+    "streaming_stateful_ipc",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_stateful_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming certified end-to-end:
+    ``applyInPandasWithState`` running per-user (count, sum) totals over
+    the IPC drop stream — arbitrary keyed state carried across
+    micro-batches, the extension point beyond built-in windowed aggs
+    (streaming/stateful.py). Update-mode memory sink: every micro-batch
+    appends the touched keys with their NEW running totals, so the final
+    totals per user are the rows with the maximal n_events (running
+    counts are monotone). That aggregation-over-the-sink makes the
+    result independent of how availableNow slices the drop into batches;
+    oracle = the batch GROUP BY. State is O(distinct users), not O(rows)
+    — the 100 TB story documented in streaming/stateful.py."""
+    from pyarrow_ops_spark.streaming.stateful import running_user_totals
+
+    stream = _ipc_stream(spark, sf_dir).select("user_id", "value")
+    sink = _run_stream_to_table(
+        running_user_totals(stream), "update", "stream_stateful"
+    )
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
 
 
 @query(

@@ -289,3 +289,16 @@ def test_scd2_closed_history_not_joined(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_range_join_bucketed_is_equi_join(spark):
+    # the big×big rewrite must plan a hash/sort-merge EQUI-join on the
+    # grid cell — never a nested loop or cartesian — with the interval
+    # predicate applied as a post-join filter
+    df = QUERIES["range_join_bucketed_events"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
