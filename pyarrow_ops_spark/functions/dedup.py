@@ -620,11 +620,16 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash banding (4 × 16-bit chunks: any
     pair within Hamming distance 3 shares at least one chunk), verified by
-    exact Hamming distance."""
-    sig = simhash(df, id_col, text_col)
+    exact Hamming distance.
+
+    ``signatures`` optionally supplies a precomputed (id, simhash) frame
+    (e.g. persisted and shared with other consumers) so the signature
+    pass — the corpus-wide text scan — runs once, not once per use."""
+    sig = signatures if signatures is not None else simhash(df, id_col, text_col)
     chunks = sig.select(
         F.col(id_col).alias("id"),
         "simhash",

@@ -280,9 +280,12 @@ def histogram_equidepth(
     # chain would otherwise silently dump them in the last bucket)
     df = df.filter(F.col(col).isNotNull())
     fracs = [i / n_buckets for i in range(1, n_buckets)]
+    # backtick-quote the column so names with dots/spaces/hyphens resolve
+    # as one identifier instead of misparsing inside the expr string
+    quoted = "`" + col.replace("`", "``") + "`"
     cuts = df.agg(
         F.expr(
-            f"percentile({col}, array({', '.join(str(f) for f in fracs)}))"
+            f"percentile({quoted}, array({', '.join(str(f) for f in fracs)}))"
         ).alias("__cuts")
     )
     assigned = df.select(F.col(col)).crossJoin(F.broadcast(cuts))

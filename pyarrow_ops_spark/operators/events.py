@@ -200,7 +200,7 @@ def top_user_paths(
 
     ``salt_skew=True`` swaps the truncation window for the two-stage
     ``skew.salted_first_n_per_key`` rewrite: same rows, but a bot key's
-    events stay spread across their source partitions in stage 1 instead
+    events spread across content-hash salt slices in stage 1 instead
     of funnelling through one window task — use it when
     ``key_skew_report`` on ``user_col`` shows genuine hot keys."""
     if k < 1 or max_steps < 1:

@@ -111,6 +111,7 @@ def salted_first_n_per_key(
     order_cols: Sequence[str],
     n: int,
     rank_col: str | None = None,
+    n_slices: int = 32,
 ) -> DataFrame:
     """Skew-proof "first ``n`` rows per key by ``order_cols``" — the
     two-stage rewrite of ``row_number() OVER (PARTITION BY key ORDER BY
@@ -119,13 +120,25 @@ def salted_first_n_per_key(
     A single window funnels EVERY row of a hot key through one task: the
     state is bounded (row_number streams), but the task's input is not —
     a 10M-event bot user serializes one reducer. Stage 1 here partitions
-    by (key, source-partition-id): the hot key's rows stay spread across
-    however many input partitions they arrived in, and each slice keeps
-    only its local first ``n``. Stage 2 runs the plain per-key window on
-    the survivors — at most ``n × n_input_partitions`` rows per key, an
-    executor-bounded constant. The global first ``n`` of a key is always
-    within the union of its per-slice first ``n``, so the result is
-    row-identical to the single-window plan (asserted in tests).
+    by (key, salt) with the salt derived from the ROW CONTENT
+    (``pmod(xxhash64(all cols), n_slices)``): the hot key's rows spread
+    across ``n_slices`` reducers and each slice keeps only its local
+    first ``n``. A content hash — not ``spark_partition_id()`` or
+    ``rand()`` — because a task retry over nondeterministic upstream
+    lineage (e.g. round-robin repartition) re-assigns partition ids; a
+    partial stage recomputation could then move rows between salt slices
+    AFTER the stage-1 rank filter and silently drop global first-N rows.
+    The content hash gives every row a stable slice under any retry.
+    Stage 2 runs the plain per-key window on the survivors — at most
+    ``n × n_slices`` rows per key, a bounded constant. The global first
+    ``n`` of a key is always within the union of its per-slice first
+    ``n`` (any row-functional slice assignment works), so the result is
+    row-identical to the single-window plan (asserted in tests) PROVIDED
+    ``order_cols`` is a total order within each key. With ties at the
+    cut, both the plain window and this rewrite keep an arbitrary row
+    among the tied ones — and not necessarily the SAME arbitrary row —
+    exactly as two runs of the plain window may disagree with each
+    other; add a tiebreaker column when row-level determinism matters.
 
     Only worth the second shuffle when a skew report shows genuine hot
     keys; the mergeable aggregates (min/max/sum/count — funnels,
@@ -137,6 +150,8 @@ def salted_first_n_per_key(
     column, saving callers a third window when they need it."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     from pyspark.sql import Window
 
     keys = [F.col(c) for c in key_cols]
@@ -145,7 +160,12 @@ def salted_first_n_per_key(
     w2 = Window.partitionBy(*keys).orderBy(*order)
     rn2 = rank_col or "__rn2"
     out = (
-        df.withColumn(_SALT, F.spark_partition_id())
+        df.withColumn(
+            _SALT,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_slices)
+            ),
+        )
         .withColumn("__rn1", F.row_number().over(w1))
         .filter(F.col("__rn1") <= n)
         .drop(_SALT, "__rn1")

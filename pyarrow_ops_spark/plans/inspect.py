@@ -54,3 +54,44 @@ def shuffle_count(df: DataFrame) -> int:
 def codegen_stage_count(df: DataFrame) -> int:
     plan = formatted_plan(df)
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+
+
+def _jplan_children(jplan):
+    """Children of a JVM physical node, looking through the adaptive /
+    query-stage wrappers (whose Catalyst ``children()`` is empty — the
+    real subtree hides behind ``initialPlan()`` / ``plan()``)."""
+    ch = jplan.children()
+    n = ch.size()
+    if n:
+        return [ch.apply(i) for i in range(n)]
+    for acc in ("initialPlan", "plan"):
+        if hasattr(jplan, acc):
+            try:
+                return [getattr(jplan, acc)()]
+            except Exception:
+                pass
+    return []
+
+
+def node_has_descendant(df: DataFrame, ancestor: str, descendant: str) -> bool:
+    """True iff some physical node whose name contains ``ancestor`` has a
+    strict descendant whose name contains ``descendant`` — a tree-walk
+    replacement for comparing substring indices in the rendered plan
+    string, whose node order varies across Spark versions and AQE
+    settings."""
+
+    def any_node(p, pred):
+        if pred(p.nodeName()):
+            return True
+        return any(any_node(c, pred) for c in _jplan_children(p))
+
+    def search(p):
+        if ancestor in p.nodeName():
+            if any(
+                any_node(c, lambda n: descendant in n)
+                for c in _jplan_children(p)
+            ):
+                return True
+        return any(search(c) for c in _jplan_children(p))
+
+    return search(df._jdf.queryExecution().executedPlan())

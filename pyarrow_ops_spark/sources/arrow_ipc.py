@@ -253,6 +253,8 @@ class ArrowIPCWriter(DataSourceArrowWriter):
             try:
                 os.remove(f)
             except OSError:
+                # best-effort orphan cleanup: a tmp another writer already
+                # removed (or a permission race) must not fail the commit
                 pass
 
     def abort(self, messages):
@@ -354,6 +356,9 @@ class ArrowIPCStreamReader(SimpleDataSourceStreamReader):
         ))
 
     def commit(self, end):
+        # deliberate no-op: drop files are immutable and offsets are the
+        # sorted-filename watermark, so there is no source-side state to
+        # garbage-collect on checkpoint commit
         pass
 
 

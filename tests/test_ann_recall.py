@@ -1,0 +1,68 @@
+"""Per-sf recall pins for the approximate-ANN paths — tighter than the
+driver gate, plus sabotage proofs that the gate actually flips.
+
+The driver rows (similarity_topk_ivf / _lsh) assert avg recall >= 0.3,
+the cross-sf floor. At the sf0.01 certification point the measured
+operating recall is 0.48 (LSH) / 0.52 (IVF), so this suite pins >= 0.4:
+a ~20% regression fails HERE even while the cross-sf driver bound still
+holds, and a halving fails both. The sabotage tests run deliberately
+broken probe configs (n_probe=1, bands=1 — measured 0.16 / 0.0) and
+assert they land BELOW the driver bound, demonstrating the gate catches
+a real collapse rather than vacuously passing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyarrow_ops_spark.functions.similarity import cosine_topk, ivf_topk, lsh_topk
+from pyarrow_ops_spark.sources.tables import load_table
+from tests.conftest import ORACLE_SF_DIR
+
+K = 5
+DRIVER_BOUND = 0.3  # keep in sync with entry_queries._recall_bound_row calls
+SF001_PIN = 0.4
+
+
+def _avg_recall(emb, queries, approx) -> float:
+    exact = cosine_topk(emb, queries, k=K).select("q_id", "vec_id")
+    hits = (
+        approx.select("q_id", "vec_id")
+        .join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    per_q = (
+        queries.select(F.col("vec_id").alias("q_id"))
+        .join(hits, "q_id", "left")
+        .select((F.coalesce(F.col("h"), F.lit(0)) / K).alias("r"))
+    )
+    return float(per_q.agg(F.avg("r")).first()[0])
+
+
+def _fixtures(spark):
+    emb = load_table(spark, "embeddings", ORACLE_SF_DIR)
+    return emb, emb.filter(F.col("vec_id") < 5)
+
+
+def test_ivf_recall_pinned_at_sf001(spark):
+    emb, queries = _fixtures(spark)
+    approx = ivf_topk(emb, queries, k=K, n_clusters=16, n_probe=4)
+    assert _avg_recall(emb, queries, approx) >= SF001_PIN
+
+
+def test_lsh_recall_pinned_at_sf001(spark):
+    emb, queries = _fixtures(spark)
+    approx = lsh_topk(emb, queries, dim=64, k=K, bits=16, bands=4)
+    assert _avg_recall(emb, queries, approx) >= SF001_PIN
+
+
+def test_ivf_sabotage_flips_driver_gate(spark):
+    emb, queries = _fixtures(spark)
+    sabotaged = ivf_topk(emb, queries, k=K, n_clusters=16, n_probe=1)
+    assert _avg_recall(emb, queries, sabotaged) < DRIVER_BOUND
+
+
+def test_lsh_sabotage_flips_driver_gate(spark):
+    emb, queries = _fixtures(spark)
+    sabotaged = lsh_topk(emb, queries, dim=64, k=K, bits=16, bands=1)
+    assert _avg_recall(emb, queries, sabotaged) < DRIVER_BOUND

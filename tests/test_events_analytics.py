@@ -153,15 +153,14 @@ def test_top_user_paths_bounded_state_on_power_user(spark):
     rows = out.collect()
     assert rows[0].path == "e0 > e1 > e2 > e0 > e1"
     assert rows[0].n_users == 1
-    # plan hygiene: the filter on the window rank sits below the aggregate
+    # plan hygiene: the row_number truncation window sits BELOW the
+    # collect_list aggregate (tree walk, not plan-string index math —
+    # rendering order varies across Spark versions and AQE settings)
+    from pyarrow_ops_spark.plans.inspect import node_has_descendant
+
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "row_number" in plan
-    win_i = plan.find("Window")
-    agg_i = plan.find("HashAggregate")
-    assert win_i != -1 and agg_i != -1
-    # executedPlan prints top-down: the aggregate appears BEFORE (above)
-    # the window that feeds it
-    assert agg_i < win_i
+    assert node_has_descendant(out, "HashAggregate", "Window")
 
 
 def test_rfm_segments_scores_and_determinism(spark):

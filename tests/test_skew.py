@@ -155,26 +155,30 @@ def test_key_skew_report_bad_k(spark):
         key_skew_report(df, ["k"], k=0)
 
 
-def test_salted_first_n_equals_single_window(spark, skewed):
+def test_salted_first_n_equals_single_window(spark):
+    # row-identity holds when order_cols is a TOTAL order per key (the
+    # documented contract — the synthetic lineitem has duplicate
+    # (l_orderkey, l_linenumber) pairs, so a unique id frame is used);
+    # 90% of rows collapse onto hot key 0
     from pyspark.sql import Window
 
     from pyarrow_ops_spark.operators.skew import salted_first_n_per_key
 
-    df = skewed.select("k", "l_orderkey", "l_linenumber", "l_quantity")
-    w = Window.partitionBy("k").orderBy("l_orderkey", "l_linenumber")
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy("seq")
     plain = (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 7)
         .drop("__rn")
     )
-    salted = salted_first_n_per_key(
-        df, ["k"], ["l_orderkey", "l_linenumber"], 7
-    )
+    salted = salted_first_n_per_key(df, ["k"], ["seq"], 7)
     assert rows(salted) == rows(plain)
     # rank_col matches the plain window's rank
-    ranked = salted_first_n_per_key(
-        df, ["k"], ["l_orderkey", "l_linenumber"], 7, rank_col="rn"
-    )
+    ranked = salted_first_n_per_key(df, ["k"], ["seq"], 7, rank_col="rn")
     plain_rn = df.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 7
     )
@@ -182,16 +186,18 @@ def test_salted_first_n_equals_single_window(spark, skewed):
 
 
 def test_salted_first_n_plan_shape(spark, skewed):
-    """Plan hygiene: stage 1 windows over (key, salt=spark_partition_id)
-    so the hot key never funnels through one task with its full row set;
-    stage 2's window input is already truncated."""
+    """Plan hygiene: stage 1 windows over (key, salt=content hash) so the
+    hot key never funnels through one task with its full row set and the
+    slice assignment is retry-deterministic; stage 2's window input is
+    already truncated."""
     from pyarrow_ops_spark.operators.skew import salted_first_n_per_key
 
     df = skewed.select("k", "l_orderkey", "l_linenumber")
     out = salted_first_n_per_key(df, ["k"], ["l_orderkey", "l_linenumber"], 5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("row_number") >= 2
-    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+    assert "xxhash64" in plan  # deterministic content-derived salt
+    assert "spark_partition_id" not in plan.lower()
     # both filters sit below their consumers: two Window nodes present
     assert plan.count("Window") >= 2
 

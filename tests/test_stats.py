@@ -198,3 +198,16 @@ def test_histogram_equidepth_nulls_dropped_and_bad_k(spark):
     assert sum(r.n_rows for r in out) == 4
     with _pytest.raises(ValueError):
         histogram_equidepth(df, "v", n_buckets=1)
+
+
+def test_histogram_equidepth_awkward_column_name(spark):
+    # names needing backticks (spaces, hyphens) must resolve as ONE
+    # identifier inside the percentile expr, not misparse
+    from pyarrow_ops_spark.functions.stats import histogram_equidepth
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(20)], ["total price-usd"]
+    )
+    out = histogram_equidepth(df, "total price-usd", n_buckets=4).collect()
+    assert sum(r.n_rows for r in out) == 20
+    assert len(out) == 4
