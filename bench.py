@@ -123,7 +123,15 @@ class _StageTaskTime:
     ``delta()`` returns the summed executorRunTime (seconds) of every
     COMPLETE/FAILED stage attempt not seen by a previous call. Stages
     evicted from the store after being counted stay counted; stages are
-    read immediately after each query, long before eviction."""
+    read immediately after each query, long before eviction.
+
+    Read task_time_sec as a SECONDARY signal: executorRunTime absorbs
+    shared-VM CPU steal, old-gen GC pressure, and JIT code-cache churn
+    across the whole suite (the round-7 adjudication measured the same
+    unchanged plan at ~32 s solo-warm vs 50-69 s in-suite, and 86 s on a
+    cold JVM). A task-time drift on an unchanged plan is adjudicated
+    with a SOLO min-of-3 on a quiet box before being read as plan cost;
+    wall-min3 remains the latency number."""
 
     def __init__(self, sc):
         self._store = sc._jsc.sc().statusStore()
