@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     "skew_key_report",
     "pipeline_perplexity_filter",
+    # round-7 additions: fact×fact grid-bucketed range join, salted join
+    "range_join_bucketed_events",
+    "skew_salted_join",
 ]
 
 N_PASSES = 3

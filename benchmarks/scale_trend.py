@@ -113,6 +113,34 @@ DEFAULT_QUERIES = [
     "order_curriculum",
     "events_rate_anomaly",
     "embedding_random_projection",
+    # round-5/6 additions (r6 verdict ask #7): every non-streaming
+    # first-time cert joins the trend set. Excluded with reasons:
+    # dedup_simhash (its all-pairs certification harness is deliberately
+    # sf-capped — production runs only the banded path, already trended
+    # via dedup_minhash_lsh's shape), dedup_index_lifecycle (one-time
+    # persisted-index build, not a scan/shuffle trend),
+    # ml_cleaner_dict_roundtrip (driver-side serialization roundtrip),
+    # streaming_* (availableNow over a fixed 4-file drop).
+    "ml_nb_classifier",
+    "orders_rfm_segments",
+    "stats_winsorize_docs",
+    "stats_robust_z_docs",
+    "dedup_resolve_longest",
+    "events_top_user_paths",
+    "multimodal_dedup_binary",
+    "text_bigram_pmi",
+    "skew_first_n_salted",
+    "stats_profile_documents",
+    "histogram_equidepth_totalprice",
+    "events_attribution_lasttouch",
+    "events_conversion_firsttouch",
+    "text_contamination_score",
+    "text_strip_repeated_lines",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    # round-7 additions: bucketed fact×fact range join, salted join
+    "range_join_bucketed_events",
+    "skew_salted_join",
 ]
 
 
