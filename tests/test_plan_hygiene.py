@@ -302,3 +302,38 @@ def test_range_join_bucketed_is_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    # the 100 TB shape: a selectively-filtered build side injects a
+    # bloom runtime filter into the probe-side SCAN, so a sort-merge
+    # join reads a fraction of the fact table. Enabled by default in the
+    # session factory (Spark 4 default); thresholds lowered here because
+    # sf0.1 scans are below the production applicationSide threshold.
+    from pyspark.sql import functions as F
+
+    from pyarrow_ops_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, "orders", SF_DIR).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, "lineitem", SF_DIR)
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
