@@ -6376,6 +6376,99 @@ def q_streaming_stateful_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_index_ipc",
+    r"""
+    WITH n AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+        FROM documents
+    )
+    SELECT DISTINCT digest, CAST(1 AS BIGINT) AS n_emits
+    FROM n
+    WHERE digest NOT IN (SELECT digest FROM n WHERE doc_id % 5 = 0)
+    """,
+)
+def q_streaming_dedup_index_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-INGESTION dedup certified end-to-end: a documents drop
+    stream runs through foreachBatch dedup-against-the-PERSISTED-digest-
+    index with batch-by-batch enroll (streaming/ingest.py), across TWO
+    sequential availableNow runs sharing ONE checkpoint — files
+    part-00000/1 land before run 1, part-00002/3 before run 2, so run 2
+    must resume past run 1's source offset AND dedup against the digests
+    run 1 enrolled. The history index is pre-built from doc_id % 5 == 0
+    (whose members also flow through the stream — the overlap is the
+    test). Output is the surviving digest set with emission counts: a
+    broken enroll, a stale file-listing cache, a leaky anti-join, or a
+    checkpoint that re-emits run-1 survivors all produce n_emits = 2 (or
+    a missing/extra digest) and hash-mismatch; a digest emits at most
+    once NO MATTER how availableNow slices batches, so the result is
+    slicing-independent by construction. Re-delivered input is absorbed
+    by the same anti-join — exactly-once EFFECT over at-least-once
+    delivery, the property that makes a 100 TB ingest restartable.
+    Ref: no streaming, no persisted index in the reference (SURVEY
+    §2.2); this composes the two certified extension lifecycles
+    (dedup_index_lifecycle + the IPC streaming bridge)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyarrow_ops_spark.functions.dedup import build_dedup_index
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.ingest import stream_dedup_enroll
+
+    register_arrow_ipc(spark)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def write_file(subset: DataFrame, drop: str, i: int) -> None:
+        stage = tempfile.mkdtemp(prefix="spark_graft_docs_stage_")
+        try:
+            subset.coalesce(1).write.format("arrowipc").mode("append").save(
+                stage
+            )
+            files = [f for f in os.listdir(stage) if f.endswith(".arrow")]
+            assert len(files) == 1, files
+            shutil.move(
+                os.path.join(stage, files[0]),
+                os.path.join(drop, f"part-{i:05d}.arrow"),
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def build(tmp: str) -> None:
+        drop = os.path.join(tmp, "drop")
+        idx = os.path.join(tmp, "idx")
+        sink = os.path.join(tmp, "sink")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(drop)
+        build_dedup_index(docs.filter(F.col("doc_id") % 5 == 0), idx)
+
+        def run() -> None:
+            stream = (
+                spark.readStream.format("arrowipc")
+                .schema("doc_id bigint, text string")
+                .option("path", drop)
+                .load()
+            )
+            stream_dedup_enroll(stream, idx, sink, ckpt)
+
+        for i in (0, 1):
+            write_file(docs.filter(F.col("doc_id") % 4 == i), drop, i)
+        run()
+        for i in (2, 3):
+            write_file(docs.filter(F.col("doc_id") % 4 == i), drop, i)
+        run()
+
+    state = _cached_index(sf_dir, "ingest_dedup", "documents", build)
+    return (
+        spark.read.parquet(os.path.join(state, "sink"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_emits"))
+        .select(F.col("fp").alias("digest"), "n_emits")
+        .orderBy("digest")
+    )
+
+
+@query(
     "dedup_resolve_longest",
     r"""
     WITH RECURSIVE sh AS (
@@ -6809,11 +6902,14 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       100 TB layout feature), and the mergeSchema drift read. The r6
 #       verdict's #1 ask; with these green, EVERY registry entry has
 #       been driver-hash-certified at least once.
-#   (b) 4 FIRST-TIME round-7 rows: the stream-stream watermarked
+#   (b) 5 FIRST-TIME round-7 rows: the stream-stream watermarked
 #       interval join and the applyInPandasWithState running totals
 #       (both through the IPC bridge — closing the last two
-#       driver-dark streaming surfaces), the grid-bucketed fact×fact
-#       range join, and the salted-join row-identity certification.
+#       driver-dark streaming surfaces), the continuous-ingestion
+#       dedup-against-persisted-index flow (foreachBatch + enroll +
+#       checkpoint-resume across two availableNow runs), the
+#       grid-bucketed fact×fact range join, and the salted-join
+#       row-identity certification.
 #   (c) 5 changed-since-green re-certs (code path touched this round):
 #       dedup_simhash (signature persist + all-pairs size guard),
 #       similarity_topk_ivf / similarity_topk_lsh (recall bound raised
@@ -6825,7 +6921,7 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       scrub_pii/winnow, window_topk, hll_sketch, order_pack/assign/
 #       shuffle, ...): after this round nothing in the registry is
 #       older than r4-green.
-#   (e) 9 oldest-r4 refreshes picked for operator-family diversity,
+#   (e) 8 oldest-r4 refreshes picked for operator-family diversity,
 #       including dedup_minhash_lsh (re-certifying the plan the round-7
 #       task-time adjudication just pinned) and interval_join_attribution
 #       (the batch twin of the new streaming join).
@@ -6840,6 +6936,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     # -- (b) first-time round-7 rows --------------------------------------
     "streaming_join_ipc",
     "streaming_stateful_ipc",
+    "streaming_dedup_index_ipc",
     "range_join_bucketed_events",
     "skew_salted_join",
     # -- (c) changed-since-green re-certs ---------------------------------
@@ -6878,7 +6975,9 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "unpivot_metrics",
     "window_ntile_quartiles",
     "window_topk",
-    # -- (e) oldest-r4 refreshes, family diversity ------------------------
+    # -- (e) oldest-r4 refreshes, family diversity (8 — one slot ceded to
+    # the mid-round streaming_dedup_index_ipc first-time cert, per the
+    # first-time-certs-outrank-refreshes rule) ----------------------------
     "q1_pricing_summary",
     "q3_shipping_priority",
     "asof_join_clicks",
@@ -6887,7 +6986,6 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "search_bm25_topk",
     "sample_stratified_events",
     "json_str_to_table",
-    "dedup_keep_first",
 ]
 
 

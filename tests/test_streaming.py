@@ -337,3 +337,66 @@ def test_stream_upsert_sink_torn_snapshot_rewritten(spark, tmp_path):
     assert latest is not None
     assert os.path.exists(os.path.join(latest, "_SUCCESS"))
     assert [tuple(r) for r in spark.read.parquet(latest).collect()] == [(1, 1.0)]
+
+
+def test_stream_dedup_enroll_emits_once_across_restarts(spark, tmp_path):
+    """Continuous-ingestion dedup (streaming/ingest.py): planted
+    duplicates within a file, across the two availableNow runs, and
+    against the pre-built history index must each survive exactly once
+    (or not at all for history) — and run 2 must RESUME past run 1's
+    files via the shared checkpoint."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyarrow_ops_spark.functions.dedup import build_dedup_index
+    from pyarrow_ops_spark.functions.text import fingerprint
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.ingest import stream_dedup_enroll
+
+    register_arrow_ipc(spark)
+    drop = str(tmp_path / "drop")
+    idx = str(tmp_path / "idx")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop)
+
+    hist = spark.createDataFrame([(100, "known doc")], "doc_id long, text string")
+    build_dedup_index(hist, idx)
+
+    def write_file(rows, i):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stage = tempfile.mkdtemp()
+        try:
+            df.coalesce(1).write.format("arrowipc").mode("append").save(stage)
+            f = [x for x in os.listdir(stage) if x.endswith(".arrow")][0]
+            shutil.move(os.path.join(stage, f), os.path.join(drop, f"part-{i:05d}.arrow"))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def run():
+        stream = (
+            spark.readStream.format("arrowipc")
+            .schema("doc_id long, text string")
+            .option("path", drop)
+            .load()
+        )
+        stream_dedup_enroll(stream, idx, sink, ckpt)
+
+    # run 1: an in-file duplicate, a fresh doc, and a history hit
+    write_file([(1, "alpha"), (2, "alpha"), (3, "beta"), (4, "known doc")], 0)
+    run()
+    first = {r.fp for r in spark.read.parquet(sink).collect()}
+    digest = lambda t: spark.range(1).select(
+        fingerprint(F.lit(t)).alias("d")
+    ).first().d
+    assert first == {digest("alpha"), digest("beta")}
+
+    # run 2 (same checkpoint): re-sends alpha, adds gamma
+    write_file([(5, "alpha"), (6, "gamma")], 1)
+    run()
+    rows = spark.read.parquet(sink).groupBy("fp").count().collect()
+    counts = {r.fp: r["count"] for r in rows}
+    assert counts == {digest("alpha"): 1, digest("beta"): 1, digest("gamma"): 1}
