@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd  # module-level so stringified UDF type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -1920,6 +1922,51 @@ def q_udtf_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.pos, t.token
         FROM docs_for_udtf d, LATERAL split_tokens_udtf(d.text) t
         """
+    )
+
+
+@query(
+    "udaf_grouped_agg_geomean",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(exp(avg(ln(l_quantity + 1))), 4) AS geo_mean_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_udaf_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formal Python UDAF surface (SURVEY §2.2's last bullet): a
+    GROUPED_AGG ``pandas_udf`` (Series -> scalar, Arrow-batched) computing
+    the shifted geometric mean of l_quantity per (returnflag, linestatus),
+    used directly inside ``agg`` alongside a built-in count. Oracle =
+    the closed form exp(avg(ln(x+1))) in DuckDB. Scale guidance in the
+    docstring of record: a GROUPED_AGG UDAF materializes each group on
+    one executor and gets NO partial aggregation — fine for
+    |groups|-bounded analytics like this; for corpus-scale hot paths
+    prefer the equivalent expression rewrite (exp(avg(ln(x+1))) via
+    built-ins), which partial-aggregates map-side. The reference's only
+    aggregate extension point is the per-group Python callable
+    (pyarrow_ops/group.py:39-48), certified via groupby_aggregate_callable;
+    this row certifies the vectorized formal twin."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean_p1(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy(dtype="float64") + 1.0).mean()))
+
+    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a second pandas
+    # UDAF — both evaluate in one Arrow pass over each group
+    @pandas_udf("long")
+    def n_rows_udaf(v: pd.Series) -> int:
+        return len(v)
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(geo_mean_p1("l_quantity"), 4).alias("geo_mean_qty"),
+        n_rows_udaf("l_quantity").alias("n_rows"),
     )
 
 
@@ -6902,14 +6949,15 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       100 TB layout feature), and the mergeSchema drift read. The r6
 #       verdict's #1 ask; with these green, EVERY registry entry has
 #       been driver-hash-certified at least once.
-#   (b) 5 FIRST-TIME round-7 rows: the stream-stream watermarked
+#   (b) 6 FIRST-TIME round-7 rows: the stream-stream watermarked
 #       interval join and the applyInPandasWithState running totals
 #       (both through the IPC bridge — closing the last two
 #       driver-dark streaming surfaces), the continuous-ingestion
 #       dedup-against-persisted-index flow (foreachBatch + enroll +
 #       checkpoint-resume across two availableNow runs), the
-#       grid-bucketed fact×fact range join, and the salted-join
-#       row-identity certification.
+#       grid-bucketed fact×fact range join, the salted-join
+#       row-identity certification, and the formal GROUPED_AGG pandas
+#       UDAF (closing SURVEY §2.2's last named API).
 #   (c) 5 changed-since-green re-certs (code path touched this round):
 #       dedup_simhash (signature persist + all-pairs size guard),
 #       similarity_topk_ivf / similarity_topk_lsh (recall bound raised
@@ -6921,7 +6969,9 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       scrub_pii/winnow, window_topk, hll_sketch, order_pack/assign/
 #       shuffle, ...): after this round nothing in the registry is
 #       older than r4-green.
-#   (e) 8 oldest-r4 refreshes picked for operator-family diversity,
+#   (e) 7 oldest-r4 refreshes picked for operator-family diversity
+#       (two slots ceded to mid-round first-time certs; the sampling
+#       family keeps sample_hash_orders in (d)),
 #       including dedup_minhash_lsh (re-certifying the plan the round-7
 #       task-time adjudication just pinned) and interval_join_attribution
 #       (the batch twin of the new streaming join).
@@ -6939,6 +6989,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "streaming_dedup_index_ipc",
     "range_join_bucketed_events",
     "skew_salted_join",
+    "udaf_grouped_agg_geomean",
     # -- (c) changed-since-green re-certs ---------------------------------
     "dedup_simhash",
     "similarity_topk_ivf",
@@ -6975,8 +7026,8 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "unpivot_metrics",
     "window_ntile_quartiles",
     "window_topk",
-    # -- (e) oldest-r4 refreshes, family diversity (8 — one slot ceded to
-    # the mid-round streaming_dedup_index_ipc first-time cert, per the
+    # -- (e) oldest-r4 refreshes, family diversity (7 — two slots ceded
+    # to mid-round first-time certs, per the
     # first-time-certs-outrank-refreshes rule) ----------------------------
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -6984,7 +7035,6 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "interval_join_attribution",
     "dedup_minhash_lsh",
     "search_bm25_topk",
-    "sample_stratified_events",
     "json_str_to_table",
 ]
 
