@@ -138,9 +138,12 @@ DEFAULT_QUERIES = [
     "text_strip_repeated_lines",
     "similarity_topk_ivf",
     "similarity_topk_lsh",
-    # round-7 additions: bucketed fact×fact range join, salted join
+    # round-7 additions: bucketed fact×fact range join, salted join,
+    # GROUPED_AGG pandas UDAF (per-group materialization is the shape
+    # that deserves a 10x check; groups stay |returnflag×linestatus|)
     "range_join_bucketed_events",
     "skew_salted_join",
+    "udaf_grouped_agg_geomean",
 ]
 
 
