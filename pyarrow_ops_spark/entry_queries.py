@@ -6391,6 +6391,140 @@ def q_streaming_join_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_join_outer_ipc",
+    """
+    SELECT p.event_id AS p_event_id, c.event_id AS c_event_id,
+           p.user_id AS user_id, p.ts AS p_ts, c.ts AS c_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    """,
+)
+def q_streaming_join_outer_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join, WATERMARK-FINALIZED to the exact
+    batch result: unlike the inner variant (streaming_join_ipc), outer
+    null-rows emit only when the global watermark proves no future match
+    can arrive — so the flow drives the watermark deterministically past
+    every real event with SENTINEL rows (user_id = -1, ts = max + 3/4
+    days, one purchase + one click so BOTH sides' watermark nodes
+    advance under the min policy) across THREE availableNow runs sharing
+    one checkpoint: run 1 ingests the 4 real files (inner matches emit),
+    run 2's sentinel batch evicts with run 1's checkpointed watermark
+    (emitting most unmatched lefts), run 3's second sentinel gives the
+    engine a data batch that applies run 2's sentinel-advanced watermark
+    and flushes the tail. Sink is parquet-append (accumulates across
+    runs); sentinels are excluded from the RESULT READ, not the stream —
+    a pre-watermark filter would be pushed below the EventTimeWatermark
+    node by Catalyst and the sentinels would never reach the event-time
+    stats (measured: the watermark stays put and 3 rows never emit).
+    Oracle = the literal batch LEFT JOIN. State bound: rate × horizon
+    per side, same as the inner variant. Ref: streaming is an extension
+    surface (SURVEY §2.2); the reference has no incremental execution."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+
+    register_arrow_ipc(spark)
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+    def write_file(df: DataFrame, drop: str, i: int) -> None:
+        stage = tempfile.mkdtemp(prefix="spark_graft_outer_stage_")
+        try:
+            df.coalesce(1).write.format("arrowipc").mode("append").save(stage)
+            files = [f for f in os.listdir(stage) if f.endswith(".arrow")]
+            assert len(files) == 1, files
+            shutil.move(
+                os.path.join(stage, files[0]),
+                os.path.join(drop, f"part-{i:05d}.arrow"),
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def build(tmp: str) -> None:
+        drop = os.path.join(tmp, "drop")
+        ckpt = os.path.join(tmp, "ckpt")
+        sink = os.path.join(tmp, "sink")
+        os.makedirs(drop)
+
+        def run() -> None:
+            def side(tag: str, etype: str) -> DataFrame:
+                s = (
+                    spark.readStream.format("arrowipc")
+                    .schema(_IPC_DROP_SCHEMA)
+                    .option("path", drop)
+                    .load()
+                    .filter(F.col("event_type") == etype)
+                    .select(
+                        F.col("event_id").alias(f"{tag}_event_id"),
+                        F.col("user_id").alias(f"{tag}_user_id"),
+                        F.timestamp_micros(F.col("ts_us")).alias(f"{tag}_ts"),
+                    )
+                )
+                return s.withWatermark(f"{tag}_ts", "2 hours")
+
+            p, c = side("p", "purchase"), side("c", "click")
+            cond = (
+                (p.p_user_id == c.c_user_id)
+                & (c.c_ts > p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+                & (c.c_ts <= p.p_ts)
+            )
+            j = p.join(c, cond, "left_outer").select(
+                "p_event_id",
+                "c_event_id",
+                F.col("p_user_id").alias("user_id"),
+                "p_ts",
+                "c_ts",
+            )
+            q = (
+                j.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        for i in range(4):
+            write_file(events.filter(F.col("event_id") % 4 == i), drop, i)
+        run()
+        max_us = events.agg(F.max("ts_us")).first()[0]
+        for k, days in enumerate((3, 4)):
+            sent = spark.createDataFrame(
+                [
+                    (10**12 + 2 * k, -1, "purchase", 0.0,
+                     max_us + days * 86_400 * 10**6),
+                    (10**12 + 2 * k + 1, -1, "click", 0.0,
+                     max_us + days * 86_400 * 10**6),
+                ],
+                _IPC_DROP_SCHEMA,
+            )
+            write_file(sent, drop, 4 + k)
+            run()
+        # the streaming parquet sink's _spark_metadata log records the
+        # ABSOLUTE paths of this pre-promotion build dir; after
+        # _cached_index's atomic rename those paths are dead and the
+        # metadata-aware reader fails. All runs terminated cleanly, so
+        # every data file is committed — drop the log and read the sink
+        # as a plain parquet directory.
+        shutil.rmtree(os.path.join(sink, "_spark_metadata"), ignore_errors=True)
+
+    state = _cached_index(sf_dir, "ipc_outer", "events", build)
+    return spark.read.parquet(os.path.join(state, "sink")).filter(
+        F.col("user_id") >= 0
+    )
+
+
+@query(
     "streaming_stateful_ipc",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
@@ -6949,8 +7083,9 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       100 TB layout feature), and the mergeSchema drift read. The r6
 #       verdict's #1 ask; with these green, EVERY registry entry has
 #       been driver-hash-certified at least once.
-#   (b) 6 FIRST-TIME round-7 rows: the stream-stream watermarked
-#       interval join and the applyInPandasWithState running totals
+#   (b) 7 FIRST-TIME round-7 rows: the stream-stream watermarked
+#       inner AND watermark-finalized left-outer joins,
+#       interval join variants and the applyInPandasWithState running totals
 #       (both through the IPC bridge — closing the last two
 #       driver-dark streaming surfaces), the continuous-ingestion
 #       dedup-against-persisted-index flow (foreachBatch + enroll +
@@ -6969,7 +7104,7 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       scrub_pii/winnow, window_topk, hll_sketch, order_pack/assign/
 #       shuffle, ...): after this round nothing in the registry is
 #       older than r4-green.
-#   (e) 7 oldest-r4 refreshes picked for operator-family diversity
+#   (e) 6 oldest-r4 refreshes picked for operator-family diversity
 #       (two slots ceded to mid-round first-time certs; the sampling
 #       family keeps sample_hash_orders in (d)),
 #       including dedup_minhash_lsh (re-certifying the plan the round-7
@@ -6985,6 +7120,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "sources_merge_schema",
     # -- (b) first-time round-7 rows --------------------------------------
     "streaming_join_ipc",
+    "streaming_join_outer_ipc",
     "streaming_stateful_ipc",
     "streaming_dedup_index_ipc",
     "range_join_bucketed_events",
@@ -7026,11 +7162,10 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "unpivot_metrics",
     "window_ntile_quartiles",
     "window_topk",
-    # -- (e) oldest-r4 refreshes, family diversity (7 — two slots ceded
+    # -- (e) oldest-r4 refreshes, family diversity (6 — three slots ceded
     # to mid-round first-time certs, per the
     # first-time-certs-outrank-refreshes rule) ----------------------------
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "asof_join_clicks",
     "interval_join_attribution",
     "dedup_minhash_lsh",
