@@ -6391,6 +6391,88 @@ def q_streaming_join_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_watermark_ipc",
+    """
+    SELECT DISTINCT user_id, event_type,
+           date_trunc('hour', ts) AS hour
+    FROM events
+    """,
+)
+def q_streaming_dedup_watermark_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION bounded-state streaming dedup
+    (``dropDuplicatesWithinWatermark`` — state tracks arrival rate ×
+    horizon, not stream length) certified exactly, via a construction
+    that pins its arrival-order-dependent semantics: the drop dir is
+    TIME-ORDERED (4 files = consecutive event-time quarters, ntile over
+    (ts, event_id)) and the dedup key embeds its own hour bucket, so any
+    two same-key occurrences are < 1h apart — always inside the 2h
+    horizon (state can't evict between them: the watermark trails the
+    bucket by construction) and never late (event time only moves
+    forward across files). The emission set is therefore EXACTLY
+    DISTINCT (user, type, hour) no matter how availableNow slices
+    micro-batches, and the kept row is byte-identical after projecting
+    the bucket columns (the emitted row's ts is arrival-nondeterministic
+    — it is projected away, the same discipline as streaming_dedup_ipc).
+    This closes the r6 note that the watermark variant was 'certifiable
+    only through the exact variant'. Ref: SURVEY §2.2 streaming gap;
+    helper streaming/windows.py:102."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.windows import stream_dedup
+
+    register_arrow_ipc(spark)
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+    def build(tmp: str) -> None:
+        quartered = events.withColumn(
+            "__q",
+            F.ntile(4).over(W.orderBy("ts_us", "event_id")) - 1,
+        )
+        for i in range(4):
+            stage = tempfile.mkdtemp(prefix="spark_graft_tsdrop_stage_")
+            try:
+                (
+                    quartered.filter(F.col("__q") == i)
+                    .drop("__q")
+                    .coalesce(1)
+                    .write.format("arrowipc")
+                    .mode("append")
+                    .save(stage)
+                )
+                files = [f for f in os.listdir(stage) if f.endswith(".arrow")]
+                assert len(files) == 1, files
+                shutil.move(
+                    os.path.join(stage, files[0]),
+                    os.path.join(tmp, f"part-{i:05d}.arrow"),
+                )
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+
+    drop = _cached_index(sf_dir, "ipc_stream_drop_ts", "events", build)
+    stream = (
+        spark.readStream.format("arrowipc")
+        .schema(_IPC_DROP_SCHEMA)
+        .option("path", drop)
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    )
+    deduped = stream_dedup(
+        stream, ["user_id", "event_type", "hour"], ts_col="ts", watermark="2 hours"
+    ).select("user_id", "event_type", "hour")
+    return _run_stream_to_table(deduped, "append", "stream_dedup_wm")
+
+
+@query(
     "streaming_join_outer_ipc",
     """
     SELECT p.event_id AS p_event_id, c.event_id AS c_event_id,
@@ -7083,7 +7165,7 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       100 TB layout feature), and the mergeSchema drift read. The r6
 #       verdict's #1 ask; with these green, EVERY registry entry has
 #       been driver-hash-certified at least once.
-#   (b) 7 FIRST-TIME round-7 rows: the stream-stream watermarked
+#   (b) 8 FIRST-TIME round-7 rows: the stream-stream watermarked
 #       inner AND watermark-finalized left-outer joins,
 #       interval join variants and the applyInPandasWithState running totals
 #       (both through the IPC bridge — closing the last two
@@ -7104,7 +7186,7 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       scrub_pii/winnow, window_topk, hll_sketch, order_pack/assign/
 #       shuffle, ...): after this round nothing in the registry is
 #       older than r4-green.
-#   (e) 6 oldest-r4 refreshes picked for operator-family diversity
+#   (e) 5 oldest-r4 refreshes picked for operator-family diversity
 #       (two slots ceded to mid-round first-time certs; the sampling
 #       family keeps sample_hash_orders in (d)),
 #       including dedup_minhash_lsh (re-certifying the plan the round-7
@@ -7123,6 +7205,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "streaming_join_outer_ipc",
     "streaming_stateful_ipc",
     "streaming_dedup_index_ipc",
+    "streaming_dedup_watermark_ipc",
     "range_join_bucketed_events",
     "skew_salted_join",
     "udaf_grouped_agg_geomean",
@@ -7162,14 +7245,13 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "unpivot_metrics",
     "window_ntile_quartiles",
     "window_topk",
-    # -- (e) oldest-r4 refreshes, family diversity (6 — three slots ceded
+    # -- (e) oldest-r4 refreshes, family diversity (5 — four slots ceded
     # to mid-round first-time certs, per the
     # first-time-certs-outrank-refreshes rule) ----------------------------
     "q1_pricing_summary",
     "asof_join_clicks",
     "interval_join_attribution",
     "dedup_minhash_lsh",
-    "search_bm25_topk",
     "json_str_to_table",
 ]
 
