@@ -6391,6 +6391,133 @@ def q_streaming_join_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stateful_timeout_ipc",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_streaming_stateful_timeout_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionization with EVENT-TIME TIMEOUT state
+    eviction — the one applyInPandasWithState feature the NoTimeout
+    running-totals row can't exercise: per-key open-session state closes
+    either when later same-key data proves a >= 30 min gap (final
+    because the drop is TIME-ORDERED — the same quarter files as
+    streaming_dedup_watermark_ipc) or when
+    ``GroupStateTimeout.EventTimeTimeout`` fires after the watermark
+    passes last_ts + gap (streaming/stateful.py:_update_sessions). The
+    stream-end flush is driven deterministically by the sentinel
+    pattern proven on the outer join: two sentinel files / three
+    availableNow runs on one checkpoint, parquet-append sink, sentinels
+    excluded at the result read. The emitted sessions replicate the
+    certified built-in session_window merge rule, so the oracle is the
+    SAME gap-sessionization SQL as streaming_sessions_ipc — built-in
+    operator, custom stateful operator, and batch SQL all agree on one
+    hash. State is O(open sessions); idle keys are evicted by the
+    engine's timeout, not a scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.stateful import (
+        session_totals_event_timeout,
+    )
+
+    register_arrow_ipc(spark)
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+    def write_file(df: DataFrame, drop: str, i: int) -> None:
+        stage = tempfile.mkdtemp(prefix="spark_graft_sesst_stage_")
+        try:
+            df.coalesce(1).write.format("arrowipc").mode("append").save(stage)
+            files = [f for f in os.listdir(stage) if f.endswith(".arrow")]
+            assert len(files) == 1, files
+            shutil.move(
+                os.path.join(stage, files[0]),
+                os.path.join(drop, f"part-{i:05d}.arrow"),
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def build(tmp: str) -> None:
+        drop = os.path.join(tmp, "drop")
+        ckpt = os.path.join(tmp, "ckpt")
+        sink = os.path.join(tmp, "sink")
+        os.makedirs(drop)
+
+        def run() -> None:
+            stream = (
+                spark.readStream.format("arrowipc")
+                .schema(_IPC_DROP_SCHEMA)
+                .option("path", drop)
+                .load()
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+                .withWatermark("ts", "2 hours")
+            )
+            q = (
+                session_totals_event_timeout(stream)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        quartered = events.withColumn(
+            "__q", F.ntile(4).over(W.orderBy("ts_us", "event_id")) - 1
+        )
+        for i in range(4):
+            write_file(quartered.filter(F.col("__q") == i).drop("__q"), drop, i)
+        run()
+        max_us = events.agg(F.max("ts_us")).first()[0]
+        for k, days in enumerate((3, 4)):
+            sent = spark.createDataFrame(
+                [
+                    (10**12 + k, -1, "sentinel", 0.0,
+                     max_us + days * 86_400 * 10**6),
+                ],
+                _IPC_DROP_SCHEMA,
+            )
+            write_file(sent, drop, 4 + k)
+            run()
+        # drop the streaming sink's _spark_metadata: it pins the
+        # pre-promotion absolute paths (see streaming_join_outer_ipc)
+        shutil.rmtree(os.path.join(sink, "_spark_metadata"), ignore_errors=True)
+
+    state = _cached_index(sf_dir, "ipc_sess_timeout", "events", build)
+    return spark.read.parquet(os.path.join(state, "sink")).filter(
+        F.col("user_id") >= 0
+    )
+
+
+@query(
     "streaming_dedup_watermark_ipc",
     """
     SELECT DISTINCT user_id, event_type,
@@ -7165,7 +7292,7 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       100 TB layout feature), and the mergeSchema drift read. The r6
 #       verdict's #1 ask; with these green, EVERY registry entry has
 #       been driver-hash-certified at least once.
-#   (b) 8 FIRST-TIME round-7 rows: the stream-stream watermarked
+#   (b) 9 FIRST-TIME round-7 rows: the stream-stream watermarked
 #       inner AND watermark-finalized left-outer joins,
 #       interval join variants and the applyInPandasWithState running totals
 #       (both through the IPC bridge — closing the last two
@@ -7186,7 +7313,7 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       scrub_pii/winnow, window_topk, hll_sketch, order_pack/assign/
 #       shuffle, ...): after this round nothing in the registry is
 #       older than r4-green.
-#   (e) 5 oldest-r4 refreshes picked for operator-family diversity
+#   (e) 4 oldest-r4 refreshes picked for operator-family diversity
 #       (two slots ceded to mid-round first-time certs; the sampling
 #       family keeps sample_hash_orders in (d)),
 #       including dedup_minhash_lsh (re-certifying the plan the round-7
@@ -7204,6 +7331,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "streaming_join_ipc",
     "streaming_join_outer_ipc",
     "streaming_stateful_ipc",
+    "streaming_stateful_timeout_ipc",
     "streaming_dedup_index_ipc",
     "streaming_dedup_watermark_ipc",
     "range_join_bucketed_events",
@@ -7245,10 +7373,10 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "unpivot_metrics",
     "window_ntile_quartiles",
     "window_topk",
-    # -- (e) oldest-r4 refreshes, family diversity (5 — four slots ceded
+    # -- (e) oldest-r4 refreshes, family diversity (4 — five slots ceded
     # to mid-round first-time certs, per the
-    # first-time-certs-outrank-refreshes rule) ----------------------------
-    "q1_pricing_summary",
+    # first-time-certs-outrank-refreshes rule; TPC-H keeps q10/q17/q19/q22
+    # in (d)) -------------------------------------------------------------
     "asof_join_clicks",
     "interval_join_attribution",
     "dedup_minhash_lsh",

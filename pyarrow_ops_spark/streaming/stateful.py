@@ -87,3 +87,80 @@ def stream_session_windows(
             "sum_value",
         )
     )
+
+
+_SESS_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, sum_value double"
+)
+_SESS_STATE_SCHEMA = "start long, last long, n bigint, total double"
+
+
+def _update_sessions(key, pdfs, state: GroupState):
+    """Gap-based sessionization with ONE open session per key in state,
+    closed either by an observed gap (later same-key data proves it —
+    final when the source is globally time-ordered) or by an
+    EVENT-TIME TIMEOUT once the watermark passes last_ts + gap.
+
+    Self-contained (pandas only) so executors without this repo on
+    sys.path can deserialize it. Timestamps travel as epoch micros in
+    state; the 30-minute gap is inlined (1800 s)."""
+    import pandas as pd
+
+    GAP_US = 1_800 * 1_000_000
+
+    def emit(start_us, last_us, n, total):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us + GAP_US, unit="us")],
+                "n_events": [n],
+                "sum_value": [round(total, 4)],
+            }
+        )
+
+    if state.hasTimedOut:
+        start, last, n, total = state.get
+        state.remove()
+        yield emit(start, last, n, total)
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_us")
+    cur = list(state.get) if state.exists else None
+    for ts_us, value in zip(rows["ts_us"], rows["value"]):
+        ts_us = int(ts_us)
+        if cur is None:
+            cur = [ts_us, ts_us, 1, float(value)]
+        elif ts_us - cur[1] >= GAP_US:
+            yield emit(*cur)
+            cur = [ts_us, ts_us, 1, float(value)]
+        else:
+            cur[1] = ts_us
+            cur[2] += 1
+            cur[3] += float(value)
+    state.update(tuple(cur))
+    state.setTimeoutTimestamp((cur[1] + GAP_US) // 1000)
+
+
+def session_totals_event_timeout(events: DataFrame) -> DataFrame:
+    """CUSTOM stateful sessionization via ``applyInPandasWithState`` with
+    ``GroupStateTimeout.EventTimeTimeout`` — the extension point beyond
+    the built-in ``session_window``: arbitrary per-session state and an
+    explicit watermark-driven eviction contract. Sessions close when
+    later same-key data proves a >= 30 min gap, or when the event-time
+    timeout fires (watermark > last_ts + gap) — so state is bounded by
+    OPEN sessions only, and idle keys are evicted by the engine, not by
+    a scan. Expects columns (user_id, value, ts_us, ts) with a watermark
+    already applied on ``ts``."""
+    return (
+        events.select("user_id", "value", "ts_us", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_sessions,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
