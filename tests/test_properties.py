@@ -262,3 +262,46 @@ def test_profile_table_property(spark, rows):
     assert prof["x"].n_distinct == len({v for v in xs if v is not None})
     assert prof["s"].n_nulls == sum(1 for v in ss if v is None)
     assert prof["s"].n_distinct == len({v for v in ss if v is not None})
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),   # lo
+        st.integers(min_value=0, max_value=40),     # length (hi = lo + len)
+    ),
+    min_size=0,
+    max_size=8,
+)
+POINTS = st.lists(st.integers(min_value=-60, max_value=60), min_size=0, max_size=12)
+WIDTHS = st.integers(min_value=1, max_value=17)
+
+
+@SETTINGS
+@given(points=POINTS, intervals=INTERVALS, width=WIDTHS)
+def test_range_join_bucketed_equals_predicate(spark, points, intervals, width):
+    """The grid-bucket rewrite must emit EXACTLY the pairs satisfying
+    lo <= v < hi for arbitrary points, intervals (including empty,
+    zero-length, and overlapping), and bucket widths (including widths
+    that don't divide interval edges)."""
+    from pyarrow_ops_spark.operators.join import range_join_bucketed
+
+    left = (
+        spark.createDataFrame([(i, v) for i, v in enumerate(points)], "lid int, v long")
+        if points else spark.createDataFrame([], "lid int, v long")
+    )
+    ivals = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(intervals)]
+    right = (
+        spark.createDataFrame(ivals, "rid int, lo long, hi long")
+        if ivals else spark.createDataFrame([], "rid int, lo long, hi long")
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in range_join_bucketed(left, right, "v", "lo", "hi", width).collect()
+    }
+    want = {
+        (i, j)
+        for i, v in enumerate(points)
+        for j, lo, hi in ivals
+        if lo <= v < hi
+    }
+    assert got == want
