@@ -822,10 +822,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("id_a", "id_b").alias("id_b"),
     )
     sym_diff = brute.exceptAll(emitted).union(emitted.exceptAll(brute))
-    return sym_diff.agg(
+    # materialize the single-row verdict EAGERLY so the corpus-wide
+    # signature cache can be released here instead of staying pinned in
+    # executor storage for the rest of the session (round-8 advice fix);
+    # the returned frame is a 1-row literal rebuild of the same schema
+    n_diff = sym_diff.count()
+    sigs.unpersist()
+    return spark.range(1).select(
         F.lit(4).cast("int").alias("bands"),
         F.lit(3).cast("int").alias("max_hamming"),
-        (F.count(F.lit(1)) == 0).alias("equals_bruteforce"),
+        F.lit(n_diff == 0).alias("equals_bruteforce"),
     )
 
 
@@ -1403,8 +1409,12 @@ def q_range_join_bucketed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted nested-loop-free (tests/test_plan_hygiene.py). Left
     semantics (purchases with zero clicks kept) come from aggregating the
     inner pair set and joining back — the documented composition for
-    outer variants. Ref: SURVEY §2.2 'Joins' gap; the reference has inner
-    equi-join only (join.py:15-47)."""
+    outer variants. bucket_width is OMITTED here to exercise the auto
+    path (median interval length — all intervals are exactly 5 min, so
+    the derived width equals the r7-certified explicit width and the
+    result is width-invariant anyway, property-tested in
+    tests/test_range_join_bucketed.py). Ref: SURVEY §2.2 'Joins' gap;
+    the reference has inner equi-join only (join.py:15-47)."""
     from pyarrow_ops_spark.operators.join import range_join_bucketed
 
     ev = load_table(spark, "events", sf_dir)
@@ -1417,9 +1427,7 @@ def q_range_join_bucketed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.unix_micros(F.col("ts")).alias("c_us")
     )
-    pairs = range_join_bucketed(
-        clicks, purchases, "c_us", "lo_us", "hi_us", bucket_width=five_min_us
-    )
+    pairs = range_join_bucketed(clicks, purchases, "c_us", "lo_us", "hi_us")
     counts = pairs.groupBy("event_id").agg(
         F.count(F.lit(1)).alias("__n")
     )

@@ -23,6 +23,7 @@ broadcast join and an unneeded 100 TB shuffle is the whole game.
 
 from __future__ import annotations
 
+import warnings
 from functools import reduce
 from operator import and_
 from typing import Sequence
@@ -135,13 +136,70 @@ def range_join(
     return left.join(r, on=cond, how=how)
 
 
+def _floor_div(col, width):
+    """Exact integer ``floor(col / width)`` for long columns.
+
+    ``F.floor(a / b)`` evaluates in double, which is exact only below
+    2^53 — at unix-nanos scale (~2^60) the rounded quotient can land a
+    value and its interval edge in DIFFERENT grid cells, silently
+    dropping matching pairs (the post-filter only removes false
+    positives, it cannot recover misses). ``div`` (IntegralDivide)
+    truncates toward zero, which equals floor once the numerator is
+    snapped down to an exact multiple via ``pmod`` (always >= 0, so the
+    subtraction floors negative values too). All-long arithmetic, exact
+    over the full int64 domain."""
+    c = col.cast("long")
+    w = F.lit(int(width)).cast("long")
+    return F.call_function("div", c - F.pmod(c, w), w)
+
+
+def auto_bucket_width(right: DataFrame, lo_col: str, hi_col: str) -> int:
+    """Derive a grid width for ``range_join_bucketed`` from the interval-
+    length distribution of ``right``: the median length, so the typical
+    interval explodes to <= 2 cells.
+
+    One tiny single-row aggregation on the interval side (the bounded
+    driver collect is one row of three longs). Warns — but proceeds —
+    when the length distribution is so skewed (p99/p50 > 100) that a
+    single global width is degenerate: the long tail then replicates to
+    ~p99/p50 cells per interval, and the caller should pick a width (or
+    split the interval side by length band) instead."""
+    row = (
+        right.select(
+            (F.col(hi_col).cast("long") - F.col(lo_col).cast("long")).alias("len")
+        )
+        .filter(F.col("len") > 0)
+        .agg(
+            F.percentile_approx("len", 0.5).alias("p50"),
+            F.percentile_approx("len", 0.99).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    if not row["n"]:
+        raise ValueError(
+            f"auto bucket width: no interval on the right side has "
+            f"{hi_col} > {lo_col}; pass bucket_width explicitly"
+        )
+    width = max(int(row["p50"]), 1)
+    if row["p99"] and row["p99"] / width > 100:
+        warnings.warn(
+            f"range_join_bucketed auto width {width} is degenerate for the "
+            f"interval-length tail (p99={row['p99']}, p99/p50 > 100): tail "
+            f"intervals explode to ~{int(row['p99'] / width) + 1} cells "
+            f"each. Pass bucket_width or band the interval side by length.",
+            stacklevel=2,
+        )
+    return width
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,
     value_col: str,
     lo_col: str,
     hi_col: str,
-    bucket_width: int,
+    bucket_width: int | None = None,
     extra_on: Sequence[str] | None = None,
 ) -> DataFrame:
     """Big×big range join via grid bucketing — the rewrite ``range_join``'s
@@ -161,25 +219,36 @@ def range_join_bucketed(
 
     Pick ``bucket_width`` ≈ the typical interval length: each interval
     then explodes to ≤ 2 cells (the replication factor is
-    ``ceil(len/width) + 1``). Inner join only — a left row matching no
-    interval is droppable cell-locally; outer variants need a
-    join-back (compose with a left join on the output keys).
+    ``ceil(len/width) + 1``). ``bucket_width=None`` derives it from the
+    median interval length (``auto_bucket_width`` — one tiny agg on the
+    right side, warning on skew-degenerate distributions). Inner join
+    only — a left row matching no interval is droppable cell-locally;
+    outer variants need a join-back (compose with a left join on the
+    output keys).
+
+    Cell ids use exact integer floor division (``_floor_div``), so the
+    grid is correct over the FULL int64 domain — unix nanos included.
+    Inverted intervals (``hi <= lo`` — a data bug) are dropped before
+    the explode: they can never satisfy the ``lo <= v < hi`` post-filter,
+    and exploding a descending cell sequence for them would be wasted
+    (potentially huge) fan-out.
 
     Absent in the reference (SURVEY §2.2 'Joins'); standard grid/band
     rewrite as in e.g. interval joins in genomics engines."""
+    if bucket_width is None:
+        bucket_width = auto_bucket_width(right, lo_col, hi_col)
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     if "__cell__" in left.columns or "__cell__" in right.columns:
         raise ValueError("reserved column __cell__ present on an input")
-    w = F.lit(bucket_width).cast("long")
-    lb = left.withColumn("__cell__", F.floor(F.col(value_col).cast("long") / w))
+    lb = left.withColumn("__cell__", _floor_div(F.col(value_col), bucket_width))
     # last overlapped cell is floor((hi - 1) / w): hi itself is exclusive
-    rb = right.withColumn(
+    rb = right.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "__cell__",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col).cast("long") / w),
-                F.floor((F.col(hi_col).cast("long") - F.lit(1)) / w),
+                _floor_div(F.col(lo_col), bucket_width),
+                _floor_div(F.col(hi_col).cast("long") - F.lit(1), bucket_width),
             )
         ),
     )

@@ -59,17 +59,29 @@ def codegen_stage_count(df: DataFrame) -> int:
 def _jplan_children(jplan):
     """Children of a JVM physical node, looking through the adaptive /
     query-stage wrappers (whose Catalyst ``children()`` is empty — the
-    real subtree hides behind ``initialPlan()`` / ``plan()``)."""
+    real subtree hides behind an accessor).
+
+    For ``AdaptiveSparkPlanExec`` the FINAL plan is preferred whenever the
+    query has already executed (``isFinalPlan``) — asserting against
+    ``initialPlan`` on an executed AQE query would see the pre-adaptive
+    tree (round-8 advice fix). ``finalPhysicalPlan()`` is never called on
+    an un-finalized query: it would force execution as a side effect of a
+    plan inspection. py4j proxies report ``hasattr`` true for any name,
+    so accessor choice is by ordered try/except, not capability probing."""
     ch = jplan.children()
     n = ch.size()
     if n:
         return [ch.apply(i) for i in range(n)]
-    for acc in ("initialPlan", "plan"):
-        if hasattr(jplan, acc):
-            try:
-                return [getattr(jplan, acc)()]
-            except Exception:
-                pass
+    try:
+        if jplan.isFinalPlan():
+            return [jplan.finalPhysicalPlan()]
+    except Exception:
+        pass
+    for acc in ("plan", "initialPlan"):
+        try:
+            return [getattr(jplan, acc)()]
+        except Exception:
+            pass
     return []
 
 
@@ -78,7 +90,12 @@ def node_has_descendant(df: DataFrame, ancestor: str, descendant: str) -> bool:
     strict descendant whose name contains ``descendant`` — a tree-walk
     replacement for comparing substring indices in the rendered plan
     string, whose node order varies across Spark versions and AQE
-    settings."""
+    settings.
+
+    Under AQE the walk sees the INITIAL adaptive plan unless ``df`` has
+    already been executed (then ``isFinalPlan`` is true and the final
+    plan is walked). Execute first (e.g. noop write on the same ``df``
+    object) when the assertion targets runtime re-planning."""
 
     def any_node(p, pred):
         if pred(p.nodeName()):

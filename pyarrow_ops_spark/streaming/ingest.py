@@ -47,12 +47,25 @@ def stream_dedup_enroll(
     ``sink_path`` as parquet rows ``(fp)``.
 
     Per batch: distinct normalized fingerprints -> anti-join the index ->
-    WRITE the survivors -> enroll the WRITTEN rows (never the lazy plan —
-    enrolling a still-lazy survivor frame re-evaluates it against the
-    index it is appending to; same discipline as ``dedup_index_lifecycle``).
-    A digest therefore emits at most once across the whole stream, no
-    matter how batches slice: its first batch enrolls it, every later
-    occurrence anti-joins away."""
+    stage the survivors -> enroll the staged rows into the INDEX FIRST,
+    then append them to the sink (never the lazy plan — enrolling a
+    still-lazy survivor frame re-evaluates it against the index it is
+    appending to; same discipline as ``dedup_index_lifecycle``). A digest
+    therefore emits at most once across the whole stream, no matter how
+    batches slice: its first batch enrolls it, every later occurrence
+    anti-joins away.
+
+    Crash-replay semantics (index-before-sink is deliberate): foreachBatch
+    is at-least-once, so a crash mid-batch replays the batch. With the
+    index written first, a replay after a partial batch finds the digests
+    already enrolled and SUPPRESSES them — the sink never sees a digest
+    twice (the dedup contract downstream consumers rely on). The cost is
+    the dual window: a crash between the two writes loses that batch's
+    sink rows (at-most-once for the sink over that window). The reverse
+    order would instead re-emit the batch to the sink on replay —
+    duplicate output from a dedup operator, the worse failure. Exactly-
+    once for BOTH writes needs a transactional sink (e.g. a table format
+    with atomic multi-file commit), out of scope for plain parquet."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -67,8 +80,9 @@ def stream_dedup_enroll(
         try:
             survivors.write.mode("overwrite").parquet(stage)
             written = spark.read.parquet(stage)
-            written.write.mode("append").parquet(sink_path)
+            # index BEFORE sink: see the crash-replay note in the docstring
             written.write.mode("append").parquet(index_path)
+            written.write.mode("append").parquet(sink_path)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 

@@ -79,3 +79,87 @@ def test_bucketed_reserved_column(spark, sides):
         range_join_bucketed(
             left.withColumn("__cell__", F.lit(1)), right, "v", "lo", "hi", 10
         )
+
+
+def test_auto_width_matches_naive(spark, sides):
+    """bucket_width=None derives the width from the median interval
+    length; the result must stay row-identical to the raw predicate."""
+    left, right = sides
+    naive = range_join(left, right, "v", "lo", "hi", broadcast_right=False)
+    auto = range_join_bucketed(left, right, "v", "lo", "hi")  # width omitted
+    assert _rows(auto.select("lid", "rid")) == _rows(naive.select("lid", "rid"))
+
+
+def test_auto_width_value_is_median_length(spark, sides):
+    _, right = sides
+    from pyarrow_ops_spark.operators.join import auto_bucket_width
+
+    # lengths: 10, 10, 30, 1, 10, 1 -> median 10
+    assert auto_bucket_width(right, "lo", "hi") == 10
+
+
+def test_auto_width_all_inverted_raises(spark):
+    from pyarrow_ops_spark.operators.join import auto_bucket_width
+
+    right = spark.createDataFrame([(0, 10, 10), (1, 9, 5)], "rid int, lo long, hi long")
+    with pytest.raises(ValueError, match="auto bucket width"):
+        auto_bucket_width(right, "lo", "hi")
+
+
+def test_auto_width_warns_on_skewed_lengths(spark):
+    import warnings as w
+
+    from pyarrow_ops_spark.operators.join import auto_bucket_width
+
+    # 90 unit intervals + a 10-interval 10000-long tail: p50=1, p99=10000
+    ivals = [(i, i * 100_000, i * 100_000 + 1) for i in range(90)] + [
+        (90 + j, j * 100_000, j * 100_000 + 10_000) for j in range(10)
+    ]
+    right = spark.createDataFrame(ivals, "rid int, lo long, hi long")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        width = auto_bucket_width(right, "lo", "hi")
+    assert width == 1
+    assert any("degenerate" in str(c.message) for c in caught)
+
+
+def test_inverted_intervals_dropped_cheaply(spark):
+    """hi <= lo rows can never match (post-filter is lo <= v < hi); they
+    must be filtered BEFORE the explode — a descending F.sequence on an
+    inverted interval would otherwise fan out enormously (here it would
+    raise: sequence(1000, 0) with default step 1 errors / or generates a
+    huge descending list depending on version)."""
+    left = spark.createDataFrame([(1, 5)], "lid int, v long")
+    right = spark.createDataFrame(
+        [(0, 0, 10), (1, 10_000_000, 0)], "rid int, lo long, hi long"
+    )
+    out = range_join_bucketed(left, right, "v", "lo", "hi", bucket_width=10)
+    assert _rows(out.select("lid", "rid")) == [(1, 0)]
+
+
+def test_exact_above_double_precision(spark):
+    """Cell mapping is exact integer arithmetic: at ~2^59 (unix-nanos
+    scale) the old double-division floor mapped 2^53+1-adjacent values
+    off by one cell, dropping true matches. v sits at the very start of
+    its interval; both must land in the same grid cell."""
+    base = (9007199254740993) * 64  # (2^53 + 1) << 6 : not a double
+    left = spark.createDataFrame([(1, base), (2, base + 63)], "lid int, v long")
+    right = spark.createDataFrame(
+        [(0, base, base + 64)], "rid int, lo long, hi long"
+    )
+    naive = range_join(left, right, "v", "lo", "hi", broadcast_right=False)
+    for w_ in (64, 7, 1):
+        out = range_join_bucketed(left, right, "v", "lo", "hi", bucket_width=w_)
+        assert _rows(out.select("lid", "rid")) == _rows(naive.select("lid", "rid"))
+    assert _rows(naive.select("lid", "rid")) == [(1, 0), (2, 0)]
+
+
+def test_negative_domain_floor_semantics(spark):
+    """Integer div truncates toward zero; the pmod snap must restore
+    floor semantics for negative values (e.g. timestamps before 1970)."""
+    left = spark.createDataFrame([(1, -3), (2, -10), (3, -11)], "lid int, v long")
+    right = spark.createDataFrame([(0, -10, 0)], "rid int, lo long, hi long")
+    naive = range_join(left, right, "v", "lo", "hi", broadcast_right=False)
+    out = range_join_bucketed(left, right, "v", "lo", "hi", bucket_width=10)
+    assert _rows(out.select("lid", "rid")) == _rows(naive.select("lid", "rid"))
+    assert _rows(out.select("lid", "rid")) == [(1, 0), (2, 0)]

@@ -400,3 +400,62 @@ def test_stream_dedup_enroll_emits_once_across_restarts(spark, tmp_path):
     rows = spark.read.parquet(sink).groupBy("fp").count().collect()
     counts = {r.fp: r["count"] for r in rows}
     assert counts == {digest("alpha"): 1, digest("beta"): 1, digest("gamma"): 1}
+
+
+def test_stream_dedup_enroll_replay_after_partial_batch_suppresses(
+    spark, tmp_path
+):
+    """Index-before-sink write order: simulate a crash BETWEEN the two
+    per-batch writes (digest enrolled in the index, sink append never
+    happened, checkpoint did not commit) by pre-enrolling the digest and
+    then running the stream fresh. The replayed batch must find the
+    digest enrolled and SUPPRESS it — the sink sees no duplicate, the
+    contract the reordering (round-8 advice fix) buys. The reverse order
+    would emit it a second time."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyarrow_ops_spark.functions.dedup import build_dedup_index
+    from pyarrow_ops_spark.functions.text import fingerprint
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.ingest import stream_dedup_enroll
+
+    register_arrow_ipc(spark)
+    drop = str(tmp_path / "drop")
+    idx = str(tmp_path / "idx")
+    sink = str(tmp_path / "sink")
+    os.makedirs(drop)
+
+    # the "partially applied" batch: delta already in the index, not in
+    # the sink, and no checkpoint (the batch will be delivered again)
+    build_dedup_index(
+        spark.createDataFrame([(1, "delta")], "doc_id long, text string"), idx
+    )
+
+    df = spark.createDataFrame(
+        [(1, "delta"), (2, "epsilon")], "doc_id long, text string"
+    )
+    stage = tempfile.mkdtemp()
+    try:
+        df.coalesce(1).write.format("arrowipc").mode("append").save(stage)
+        f = [x for x in os.listdir(stage) if x.endswith(".arrow")][0]
+        shutil.move(os.path.join(stage, f), os.path.join(drop, "part-00000.arrow"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("arrowipc")
+        .schema("doc_id long, text string")
+        .option("path", drop)
+        .load()
+    )
+    stream_dedup_enroll(stream, idx, sink, str(tmp_path / "ckpt"))
+
+    digest = lambda t: spark.range(1).select(
+        fingerprint(F.lit(t)).alias("d")
+    ).first().d
+    got = {r.fp for r in spark.read.parquet(sink).collect()}
+    assert got == {digest("epsilon")}  # delta suppressed, never re-emitted
