@@ -1,0 +1,107 @@
+"""Machine-check the driver-cert staleness-rotation policy.
+
+The grading driver hash-certifies only the FIRST 50 registry entries per
+round (see the _DRIVER_CAP_PRIORITY note in pyarrow_ops_spark/
+entry_queries/__init__.py). The rotation discipline — refresh
+oldest-first so no row's most recent driver cert ages past PERIOD
+rounds — used to live only in a comment block; this test makes it a
+failing check (the round-7 verdict's #1 ask).
+
+Invariant (forward-looking, so it gates the FROZEN tree before the
+upcoming driver round runs): once round R+1 completes, every registry
+row must have a driver-green cert within the last PERIOD rounds
+{R+2-PERIOD .. R+1}. Rows already green in that window need nothing;
+every other row — including rows added this round that have never been
+certified — must sit inside the first CAP entries of the registry so the
+upcoming round certifies it. When this test fails, the fix is to rotate
+the named rows into _DRIVER_CAP_PRIORITY (oldest-first), not to touch
+the test.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+CAP = 50
+PERIOD = 4  # 185 rows / 50 slots per round -> period 4 is achievable
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _last_green_by_row() -> tuple[dict[str, int], int]:
+    """Latest round each registry row was driver-green, and the latest
+    round on disk. Green = no error, row counts match, and neither the
+    schema nor the value-hash comparison failed (rows-only weak checks
+    record nulls there, which still count as green-at-that-strength)."""
+    last: dict[str, int] = {}
+    latest = 0
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        latest = max(latest, rnd)
+        for name, rec in json.load(open(path)).items():
+            green = (
+                rec.get("err") is None
+                and rec.get("rows_match") is True
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    assert latest > 0, "no CORRECTNESS_r*.json found"
+    return last, latest
+
+
+def test_no_row_ages_past_period_after_upcoming_round():
+    from pyarrow_ops_spark.entry_queries import QUERIES
+
+    last, latest = _last_green_by_row()
+    cap_rows = set(list(QUERIES)[:CAP])
+    # after round latest+1 completes the allowed window is the last
+    # PERIOD rounds, i.e. last_green >= floor below (cap rows get
+    # latest+1 by construction)
+    floor = latest + 2 - PERIOD
+    stale = sorted(
+        name
+        for name in QUERIES
+        if name not in cap_rows and last.get(name, 0) < floor
+    )
+    assert not stale, (
+        f"{len(stale)} registry rows would exceed the {PERIOD}-round cert "
+        f"staleness budget after round {latest + 1} and are not scheduled "
+        f"in the driver cap — rotate them into _DRIVER_CAP_PRIORITY "
+        f"(oldest-first): {stale}"
+    )
+
+
+def test_new_rows_enter_the_cap_immediately():
+    """Any row added in round N (never driver-certified) must be
+    certified by round N+1, i.e. sit in the upcoming cap."""
+    from pyarrow_ops_spark.entry_queries import QUERIES
+
+    last, _ = _last_green_by_row()
+    cap_rows = set(list(QUERIES)[:CAP])
+    never = sorted(n for n in QUERIES if n not in last and n not in cap_rows)
+    assert not never, (
+        f"never-certified rows outside the driver cap: {never}"
+    )
+
+
+def test_rotation_stays_feasible_next_round():
+    """The NEXT round's mandatory load (rows that will be due once this
+    round's cap lands green) must itself fit the cap — otherwise the
+    policy is already doomed a round out and the period needs raising
+    now, not then."""
+    from pyarrow_ops_spark.entry_queries import QUERIES
+
+    last, latest = _last_green_by_row()
+    cap_rows = set(list(QUERIES)[:CAP])
+    # post-upcoming-round state: cap rows green at latest+1
+    post = {n: (latest + 1 if n in cap_rows else last.get(n, 0)) for n in QUERIES}
+    next_floor = latest + 3 - PERIOD
+    due_next = [n for n, g in post.items() if g < next_floor]
+    assert len(due_next) <= CAP, (
+        f"round {latest + 2} would owe {len(due_next)} refreshes > cap {CAP}"
+    )

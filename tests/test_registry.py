@@ -1,0 +1,67 @@
+"""Freeze the query-registry surface across the round-8 package split.
+
+entry_queries was split from one 7,400-line module into per-family
+modules (entry_queries/{relational,tpch,text,dedup,similarity,events,
+pipeline_ml,stats_sampling,streaming_sources}.py) that populate the same
+QUERIES/ORACLES dicts. These tests pin that the split changed NOTHING a
+consumer can see: the exact 185-name set (frozen as a hash so an
+accidental drop/rename fails loudly), every query oracle-backed, and the
+driver-cap ordering contract intact.
+
+When ADDING a query: update N_QUERIES and NAMES_SHA256 below (print the
+new hash from the assertion message) — that is the deliberate act the
+freeze exists to force.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# sha256 over "\n".join(sorted(names)) at the round-8 split (185 rows)
+NAMES_SHA256 = "736511895959ed2e226bbd192ace30157cbe18d8fa18dc6643ece96be90d3c27"
+N_QUERIES = 185
+
+
+def _names_hash(names) -> str:
+    return hashlib.sha256("\n".join(sorted(names)).encode()).hexdigest()
+
+
+def test_registry_name_set_frozen():
+    from pyarrow_ops_spark.entry_queries import QUERIES
+
+    got = _names_hash(QUERIES)
+    assert len(QUERIES) == N_QUERIES and got == NAMES_SHA256, (
+        f"registry surface changed: {len(QUERIES)} names, hash {got} — if "
+        f"deliberate, update N_QUERIES/NAMES_SHA256 in this test"
+    )
+
+
+def test_every_query_is_oracle_backed():
+    from pyarrow_ops_spark.entry_queries import ORACLES, QUERIES
+
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    assert not missing, f"queries without a DuckDB oracle: {missing}"
+    orphaned = sorted(set(ORACLES) - set(QUERIES))
+    assert not orphaned, f"oracles without a query: {orphaned}"
+
+
+def test_driver_cap_prefix_matches_priority_list():
+    from pyarrow_ops_spark.entry_queries import _DRIVER_CAP_PRIORITY, QUERIES
+
+    assert len(_DRIVER_CAP_PRIORITY) == 50
+    assert len(set(_DRIVER_CAP_PRIORITY)) == 50
+    assert list(QUERIES)[:50] == _DRIVER_CAP_PRIORITY
+
+
+def test_family_modules_stay_under_size_budget():
+    """The split's point: no module regrows into a monolith."""
+    import os
+
+    import pyarrow_ops_spark.entry_queries as eq
+
+    pkg_dir = os.path.dirname(eq.__file__)
+    for fn in os.listdir(pkg_dir):
+        if not fn.endswith(".py"):
+            continue
+        n = sum(1 for _ in open(os.path.join(pkg_dir, fn)))
+        assert n <= 1500, f"{fn} is {n} lines — split it further"
