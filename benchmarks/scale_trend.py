@@ -144,6 +144,39 @@ DEFAULT_QUERIES = [
     "range_join_bucketed_events",
     "skew_salted_join",
     "udaf_grouped_agg_geomean",
+    # round-8 (r7 verdict ask #3): EVERY benched batch query gets a trend
+    # entry — the 29 that were missing. With this block, trend coverage
+    # == bench coverage (asserted by tests/test_registry.py's sibling
+    # check in tests/test_bench_surface.py).
+    "micro_pipeline",
+    "join_broadcast_agg",
+    "dedup_keep_first",
+    "dedup_keep_drop",
+    "groupby_median",
+    "filters_conjunction",
+    "json_str_to_table",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "supplier_nation_revenue",
+    "range_join_price_bands",
+    "asof_join_clicks",
+    "events_sessionize",
+    "similarity_topk_bruteforce",
+    "sql_frontend_topn",
+    "skew_salted_agg",
+    "q13_order_count_distribution",
+    "sample_stratified_events",
+    "histogram_totalprice",
+    "embedding_centroids",
+    "mix_sources_exact",
+    "multimodal_sample_frames",
+    "mixture_weights_alpha",
+    "merge_upsert_orders",
+    "merge_scd2_orders",
+    "events_funnel",
+    "events_retention_cohorts",
+    "skew_key_report",
+    "pipeline_perplexity_filter",
 ]
 
 

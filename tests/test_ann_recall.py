@@ -21,6 +21,11 @@ from tests.conftest import ORACLE_SF_DIR
 K = 5
 DRIVER_BOUND = 0.3  # keep in sync with entry_queries._recall_bound_row calls
 SF001_PIN = 0.4
+# sf0.1 operating point (r7 verdict ask #5): measured IVF 0.52 / LSH 0.64
+# on the 20k-vector corpus — a halving of either fails this pin even
+# while the sf0.01 row stays green.
+SF01_PIN = 0.4
+SF01_DIR = "/root/testdata/sf0.1"
 
 
 def _avg_recall(emb, queries, approx) -> float:
@@ -66,3 +71,41 @@ def test_lsh_sabotage_flips_driver_gate(spark):
     emb, queries = _fixtures(spark)
     sabotaged = lsh_topk(emb, queries, dim=64, k=K, bits=16, bands=1)
     assert _avg_recall(emb, queries, sabotaged) < DRIVER_BOUND
+
+
+def _fixtures_sf01(spark):
+    emb = load_table(spark, "embeddings", SF01_DIR)
+    return emb, emb.filter(F.col("vec_id") < 5)
+
+
+def test_ivf_recall_pinned_at_sf01(spark):
+    emb, queries = _fixtures_sf01(spark)
+    approx = ivf_topk(emb, queries, k=K, n_clusters=16, n_probe=4)
+    assert _avg_recall(emb, queries, approx) >= SF01_PIN
+
+
+def test_lsh_recall_pinned_at_sf01(spark):
+    emb, queries = _fixtures_sf01(spark)
+    approx = lsh_topk(emb, queries, dim=64, k=K, bits=16, bands=4)
+    assert _avg_recall(emb, queries, approx) >= SF01_PIN
+
+
+def test_ivf_seed_stability_within_band(spark):
+    """Learned-cell stability: IVF recall must not hinge on the KMeans
+    seed. Measured on the sf0.1 corpus with a 25-query panel (the 5-query
+    certification panel is too small — per-seed recall there legitimately
+    spans 0.28-0.84 from neighbor-slot noise): seeds {42,7,1234,99} gave
+    0.56-0.64. Two independent seeds must land within a 0.15 band of each
+    other AND both above 0.45 — a probe-ranking or assignment bug that
+    helps one training and hurts another fails the band even if the
+    averaged driver floor survives."""
+    emb = load_table(spark, "embeddings", SF01_DIR)
+    queries = emb.filter(F.col("vec_id") < 25)
+    r_a = _avg_recall(
+        emb, queries, ivf_topk(emb, queries, k=K, n_clusters=16, n_probe=4, seed=42)
+    )
+    r_b = _avg_recall(
+        emb, queries, ivf_topk(emb, queries, k=K, n_clusters=16, n_probe=4, seed=7)
+    )
+    assert abs(r_a - r_b) <= 0.15, (r_a, r_b)
+    assert min(r_a, r_b) >= 0.45, (r_a, r_b)
