@@ -49,22 +49,27 @@ import pyarrow_ops_spark.entry_queries.streaming_sources  # noqa: E402,F401
 # after the upcoming round completes, that never-certified rows enter
 # the cap immediately, and that next round's mandatory load still fits
 # the 50-slot cap. This list is what that test forces:
-#   (a) 3 changed-since-green re-certs (code path touched this round):
+#   (a) 4 changed-since-green re-certs (code path touched this round):
 #       dedup_simhash (signature cache now unpersisted after the
 #       verdict materializes), range_join_bucketed_events (exact int64
 #       grid cells + AUTO bucket width derived from the median interval
 #       length — the r7 verdict's ask #6), streaming_dedup_index_ipc
 #       (enroll order flipped to index-before-sink so crash replay
-#       suppresses instead of double-emitting).
+#       suppresses instead of double-emitting), embedding_near_dup_lsh
+#       (sf1 validation caught 19.5x task growth at 10x data through the
+#       member-level pair inventory; rewritten to group-level
+#       aggregation — linear — so the changed path re-certifies).
 #   (b) ALL 43 rows whose latest driver cert is r4 — the full stale
 #       set named by the r7 verdict (q1/q3/q18/q21, the sampling
 #       family, search_bm25/tfidf, the span/winnow/clusters dedup
 #       rows, zorder_events, ...). After this round nothing in the
 #       registry is older than r5-green.
-#   (c) 4 oldest-r5 refreshes picked for operator-family diversity
-#       (events/merge/graph/mixture families have no r4 row of their
-#       own): events_funnel, merge_upsert_orders, graph_pagerank_events,
-#       mixture_weights_alpha.
+#   (c) 3 oldest-r5 refreshes picked for operator-family diversity
+#       (events/merge/graph families have no r4 row of their own):
+#       events_funnel, merge_upsert_orders, graph_pagerank_events.
+#       (mixture_weights_alpha gave up its slot to the
+#       embedding_near_dup_lsh re-cert; it is r5-green, pytest-oracled,
+#       and mandatory in the r9 rotation regardless.)
 # Everything else is r5/r6/r7-green with its code path unchanged this
 # round; it rides after the cap, still covered by the pytest oracle
 # suite (tests/test_oracle_queries.py runs ALL entries).
@@ -73,6 +78,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "dedup_simhash",
     "range_join_bucketed_events",
     "streaming_dedup_index_ipc",
+    "embedding_near_dup_lsh",
     # -- (b) r4-stale refreshes (all 43) ----------------------------------
     "dedup_clusters_lsh",
     "dedup_duplicated_spans",
@@ -121,7 +127,6 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "events_funnel",
     "merge_upsert_orders",
     "graph_pagerank_events",
-    "mixture_weights_alpha",
 ]
 
 

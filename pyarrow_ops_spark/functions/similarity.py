@@ -364,26 +364,73 @@ def embedding_near_dup(
     near-dup cluster.
 
     ``method='exact'`` is the quadratic self-join baseline (the oracle);
-    ``method='lsh'`` (requires ``dim``) swaps the pair generation for the
-    banded hyperplane candidates of ``embedding_lsh_pairs`` — identical
-    verification and output on near-dup corpora, linear shuffle at scale."""
+    ``method='lsh'`` (requires ``dim``) runs banded hyperplane-LSH over
+    the exact-duplicate-collapsed REPRESENTATIVES and aggregates at the
+    GROUP level: the per-member answer is a group-level quantity (every
+    member of an identical-vector group G has neighbors = members(G) plus
+    the members of each group whose representative verified against G's),
+    so ``canonical_id = min(rep_G, min neighbor rep)`` and ``n_neighbors
+    = |G| + sum |neighbor group|`` are computed once per group and
+    exploded to members in a single linear pass. The earlier shape
+    materialized the member-level pair inventory (O(g**2) intra-group
+    cliques) before re-aggregating — the 10x-replica scale check measured
+    19.5x task growth at 10x data through that path; the group-level
+    aggregation has no quadratic term anywhere (the pair inventory, when
+    the caller genuinely wants it, remains ``embedding_lsh_pairs``).
+    Output matches the exact path exactly, including zero vectors: an
+    undefined self-cosine (NULL under ``try_divide``) fails the threshold
+    and the group is dropped, just as the exact self-join emits no row."""
     if method == "lsh":
         if dim is None:
             raise ValueError("method='lsh' requires the embedding dim")
-        pairs = embedding_lsh_pairs(
-            corpus, threshold, dim, id_col, vec_col, bits=bits, bands=bands
+        from pyspark import StorageLevel
+
+        e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        groups, had_dups = _collapse_exact_vectors(e)
+        if had_dups:
+            # two consumers below (rep pairs + group stats) — cache the
+            # groupBy result; the skip path reads the already-cached input
+            groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+        rep_pairs = _lsh_rep_pairs(groups, threshold, dim, bits, bands, 10_000)
+        gstat = groups.select(
+            F.element_at("members", 1).alias("rep"),
+            "members",
+            F.size("members").cast("long").alias("g"),
+            # NULL for zero vectors (try_divide): fails the filter below,
+            # matching the exact path where undefined cosine never pairs
+            (F.round(cosine(F.col("v"), F.col("v")), 4) >= threshold).alias(
+                "self_ok"
+            ),
         )
-        ids = corpus.select(F.col(id_col).alias("id"))
-        # mirror the (id_a < id_b) pairs and add the self-edge so the
-        # neighbor sets match the exact path's ordered self-join
-        nbrs = (
-            pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
-            .unionByName(
-                pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"))
+        sym = rep_pairs.select(
+            F.col("id_a").alias("rep"), F.col("id_b").alias("nbr")
+        ).unionByName(
+            rep_pairs.select(F.col("id_b").alias("rep"), F.col("id_a").alias("nbr"))
+        )
+        nbr_stats = (
+            sym.join(
+                gstat.select(F.col("rep").alias("nbr"), F.col("g").alias("nbr_g")),
+                on="nbr",
             )
-            .unionByName(ids.select("id", F.col("id").alias("nbr")))
+            .groupBy("rep")
+            .agg(F.sum("nbr_g").alias("nbr_sum"), F.min("nbr").alias("nbr_min"))
         )
-        grouped = nbrs.groupBy(F.col("id").alias(id_col))
+        per_group = (
+            gstat.join(nbr_stats, on="rep", how="left")
+            .filter(F.col("self_ok"))
+            .select(
+                "members",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nbr_min"), F.col("rep"))
+                ).alias("canonical_id"),
+                (F.col("g") + F.coalesce(F.col("nbr_sum"), F.lit(0))).alias(
+                    "n_neighbors"
+                ),
+            )
+        )
+        return per_group.select(
+            F.explode("members").alias(id_col), "canonical_id", "n_neighbors"
+        ).withColumn("is_duplicate", F.col("canonical_id") != F.col(id_col))
     elif method == "exact":
         e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
         a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))

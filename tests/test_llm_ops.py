@@ -179,6 +179,44 @@ def test_embedding_near_dup_lsh_equals_exact(emb_with_dups):
     assert any(r[3] for r in exact), "planted near-dups should be flagged"
 
 
+def test_embedding_near_dup_lsh_group_path_equals_exact(emb):
+    """Byte-identical clones exercise the GROUP-level aggregation (the
+    sf1 scale fix): every vector appears 3x with shifted ids, so each
+    exact-dup group has g=3 and n_neighbors/canonical must come out
+    identical to the quadratic self-join — including the planted
+    perturbed copy that bridges two groups at cos ~0.9999."""
+    base = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    corpus = base
+    for off in (1_000_000, 2_000_000):
+        corpus = corpus.unionByName(
+            base.select((F.col("vec_id") + off).alias("vec_id"), "embedding")
+        )
+    pert = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * (1 + 0.01 * F.sin(x.cast("double") * 100))).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    corpus = corpus.unionByName(pert)
+    exact = sorted(
+        tuple(r)
+        for r in S.embedding_near_dup(corpus, threshold=0.9).collect()
+    )
+    lsh = sorted(
+        tuple(r)
+        for r in S.embedding_near_dup(
+            corpus, threshold=0.9, method="lsh", dim=64
+        ).collect()
+    )
+    assert lsh == exact
+    by_id = {r[0]: r for r in lsh}
+    # a clone group member: canonical = the smallest clone id, g>=3 nbrs
+    assert by_id[1_000_001][1] == 1 and by_id[1_000_001][2] >= 3
+
+
 def test_embedding_lsh_pairs_equal_exact_join(emb_with_dups):
     exact = {
         (r.id_a, r.id_b)
