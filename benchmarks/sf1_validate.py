@@ -29,13 +29,18 @@ from pyarrow_ops_spark.entry_queries import QUERIES  # noqa: E402
 from bench import _StageTaskTime  # noqa: E402
 from benchmarks.scale_trend import SF01, SF1, build_sf1  # noqa: E402
 
-# the 5 most task-expensive queries of the r7 driver bench run
+# the 10 most task-expensive queries of the r7 driver bench run
 DEFAULT = [
     "dedup_clusters_lsh",
     "dedup_winnow_pairs",
     "dedup_minhash_lsh",
     "order_curriculum",
     "embedding_near_dup_lsh",
+    "range_join_price_bands",
+    "dedup_keep_drop",
+    "events_retention_cohorts",
+    "pipeline_llm_curation",
+    "text_stats",
 ]
 
 N_PASSES = 3

@@ -37,6 +37,28 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Shuffles START wide and AQE coalesces down to the advisory
+        # size: per-task hash/sort state stays bounded as data grows
+        # (the sf1 scale check measured the fixed-32-partition layout
+        # going super-linear — 43 s -> 12 s task on a 6M-row hash agg at
+        # 512 start partitions), while small shuffles coalesce back to
+        # few tasks so tiny-scale queries pay nothing. This mirrors the
+        # standard cluster sizing recipe: high initialPartitionNum +
+        # advisory bytes, never a hand-pinned count.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS", str(8 * int(_DEFAULT_CPUS))
+            ),
+        )
+        # Without this, persist() freezes the pre-coalesce 256-partition
+        # layout into the InMemoryRelation and every downstream stage of a
+        # cached LSH/dedup pipeline fans out 256 tiny Python-worker tasks
+        # (measured: dedup_minhash_lsh sf0.1 task time 29 s -> 57 s when
+        # initialPartitionNum landed without it, back to 19 s with it).
+        # With it, AQE re-optimizes cached-plan output partitioning, so
+        # caches coalesce like any other shuffle.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
