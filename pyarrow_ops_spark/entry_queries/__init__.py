@@ -49,7 +49,7 @@ import pyarrow_ops_spark.entry_queries.streaming_sources  # noqa: E402,F401
 # after the upcoming round completes, that never-certified rows enter
 # the cap immediately, and that next round's mandatory load still fits
 # the 50-slot cap. This list is what that test forces:
-#   (a) 4 changed-since-green re-certs (code path touched this round):
+#   (a) 5 changed-since-green re-certs (code path touched this round):
 #       dedup_simhash (signature cache now unpersisted after the
 #       verdict materializes), range_join_bucketed_events (exact int64
 #       grid cells + AUTO bucket width derived from the median interval
@@ -58,18 +58,23 @@ import pyarrow_ops_spark.entry_queries.streaming_sources  # noqa: E402,F401
 #       suppresses instead of double-emitting), embedding_near_dup_lsh
 #       (sf1 validation caught 19.5x task growth at 10x data through the
 #       member-level pair inventory; rewritten to group-level
-#       aggregation — linear — so the changed path re-certifies).
+#       aggregation — linear — so the changed path re-certifies),
+#       embedding_centroids (avg_v IEEE-normalized to kill a -0.0
+#       hash artifact the sf0.001 full-registry sweep caught),
+#       dedup_keep_drop sits in (b) already and also changed (window
+#       count -> map-side-combinable hash aggregate).
 #   (b) ALL 43 rows whose latest driver cert is r4 — the full stale
 #       set named by the r7 verdict (q1/q3/q18/q21, the sampling
 #       family, search_bm25/tfidf, the span/winnow/clusters dedup
 #       rows, zorder_events, ...). After this round nothing in the
 #       registry is older than r5-green.
-#   (c) 3 oldest-r5 refreshes picked for operator-family diversity
-#       (events/merge/graph families have no r4 row of their own):
-#       events_funnel, merge_upsert_orders, graph_pagerank_events.
-#       (mixture_weights_alpha gave up its slot to the
-#       embedding_near_dup_lsh re-cert; it is r5-green, pytest-oracled,
-#       and mandatory in the r9 rotation regardless.)
+#   (c) 2 oldest-r5 refreshes picked for operator-family diversity
+#       (events/merge families have no r4 row of their own):
+#       events_funnel, merge_upsert_orders.
+#       (mixture_weights_alpha and graph_pagerank_events gave up their
+#       slots to the embedding_near_dup_lsh / embedding_centroids
+#       re-certs; both are r5-green, pytest-oracled, and mandatory in
+#       the r9 rotation regardless.)
 # Everything else is r5/r6/r7-green with its code path unchanged this
 # round; it rides after the cap, still covered by the pytest oracle
 # suite (tests/test_oracle_queries.py runs ALL entries).
@@ -79,6 +84,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "range_join_bucketed_events",
     "streaming_dedup_index_ipc",
     "embedding_near_dup_lsh",
+    "embedding_centroids",
     # -- (b) r4-stale refreshes (all 43) ----------------------------------
     "dedup_clusters_lsh",
     "dedup_duplicated_spans",
@@ -126,7 +132,6 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     # -- (c) oldest-r5 refreshes, family diversity ------------------------
     "events_funnel",
     "merge_upsert_orders",
-    "graph_pagerank_events",
 ]
 
 

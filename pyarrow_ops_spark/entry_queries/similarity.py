@@ -450,7 +450,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(range(0, len(embedding))) AS pos
         FROM embeddings
     )
-    SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 4) AS avg_v
+    SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 4) + 0.0 AS avg_v
     FROM e GROUP BY 1, 2
     """,
 )

@@ -1065,7 +1065,11 @@ def label_centroids(
     return (
         df.select(label_col, F.posexplode(_as_double(vec_col)).alias("pos", "v"))
         .groupBy(label_col, "pos")
-        .agg(F.round(F.avg("v"), 4).alias("avg_v"))
+        # + 0.0 IEEE-normalizes -0.0 to +0.0: a rounded mean of tiny
+        # negatives otherwise hashes/prints differently across engines
+        # while comparing equal (caught by the sf0.001 full-registry
+        # sweep; the oracle applies the same normalization)
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("avg_v"))
     )
 
 
