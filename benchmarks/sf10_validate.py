@@ -1,0 +1,121 @@
+"""Second-decade scale check: sf1 -> sf10 (100x the certification
+scale; ~60M-row lineitem, 500k documents with 100-way exact-clone mass,
+200k embeddings) for the structural queries whose 100 TB story the
+engine leans on. Complements sf1_validate.py (sf0.1 -> sf1): together
+they give TWO decades of measured scaling on the same plans.
+
+sf10 is derived from the staged sf1 (benchmarks/scale_trend.build_sf1)
+by unioning 10 id-shifted replicas: sf1 ids stay < 100M, replicas shift
+by r*100M, so keys stay unique and long-safe while text/vector payloads
+repeat (dedup families see 100x corpora with 100x planted-duplicate
+mass — the adversarial case for any pair-generation step).
+
+Run:  python benchmarks/sf10_validate.py [query ...]
+Writes benchmarks/sf10_validation_r8.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyarrow_ops_spark.session import get_spark  # noqa: E402
+from pyarrow_ops_spark.entry_queries import QUERIES  # noqa: E402
+from pyarrow_ops_spark.sources.tables import TABLE_NAMES, load_table  # noqa: E402
+from bench import _StageTaskTime  # noqa: E402
+from benchmarks.scale_trend import SF1, build_sf1, _SHIFT  # noqa: E402
+
+SF10 = "/tmp/spark_graft_sf10"
+REPLICAS = 10
+_OFFSET = 100_000_000  # sf1 ids < 100M (10 replicas x 10M + base < 1M)
+
+# structural queries: the LSH dedup flagship, both round-8 scale fixes,
+# a pure scan+agg baseline, and the map-heavy curation composite
+DEFAULT = [
+    "q1_pricing_summary",
+    "dedup_keep_drop",
+    "dedup_minhash_lsh",
+    "embedding_near_dup_lsh",
+    "pipeline_llm_curation",
+]
+
+N_PASSES = 2
+
+
+def build_sf10(spark) -> None:
+    build_sf1(spark)
+    os.makedirs(SF10, exist_ok=True)
+    for name in TABLE_NAMES:
+        out = os.path.join(SF10, f"{name}.parquet")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue
+        base = load_table(spark, name, SF1)
+        if name in ("region", "nation"):
+            base.write.mode("overwrite").parquet(out)
+            continue
+        shift_cols = _SHIFT.get(name, [])
+        parts = []
+        for r in range(REPLICAS):
+            df = base
+            for c in shift_cols:
+                df = df.withColumn(c, F.col(c) + F.lit(r * _OFFSET))
+            parts.append(df)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(out)
+
+
+def measure(spark, tracker, name: str, sf_dir: str, passes: int) -> dict:
+    wall, task = [], []
+    for _ in range(passes):
+        tracker.delta()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall.append(time.perf_counter() - t0)
+        task.append(tracker.delta())
+        spark.catalog.clearCache()
+    return {"wall_sec": round(min(wall), 3), "task_sec": round(min(task), 3)}
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark(app_name="sf10_validate")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_sf10(spark)
+    tracker = _StageTaskTime(spark.sparkContext)
+    out: dict[str, dict] = {}
+    for n in names:
+        m1 = measure(spark, tracker, n, SF1, N_PASSES + 1)
+        m10 = measure(spark, tracker, n, SF10, N_PASSES)
+        out[n] = {
+            "sf1": m1,
+            "sf10": m10,
+            "wall_ratio": round(m10["wall_sec"] / m1["wall_sec"], 2),
+            "task_ratio": round(m10["task_sec"] / max(m1["task_sec"], 1e-9), 2),
+            "wall_exponent": round(
+                math.log10(m10["wall_sec"] / m1["wall_sec"]), 2
+            ),
+            "task_exponent": round(
+                math.log10(m10["task_sec"] / max(m1["task_sec"], 1e-9)), 2
+            ),
+        }
+        print(n, json.dumps(out[n]), flush=True)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "sf10_validation_r8.json"
+    )
+    with open(path, "w") as f:
+        json.dump({"passes": N_PASSES, "queries": out}, f, indent=1, sort_keys=True)
+    print(json.dumps({"detail": path, "n": len(out)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -227,14 +227,24 @@ def q_pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint("text").alias("fp"),
     )
     f = m.filter((F.col("q") >= 0.5) & (F.col("lang_guessed") != "und"))
-    # dedup via one window pass, NOT a self-semi-join: referencing f twice
-    # would re-run the regex-heavy metrics map stage over the corpus. The
-    # window shuffles only the 5 narrow metric columns (text is already
-    # projected away), then keeps the min-id row per fingerprint.
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
-    kept = f.withColumn("rn", rn).filter(F.col("rn") == 1)
+    # dedup via one HASH AGGREGATE, not a self-semi-join (that would
+    # re-run the regex-heavy metrics map over the corpus) and not a
+    # window row_number (WindowExec pays a sort plus per-group buffer
+    # management across millions of ~10-row fingerprint groups — the
+    # sf10 scale check measured the window shape at 18x task for 10x
+    # data). min_by(struct, doc_id) keeps the min-id row per fingerprint
+    # in one map-side-combinable pass over the 5 narrow metric columns
+    # (text is already projected away); doc_id is unique, so the winner
+    # is exactly the window's rn=1 row.
+    kept = (
+        f.groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang_guessed", "toks", "q"), F.col("doc_id")
+            ).alias("__k__")
+        )
+        .select("__k__.*")
+    )
     return kept.groupBy("lang_guessed").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("toks").cast("bigint").alias("total_tokens"),
