@@ -227,7 +227,8 @@ def q_pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint("text").alias("fp"),
     )
     f = m.filter((F.col("q") >= 0.5) & (F.col("lang_guessed") != "und"))
-    # dedup via one HASH AGGREGATE, not a self-semi-join (that would
+    # dedup via one map-side-combinable AGGREGATE, not a self-semi-join
+    # (that would
     # re-run the regex-heavy metrics map over the corpus) and not a
     # window row_number (WindowExec pays a sort plus per-group buffer
     # management across millions of ~10-row fingerprint groups — the

@@ -18,15 +18,17 @@ Spark-first re-expression, designed for scale:
   ``first()`` per key, cheaper than a window because pre-shuffle partial
   dedup shrinks the shuffle. Matches the reference's "some row per key"
   semantics exactly (it never guaranteed which row).
-- ``keep='drop'``: one hash aggregate — ``groupBy(on).agg(count,
+- ``keep='drop'``: one aggregate — ``groupBy(on).agg(count,
   first(struct(*)))`` keeping only count==1 groups, whose ``first`` IS
   the row. Map-side combinable (duplicate-heavy keys shrink before the
-  shuffle), no sort, no per-group window buffers, no second join. The
-  earlier window-count shape measured super-linear at the sf1 scale
-  check (37× task at 10× data): WindowExec pays a sort plus per-group
-  buffer management across millions of tiny groups, while the hash
-  aggregate streams. When ``on`` covers every column the struct is
-  skipped — the group key is the row.
+  shuffle), no per-group window buffers, no second join. The
+  struct-typed buffer compiles to partial+final SortAggregate rather
+  than HashAggregate, but the earlier window-count shape still measured
+  super-linear at the sf1 scale check (37× task at 10× data, 2.4×
+  slower than this aggregate at identical partitioning): WindowExec
+  pays per-group buffer management across millions of tiny groups on
+  top of its sort. When ``on`` covers every column the struct is
+  skipped — the group key is the row (a true HashAggregate).
 """
 
 from __future__ import annotations

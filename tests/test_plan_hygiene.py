@@ -52,6 +52,28 @@ def test_dedup_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in formatted_plan(df)
 
 
+def test_keep_drop_is_aggregate_not_window(spark):
+    # keep='drop' must be the map-side-combinable aggregate, never the
+    # unbounded-frame window count (no WindowGroupLimit pushdown exists
+    # for aggregation frames; the window shape measured 37x task at 10x
+    # data in the r8 sf1 validation). first(struct) carries a
+    # struct-typed buffer, so Spark compiles it to a partial+final
+    # SortAggregate — still no per-group window buffers, and the partial
+    # side collapses duplicate mass before the exchange.
+    df = QUERIES["dedup_keep_drop"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+
+
+def test_curation_dedup_is_hash_aggregate_not_window(spark):
+    # the fingerprint-dedup stage rides min_by(struct, doc_id) — one
+    # hash aggregate; a window row_number here pays sort + per-group
+    # buffers over millions of tiny fp groups (r8 sf10 validation)
+    df = QUERIES["pipeline_llm_curation"](spark, SF_DIR)
+    assert "Window" not in formatted_plan(df)
+
+
 def test_sort_limit_is_take_ordered(spark):
     df = QUERIES["sort_limit_topn"](spark, SF_DIR)
     assert "TakeOrderedAndProject" in formatted_plan(df)
