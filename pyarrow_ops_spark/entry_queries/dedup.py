@@ -278,6 +278,54 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "dedup_winnow_clusters",
+    r"""
+    WITH RECURSIVE h AS (
+        SELECT doc_id,
+               [list_reduce(list_transform(range(0, 16),
+                                           j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT)),
+                            (a, b) -> (a * 31 + b) % 1000000007)
+                for i in range(1, greatest(length(text) - 15, 1) + 1)] AS hashes
+        FROM documents
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(
+                   [list_min(hashes[i : i + 15])
+                    for i in range(1, greatest(len(hashes) - 15, 1) + 1)]) AS fps
+        FROM h
+    ),
+    p AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM fps a JOIN fps b ON a.doc_id != b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE) /
+                    (len(a.fps) + len(b.fps) - len(list_intersect(a.fps, b.fps))), 4) >= 0.5
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, p.dst FROM reach JOIN p ON reach.r = p.src
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id, min(r) != node AS is_duplicate
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-overlap dedup DECISION: exact winnowing prefix-filter
+    edges (star over byte-identical clone groups — LINEAR in clone mass
+    where dedup_winnow_pairs's inventory is output-quadratic) -> transitive
+    connected components -> one representative per cluster. Oracle = DuckDB
+    recursive-CTE reachability over the exact winnow-Jaccard pair set, the
+    same pattern as dedup_clusters_lsh but with a deterministic (not
+    probabilistic) candidate engine."""
+    from pyarrow_ops_spark.functions.dedup import winnow_clusters
+
+    docs = load_table(spark, "documents", sf_dir)
+    return winnow_clusters(docs, threshold=0.5, k=16, window=16)
+
+
+
 # ---------------------------------------------------------------------------
 # Decontamination + PII scrubbing (functions/dedup.py, functions/text.py)
 # ---------------------------------------------------------------------------

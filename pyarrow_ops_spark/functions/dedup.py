@@ -134,8 +134,55 @@ def _minhash_from_hashes(hashes: Column, num_hashes: int) -> list[Column]:
     ]
 
 
+class BucketStats:
+    """Deferred bucket-cap observability for the banded pair generators.
+
+    Wraps a :class:`pyspark.sql.Observation` attached to the bucket
+    relation BEFORE the ``size <= max_bucket`` filter, so the metrics are
+    collected during whatever action materializes the pair output — zero
+    extra jobs (the no-silent-caps rule: degenerate buckets are dropped at
+    the plan level, and this is the receipt). Call :meth:`get` AFTER an
+    action on the returned DataFrame; it delegates to ``Observation.get``,
+    which blocks until the first action completes."""
+
+    def __init__(self, observation, max_bucket: int) -> None:
+        self._observation = observation
+        self.max_bucket = max_bucket
+
+    def get(self) -> dict:
+        row = self._observation.get
+        return {
+            "max_bucket": self.max_bucket,
+            "total_buckets": row["total_buckets"] or 0,
+            "dropped_buckets": row["dropped_buckets"] or 0,
+            "dropped_ids": row["dropped_ids"] or 0,
+            "max_bucket_size": row["max_bucket_size"] or 0,
+        }
+
+
+def _observe_buckets(
+    raw: DataFrame, ids_col: str, max_bucket: int
+) -> "tuple[DataFrame, BucketStats]":
+    """Attach drop accounting to an unfiltered bucket relation
+    (``ids_col``: array of member ids). Returns the observed DataFrame
+    (filter it afterwards) and the stats handle."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    sz = F.size(ids_col)
+    over = (sz > max_bucket).cast("long")
+    observed = raw.observe(
+        obs,
+        F.count(F.lit(1)).alias("total_buckets"),
+        F.sum(over).alias("dropped_buckets"),
+        F.sum(over * sz.cast("long")).alias("dropped_ids"),
+        F.max(sz).alias("max_bucket_size"),
+    )
+    return observed, BucketStats(obs, max_bucket)
+
+
 def _collapse_exact_texts(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, assume_dups: bool | None = None
 ) -> "tuple[DataFrame, bool]":
     """Group BYTE-IDENTICAL documents: (__t raw text, members sorted ids).
 
@@ -155,16 +202,24 @@ def _collapse_exact_texts(
     combined aggregate) skips the collapse on duplicate-free corpora, so
     dup-free inputs never pay the text-payload exchange; a hash collision
     can only run the collapse spuriously, never merge distinct texts.
+    The pre-check is an extra eager scan — at 100 TB a pipeline that
+    already knows its dup profile can skip it with ``assume_dups``:
+    ``True`` collapses unconditionally, ``False`` skips the collapse
+    unconditionally (both paths produce identical downstream RESULTS
+    either way — the knob only trades the pre-check scan against a
+    possibly-unneeded collapse shuffle), ``None`` (auto) runs the check.
 
     Returns ``(groups, had_dups)`` so call sites can skip the group
     persist and member-expansion machinery entirely on the skip path."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).filter(
         F.col("__t").isNotNull()
     )
-    n_dups = base.agg(
-        (F.count(F.lit(1)) - F.count_distinct(F.xxhash64("__t"))).alias("d")
-    ).collect()[0]["d"]
-    if n_dups == 0:
+    if assume_dups is None:
+        n_dups = base.agg(
+            (F.count(F.lit(1)) - F.count_distinct(F.xxhash64("__t"))).alias("d")
+        ).collect()[0]["d"]
+        assume_dups = n_dups != 0
+    if not assume_dups:
         return base.select(F.array("id").alias("members"), "__t"), False
     return (
         base.withColumn("__k", F.md5(F.col("__t")))
@@ -184,6 +239,8 @@ def minhash_lsh_pairs(
     n: int = 5,
     num_hashes: int = 80,
     bands: int = 16,
+    max_bucket: int = 10_000,
+    assume_dups: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via exact-duplicate collapse + banded
     MinHash-LSH + exact verification.
@@ -201,19 +258,27 @@ def minhash_lsh_pairs(
     corpus); exact verification re-joins the shingle arrays for candidates
     only; the member expansion is output-bound (quadratic only where the
     answer is).
+
+    ``assume_dups`` skips the collapse pre-check scan (see
+    ``_collapse_exact_texts``); ``max_bucket`` caps degenerate band
+    buckets, with drop accounting exposed via
+    ``minhash_lsh_pairs.last_bucket_stats.get()`` after an action.
     """
     from pyspark import StorageLevel
 
-    groups, had_dups = _collapse_exact_texts(df, id_col, text_col)
+    groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
-        return _minhash_rep_pairs(groups, threshold, n, num_hashes, bands)
+        out = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
+        minhash_lsh_pairs.last_bucket_stats = _minhash_rep_pairs.last_bucket_stats
+        return out
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     intra = (
         groups.filter(F.size("members") >= 2)
         .select(F.explode(_ordered_pairs_expr(F.col("members"))).alias("p"))
         .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
     )
-    rep_pairs = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands)
+    rep_pairs = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
+    minhash_lsh_pairs.last_bucket_stats = _minhash_rep_pairs.last_bucket_stats
     mem = groups.select(
         F.element_at("members", 1).alias("rep"), F.explode("members").alias("m")
     )
@@ -243,25 +308,31 @@ def minhash_lsh_edges(
     n: int = 5,
     num_hashes: int = 80,
     bands: int = 16,
+    max_bucket: int = 10_000,
+    assume_dups: bool | None = None,
 ) -> DataFrame:
     """Edge list (id_a, id_b) with the same connected components as
     ``minhash_lsh_pairs`` but LINEAR in duplicate-group size: each
     byte-identical group contributes a star (member -> representative)
     instead of its quadratic clique. Feed to ``connected_components`` for
-    the cluster decision."""
+    the cluster decision. Bucket-drop accounting:
+    ``minhash_lsh_edges.last_bucket_stats.get()`` after an action."""
     from pyspark import StorageLevel
 
-    groups, had_dups = _collapse_exact_texts(df, id_col, text_col)
+    groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
-        return _minhash_rep_pairs(groups, threshold, n, num_hashes, bands).select(
-            "id_a", "id_b"
-        )
+        out = _minhash_rep_pairs(
+            groups, threshold, n, num_hashes, bands, max_bucket
+        ).select("id_a", "id_b")
+        minhash_lsh_edges.last_bucket_stats = _minhash_rep_pairs.last_bucket_stats
+        return out
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     star = groups.filter(F.size("members") >= 2).select(
         F.element_at("members", 1).alias("id_a"),
         F.explode(F.slice("members", 2, F.size("members"))).alias("id_b"),
     )
-    rep_pairs = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands)
+    rep_pairs = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
+    minhash_lsh_edges.last_bucket_stats = _minhash_rep_pairs.last_bucket_stats
     return rep_pairs.select("id_a", "id_b").unionByName(star)
 
 
@@ -280,6 +351,7 @@ def _minhash_rep_pairs(
     n: int,
     num_hashes: int,
     bands: int,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Verified (id_a < id_b, jaccard) pairs among group representatives —
     the banded-MinHash candidate engine shared by the pair/edge entry
@@ -330,12 +402,16 @@ def _minhash_rep_pairs(
     # twice), one shuffle on (band, sig), pairs generated inside each
     # bucket. Degenerate buckets (>max_bucket ids) are dropped — a bucket
     # that catches thousands of docs carries no near-dup signal, only
-    # O(bucket²) pair blowup.
-    max_bucket = 10_000
-    buckets = (
-        exploded.groupBy("band", "sig")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    # O(bucket²) pair blowup. Drops are counted via an Observation on the
+    # unfiltered relation (collected during the caller's action — no extra
+    # job) and exposed through the public entry points' last_bucket_stats.
+    raw_buckets = exploded.groupBy("band", "sig").agg(
+        F.array_sort(F.collect_set("id")).alias("ids")
+    )
+    raw_buckets, stats = _observe_buckets(raw_buckets, "ids", max_bucket)
+    _minhash_rep_pairs.last_bucket_stats = stats
+    buckets = raw_buckets.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
     )
     pair_expr = F.flatten(
         F.transform(
@@ -695,6 +771,7 @@ def winnow_pairs(
     k: int = 8,
     window: int = 16,
     max_bucket: int = 10_000,
+    assume_dups: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint Jaccard: (id_a, id_b,
     winnow_jaccard) for every pair with fingerprint-set Jaccard >= threshold.
@@ -716,14 +793,142 @@ def winnow_pairs(
     stay near the true near-dup pairs. Cost: one extra narrow shuffle to
     count fingerprint frequencies (at warehouse scale, precompute/cache the
     frequency relation like any statistics table).
+
+    Byte-identical documents collapse to one representative first (same
+    construction as ``minhash_lsh_pairs``): clone members share the exact
+    fingerprint set, so intra-group pairs are emitted directly at Jaccard
+    1.0 and representative pairs expand to member pairs at the end —
+    candidate generation, frequency counting, and exact verification all
+    run over UNIQUE texts. Note the pair INVENTORY itself stays
+    output-quadratic in clone-group size by definition — a g-clone group
+    owes g(g-1)/2 rows; callers that want a dedup DECISION should use
+    ``winnow_edges`` + ``connected_components`` (or ``winnow_clusters``),
+    which is linear in clone mass.
+
+    Bucket-drop accounting: ``winnow_pairs.last_bucket_stats.get()`` after
+    an action. ``assume_dups`` skips the collapse pre-check scan.
     """
+    from pyspark import StorageLevel
+
+    groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
+    if not had_dups:
+        out = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
+        winnow_pairs.last_bucket_stats = _winnow_rep_pairs.last_bucket_stats
+        return out
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode(_ordered_pairs_expr(F.col("members"))).alias("p"))
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("winnow_jaccard"))
+    )
+    rep_pairs = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
+    winnow_pairs.last_bucket_stats = _winnow_rep_pairs.last_bucket_stats
+    mem = groups.select(
+        F.element_at("members", 1).alias("rep"), F.explode("members").alias("m")
+    )
+    expanded = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("id_a"), F.col("m").alias("ma")),
+            on="id_a",
+        )
+        .join(
+            mem.select(F.col("rep").alias("id_b"), F.col("m").alias("mb")),
+            on="id_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "winnow_jaccard",
+        )
+    )
+    return intra.unionByName(expanded)
+
+
+def winnow_edges(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    max_bucket: int = 10_000,
+    assume_dups: bool | None = None,
+) -> DataFrame:
+    """Edge list (id_a, id_b) with the same connected components as
+    ``winnow_pairs`` but LINEAR in duplicate-group size: each
+    byte-identical group contributes a star (member -> representative)
+    instead of its quadratic clique — the winnow twin of
+    ``minhash_lsh_edges``. Feed to ``connected_components`` for the
+    cluster decision (or use ``winnow_clusters`` directly)."""
+    from pyspark import StorageLevel
+
+    groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
+    if not had_dups:
+        out = _winnow_rep_pairs(groups, threshold, k, window, max_bucket).select(
+            "id_a", "id_b"
+        )
+        winnow_edges.last_bucket_stats = _winnow_rep_pairs.last_bucket_stats
+        return out
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+    star = groups.filter(F.size("members") >= 2).select(
+        F.element_at("members", 1).alias("id_a"),
+        F.explode(F.slice("members", 2, F.size("members"))).alias("id_b"),
+    )
+    rep_pairs = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
+    winnow_edges.last_bucket_stats = _winnow_rep_pairs.last_bucket_stats
+    return rep_pairs.select("id_a", "id_b").unionByName(star)
+
+
+def winnow_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    max_bucket: int = 10_000,
+    assume_dups: bool | None = None,
+) -> DataFrame:
+    """Substring-overlap dedup DECISION: winnowing prefix-filtered edges ->
+    transitive connected components -> one row per document with its
+    cluster representative. Output: (doc_id, canonical_id, is_duplicate) —
+    same shape and construction as ``dedup_clusters`` with the exact
+    winnow candidate engine instead of probabilistic MinHash. Linear in
+    clone mass (star edges), so this is the 100 TB path where
+    ``winnow_pairs``'s pair inventory is output-quadratic."""
+    edges = winnow_edges(
+        df, threshold, id_col, text_col, k, window, max_bucket, assume_dups
+    )
+    comps = connected_components(edges, "id_a", "id_b")
+    out = df.select(id_col).join(
+        comps, on=F.col(id_col) == F.col("node"), how="left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+    ).withColumn("is_duplicate", F.col("canonical_id") != F.col(id_col))
+
+
+def _winnow_rep_pairs(
+    groups: DataFrame,
+    threshold: float,
+    k: int,
+    window: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Verified (id_a < id_b, winnow_jaccard) pairs among group
+    representatives — the prefix-filtered candidate engine shared by the
+    winnow pair/edge entry points above. Exact (prefix lemma holds for any
+    consistent total order of fingerprints, so frequency counts over
+    representatives are valid) — output equals the O(n²) baseline."""
     from pyspark import StorageLevel
 
     from pyarrow_ops_spark.functions.text import spread, winnowed_fingerprints
 
-    fps = spread(df).select(
-        F.col(id_col).alias("id"),
-        winnowed_fingerprints(text_col, k=k, window=window).alias("fps"),
+    reps = groups.select(F.element_at("members", 1).alias("id"), "__t")
+    fps = spread(reps).select(
+        "id",
+        winnowed_fingerprints("__t", k=k, window=window).alias("fps"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     ex = fps.select("id", F.explode("fps").alias("fp"))
@@ -745,13 +950,17 @@ def winnow_pairs(
         - F.ceil(F.lit(float(threshold)) * F.size("ofps")).cast("int")
         + F.lit(1)
     )
-    buckets = (
+    raw_buckets = (
         ordered.select(
             "id", F.explode(F.slice("ofps", 1, prefix_len)).alias("fp")
         )
         .groupBy("fp")
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    raw_buckets, stats = _observe_buckets(raw_buckets, "ids", max_bucket)
+    _winnow_rep_pairs.last_bucket_stats = stats
+    buckets = raw_buckets.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
     )
     pair_expr = F.flatten(
         F.transform(

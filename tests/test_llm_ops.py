@@ -391,6 +391,90 @@ def test_winnow_pairs_detects_planted_mutation(spark, docs):
     assert hit.count() == 1
 
 
+def test_winnow_pairs_collapse_handles_exact_clones(spark, docs):
+    """With planted byte-identical clones the collapsed path (intra 1.0
+    pairs + representative expansion) must equal the uncollapsed engine,
+    and assume_dups must not change results either way."""
+    clones = docs.orderBy("doc_id").limit(3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    both = docs.unionByName(clones.select(docs.columns))
+    auto = {
+        tuple(r) for r in D.winnow_pairs(both, threshold=0.5).collect()
+    }
+    forced = {
+        tuple(r)
+        for r in D.winnow_pairs(both, threshold=0.5, assume_dups=True).collect()
+    }
+    skipped = {
+        tuple(r)
+        for r in D.winnow_pairs(both, threshold=0.5, assume_dups=False).collect()
+    }
+    assert auto == forced == skipped
+    # each clone pairs with its original at exactly 1.0
+    ones = {(a, b) for a, b, j in auto if j == 1.0}
+    assert {(i, i + 1_000_000) for i in range(3)} <= ones
+
+
+def test_winnow_clusters_matches_cc_over_pairs(spark, docs):
+    """The linear decision path (star edges + CC) must produce the same
+    components as CC over the quadratic pair inventory."""
+    clones = docs.orderBy("doc_id").limit(2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    both = docs.unionByName(clones.select(docs.columns))
+    got = {
+        (r.doc_id, r.canonical_id, r.is_duplicate)
+        for r in D.winnow_clusters(both, threshold=0.5).collect()
+    }
+    edges = D.winnow_pairs(both, threshold=0.5).select("id_a", "id_b")
+    comps = {
+        r.node: r.component
+        for r in D.connected_components(edges, "id_a", "id_b").collect()
+    }
+    want = {
+        (r.doc_id, comps.get(r.doc_id, r.doc_id),
+         comps.get(r.doc_id, r.doc_id) != r.doc_id)
+        for r in both.select("doc_id").collect()
+    }
+    assert got == want
+    # clones must collapse onto their originals
+    assert (1_000_000, 0, True) in got and (1_000_001, 1, True) in got
+
+
+def test_bucket_stats_report_drops(spark, docs):
+    """The no-silent-caps receipt: a degenerate max_bucket must surface
+    dropped-bucket counts through last_bucket_stats after the action."""
+    out = D.winnow_pairs(docs, threshold=0.5, k=16, max_bucket=2)
+    out.count()
+    st = D.winnow_pairs.last_bucket_stats.get()
+    assert st["max_bucket"] == 2
+    assert st["dropped_buckets"] > 0
+    assert st["dropped_ids"] >= 2 * st["dropped_buckets"]
+    assert st["max_bucket_size"] > 2
+
+    D.minhash_lsh_pairs(docs, 0.8, n=5).count()
+    st2 = D.minhash_lsh_pairs.last_bucket_stats.get()
+    assert st2["dropped_buckets"] == 0
+    assert st2["total_buckets"] > 0
+
+
+def test_minhash_assume_dups_paths_agree(spark, docs):
+    want = {
+        tuple(r) for r in D.minhash_lsh_pairs(docs, 0.8, n=5).collect()
+    }
+    for knob in (True, False):
+        got = {
+            tuple(r)
+            for r in D.minhash_lsh_pairs(
+                docs, 0.8, n=5, assume_dups=knob
+            ).collect()
+        }
+        assert got == want
+
+
 def test_lsh_threshold_join_equals_exact(spark, emb):
     """Two-sided LSH threshold join equals the exact quadratic cross join
     on the planted-dup fixture (cos ~0.9999 pairs: miss prob ~1e-12)."""
