@@ -109,7 +109,7 @@ _DRIVER_CAP_PRIORITY: list[str] = [
     "dedup_minhash_lsh",       # changed: bucket Observation + max_bucket/assume_dups knobs
     "dedup_clusters_lsh",      # changed: edge generator gained the Observation node
     "pipeline_llm_curation",   # changed: shared single-pass tokenization
-    "approx_distinct_quantile",  # oldest-r6 fill
+    "similarity_topk_lsh_exact",  # NEW this round (all-probe exact cert)
 ]
 
 

@@ -294,6 +294,38 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "similarity_topk_lsh_exact",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT q_id, vec_id, sim FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               round(list_cosine_similarity(q.v, c.v), 4) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id) AS rn
+        FROM e q JOIN e c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 5) t
+    WHERE rn <= 5
+    """,
+)
+def q_similarity_topk_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k in its exact configuration (all_probe: a constant band
+    shared by every row makes the candidate set provably cover the true
+    top-k), so the result must EQUAL brute force — the LSH twin of
+    similarity_topk_ivf_exact. Hash-certifies the banding/explode/
+    candidate-join/verify/rank machinery against the same DuckDB oracle
+    as the brute-force query, independent of the hyperplane draw; the
+    production recall<1 config keeps its recall-bound row above."""
+    from pyarrow_ops_spark.functions.similarity import lsh_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, dim=64, k=5, bits=16, bands=4, all_probe=True)
+
+
+
 # ---------------------------------------------------------------------------
 # North star: multimodal binary columns
 # ---------------------------------------------------------------------------

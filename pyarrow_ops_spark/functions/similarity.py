@@ -877,18 +877,33 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    all_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates must share >= 1 of ``bands`` chunks of
     the hyperplane signature; exact cosine ranks the candidates. At 100 TB
-    the candidate join replaces the full corpus scan per query."""
+    the candidate join replaces the full corpus scan per query.
+
+    ``all_probe=True`` is the EXACT configuration (the LSH twin of
+    ``ivf_topk`` with n_probe = n_clusters): a constant extra band —
+    index ``bands``, value 0 on every row — is appended to both sides, so
+    every (query, corpus) pair shares at least that band and the candidate
+    set provably covers the true top-k. The result must then EQUAL brute
+    force, which makes the whole LSH machinery (banding, explode,
+    candidate join, distinct, exact-cosine verify, window rank)
+    hash-certifiable; the probabilistic configs keep their recall bounds.
+    Quadratic by construction — a certification config, not a scale path.
+    """
     query_id_col = query_id_col or id_col
 
     def banded(df: DataFrame, idc: str, vecc: str, prefix: str) -> DataFrame:
         v = _as_double(vecc)
+        bexpr = band_values(v, dim, bits, bands)
+        if all_probe:
+            bexpr = F.concat(bexpr, F.array(F.lit(0).cast("long")))
         return df.select(
             F.col(idc).alias(f"{prefix}id"),
             v.alias(f"{prefix}vec"),
-            F.posexplode(band_values(v, dim, bits, bands)).alias("band", "val"),
+            F.posexplode(bexpr).alias("band", "val"),
         )
 
     qb = banded(queries, query_id_col, vec_col, "q_")

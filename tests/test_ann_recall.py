@@ -73,6 +73,24 @@ def test_lsh_sabotage_flips_driver_gate(spark):
     assert _avg_recall(emb, queries, sabotaged) < DRIVER_BOUND
 
 
+def test_lsh_all_probe_equals_bruteforce(spark):
+    """all_probe appends a constant band shared by every row, so the
+    candidate set provably covers the true top-k and the LSH output must
+    EQUAL brute force row-for-row — the exact configuration the driver
+    hash-certifies (similarity_topk_lsh_exact)."""
+    emb, queries = _fixtures(spark)
+    exact = {
+        tuple(r) for r in cosine_topk(emb, queries, k=K).collect()
+    }
+    got = {
+        tuple(r)
+        for r in lsh_topk(
+            emb, queries, dim=64, k=K, bits=16, bands=4, all_probe=True
+        ).collect()
+    }
+    assert got == exact and len(got) == 5 * K
+
+
 def _fixtures_sf01(spark):
     emb = load_table(spark, "embeddings", SF01_DIR)
     return emb, emb.filter(F.col("vec_id") < 5)

@@ -4,7 +4,7 @@ entry_queries was split from one 7,400-line module into per-family
 modules (entry_queries/{relational,tpch,text,dedup,similarity,events,
 pipeline_ml,stats_sampling,streaming_sources}.py) that populate the same
 QUERIES/ORACLES dicts. These tests pin that the split changed NOTHING a
-consumer can see: the exact 186-name set (frozen as a hash so an
+consumer can see: the exact 187-name set (frozen as a hash so an
 accidental drop/rename fails loudly), every query oracle-backed, and the
 driver-cap ordering contract intact.
 
@@ -17,9 +17,9 @@ from __future__ import annotations
 
 import hashlib
 
-# sha256 over "\n".join(sorted(names)) at the round-9 split (186 rows)
-NAMES_SHA256 = "864aed0df2f4b75da68ca683e984d4d9cde43a85d29f4a9d7b1c50fc986f90e6"
-N_QUERIES = 186
+# sha256 over "\n".join(sorted(names)) at the round-9 split (187 rows)
+NAMES_SHA256 = "c08de24b9a2951d44d541721794d67a2100ecf1e82df655ac27d51cd1429cf0d"
+N_QUERIES = 187
 
 
 def _names_hash(names) -> str:
