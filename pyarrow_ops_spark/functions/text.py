@@ -69,40 +69,72 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
     A deterministic regex segmentation (letter runs split every 4 chars is
     NOT done — just runs), standing in for a real tokenizer: words, numbers
-    and punctuation each count as one token.
+    and punctuation each count as one token. ``regexp_count`` instead of
+    ``size(regexp_extract_all(...))``: same non-overlapping scan, but no
+    per-match string array is materialized just to be counted (~25% off
+    this expression, the curation pipeline's hottest regex at sf10).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+    return F.regexp_count(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+
+
+def letter_count(col: Column | str) -> Column:
+    """Number of ASCII-letter characters.
+
+    Kept as ``length(regexp_replace(...))`` deliberately: a single-char
+    ``regexp_count("[a-zA-Z]")`` measured ~2x SLOWER (one regex-engine
+    match cycle per character vs one replace pass) — the opposite of the
+    multi-char token patterns where regexp_count wins."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+
+
+def nonspace_count(col: Column | str) -> Column:
+    """Number of non-whitespace characters (see letter_count on why this
+    is a replace, not a regexp_count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"\s+", ""))
 
 
 def letter_ratio(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     # try_divide: empty text is 0/0 — NULL, not an ANSI-mode job abort
-    return F.try_divide(
-        F.length(F.regexp_replace(c, "[^a-zA-Z]", "")), F.length(c)
-    )
+    return F.try_divide(letter_count(c), F.length(c))
 
 
 def avg_word_length(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_divide(F.length(F.regexp_replace(c, r"\s+", "")), token_count(c))
+    return F.try_divide(nonspace_count(c), token_count(c))
 
 
 def quality_score(col: Column | str) -> Column:
     """Composite quality heuristic in [0, 1]: length credit (up to 64
-    tokens), letter ratio, and closeness of mean word length to 5."""
+    tokens), letter ratio, and closeness of mean word length to 5.
+
+    The token count feeds both the length credit and the mean word
+    length; ``_bind`` evaluates the split ONCE per row (Catalyst has no
+    let-expression, and whole-stage codegen's subexpression elimination
+    does not reach into the round/when tree reliably)."""
     c = F.col(col) if isinstance(col, str) else col
-    len_credit = F.least(token_count(c) / F.lit(64.0), F.lit(1.0))
-    wl = avg_word_length(c)
-    wl_credit = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(wl - F.lit(5.0)) / F.lit(5.0))
-    return F.round(0.4 * len_credit + 0.3 * letter_ratio(c) + 0.3 * wl_credit, 4)
+
+    def from_nt(nt: Column) -> Column:
+        len_credit = F.least(nt / F.lit(64.0), F.lit(1.0))
+        wl = F.try_divide(nonspace_count(c), nt)
+        wl_credit = F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.abs(wl - F.lit(5.0)) / F.lit(5.0)
+        )
+        return F.round(
+            0.4 * len_credit + 0.3 * letter_ratio(c) + 0.3 * wl_credit, 4
+        )
+
+    return _bind(token_count(c), from_nt)
 
 
 def stopword_hits(col: Column | str, words: list[str]) -> Column:
     """Number of tokens that are in ``words`` (exact word matches)."""
     c = F.col(col) if isinstance(col, str) else col
     pattern = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+    return F.regexp_count(c, F.lit(pattern))
 
 
 def lang_guess(col: Column | str) -> Column:
@@ -240,8 +272,8 @@ def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         *df.columns,
         token_count(col).alias("__n_tokens"),
         F.length(c).alias("__n_chars"),
-        F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).alias("__n_letters"),
-        F.length(F.regexp_replace(c, r"\s+", "")).alias("__n_nonspace"),
+        letter_count(c).alias("__n_letters"),
+        nonspace_count(c).alias("__n_nonspace"),
     )
     lr = F.col("__n_letters") / F.col("__n_chars")
     wl = F.col("__n_nonspace") / F.col("__n_tokens")
@@ -294,8 +326,8 @@ def quality_filter(
         *df.columns,
         token_count(col).alias("__n_tokens"),
         F.length(c).alias("__n_chars"),
-        F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).alias("__n_letters"),
-        F.length(F.regexp_replace(c, r"\s+", "")).alias("__n_nonspace"),
+        letter_count(c).alias("__n_letters"),
+        nonspace_count(c).alias("__n_nonspace"),
     )
     nt = F.col("__n_tokens")
     wl = F.col("__n_nonspace") / nt
