@@ -215,6 +215,12 @@ def q_pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # planted ids live at +1e6: the synthetic documents table holds 5k
+    # rows per sf0.1, so base ids stay far below 1_000_000 at every cert
+    # scale. The min_by dedup below relies on doc_id uniqueness for
+    # determinism — if the corpus ever reached 1M base rows the offset
+    # would collide and tie-breaking would go engine-dependent; derive
+    # the offset from max(doc_id) before reusing this pattern there.
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )

@@ -116,7 +116,9 @@ def _ordered_array_pairs(ids: Column) -> Column:
     )
 
 
-def _collapse_exact_vectors(e: DataFrame) -> "tuple[DataFrame, bool]":
+def _collapse_exact_vectors(
+    e: DataFrame, assume_dups: bool | None = None
+) -> "tuple[DataFrame, bool]":
     """Group BYTE-IDENTICAL vectors: (v, members sorted array<long>).
 
     Web-scale corpora carry heavy exact-duplicate mass (the same page
@@ -145,15 +147,23 @@ def _collapse_exact_vectors(e: DataFrame) -> "tuple[DataFrame, bool]":
     LRU-evictable); long-lived sessions clear it via
     ``spark.catalog.clearCache()`` between pipelines, as the bench does.
 
+    The pre-check is still an extra eager scan; pipelines that already
+    know their dup profile pass ``assume_dups`` (True = collapse
+    unconditionally, False = skip unconditionally, None = auto-check).
+    Results are identical on every path — the knob only trades the
+    pre-check scan against a possibly-unneeded collapse shuffle.
+
     Returns ``(groups, had_dups)`` so call sites can skip the group
     persist and member-expansion machinery entirely on the skip path."""
     from pyspark import StorageLevel
 
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    n_dups = e.agg(
-        (F.count(F.lit(1)) - F.count_distinct(F.xxhash64("v"))).alias("d")
-    ).collect()[0]["d"]
-    if n_dups == 0:
+    if assume_dups is None:
+        n_dups = e.agg(
+            (F.count(F.lit(1)) - F.count_distinct(F.xxhash64("v"))).alias("d")
+        ).collect()[0]["d"]
+        assume_dups = n_dups != 0
+    if not assume_dups:
         return e.select("v", F.array("id").alias("members")), False
     return (
         e.groupBy("v").agg(F.array_sort(F.collect_list("id")).alias("members")),
@@ -234,6 +244,7 @@ def embedding_lsh_pairs(
     bits: int = 56,
     bands: int = 8,
     max_bucket: int = 10_000,
+    assume_dups: bool | None = None,
 ) -> DataFrame:
     """Near-dup embedding pairs (id_a < id_b, sim) via exact-duplicate
     collapse + banded hyperplane-LSH candidate generation + exact cosine
@@ -265,7 +276,7 @@ def embedding_lsh_pairs(
     from pyspark import StorageLevel
 
     e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    groups, had_dups = _collapse_exact_vectors(e)
+    groups, had_dups = _collapse_exact_vectors(e, assume_dups)
     if not had_dups:
         # singleton groups: representatives ARE the corpus, intra-group
         # pairs are empty and member expansion is the identity — skip the
@@ -317,6 +328,7 @@ def embedding_lsh_edges(
     bits: int = 56,
     bands: int = 8,
     max_bucket: int = 10_000,
+    assume_dups: bool | None = None,
 ) -> DataFrame:
     """Edge list (id_a, id_b) whose connected components EQUAL those of
     ``embedding_lsh_pairs`` — but linear in duplicate-group size: each
@@ -327,7 +339,7 @@ def embedding_lsh_edges(
     from pyspark import StorageLevel
 
     e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    groups, had_dups = _collapse_exact_vectors(e)
+    groups, had_dups = _collapse_exact_vectors(e, assume_dups)
     if not had_dups:
         return _lsh_rep_pairs(
             groups, threshold, dim, bits, bands, max_bucket
@@ -353,6 +365,8 @@ def embedding_near_dup(
     dim: int | None = None,
     bits: int = 56,
     bands: int = 8,
+    max_bucket: int = 10_000,
+    assume_dups: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate assignment: every vector maps to a
     canonical id = the smallest id among its neighbors with cosine >=
@@ -379,19 +393,28 @@ def embedding_near_dup(
     the caller genuinely wants it, remains ``embedding_lsh_pairs``).
     Output matches the exact path exactly, including zero vectors: an
     undefined self-cosine (NULL under ``try_divide``) fails the threshold
-    and the group is dropped, just as the exact self-join emits no row."""
+    and the group is dropped, just as the exact self-join emits no row.
+
+    ``max_bucket`` caps degenerate LSH buckets (oversized buckets are
+    dropped at the plan level — same knob as ``embedding_lsh_pairs``);
+    ``assume_dups`` skips the collapse pre-check scan (see
+    ``_collapse_exact_vectors``). Persist contract: the LSH path persists
+    the input relation and (when duplicates exist) the collapsed group
+    relation, MEMORY_AND_DISK and LRU-evictable, left referenced by the
+    returned plan; long-lived sessions running many pipelines
+    back-to-back should ``spark.catalog.clearCache()`` between them."""
     if method == "lsh":
         if dim is None:
             raise ValueError("method='lsh' requires the embedding dim")
         from pyspark import StorageLevel
 
         e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-        groups, had_dups = _collapse_exact_vectors(e)
+        groups, had_dups = _collapse_exact_vectors(e, assume_dups)
         if had_dups:
             # two consumers below (rep pairs + group stats) — cache the
             # groupBy result; the skip path reads the already-cached input
             groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
-        rep_pairs = _lsh_rep_pairs(groups, threshold, dim, bits, bands, 10_000)
+        rep_pairs = _lsh_rep_pairs(groups, threshold, dim, bits, bands, max_bucket)
         gstat = groups.select(
             F.element_at("members", 1).alias("rep"),
             "members",

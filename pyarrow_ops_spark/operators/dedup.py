@@ -70,17 +70,25 @@ def drop_duplicates(
             )
         # count==1 groups contain exactly one row, so first(struct) IS it;
         # merge order can't matter for a single row, keeping this
-        # deterministic under retries. (Requires distinct column names —
-        # struct expansion would collide otherwise; the reference's table
-        # model guarantees that.)
-        return (
-            df.groupBy(*on)
-            .agg(
-                F.count(F.lit(1)).alias(_GRP_CNT),
-                F.first(F.struct(*df.columns)).alias(_ROW_NUM),
+        # deterministic under retries. Requires distinct column names
+        # (struct expansion would collide otherwise) — DataFrames with
+        # duplicate names (e.g. post-join) fall back to the window-count
+        # shape, which never re-projects columns by name.
+        if len(set(df.columns)) == len(df.columns):
+            return (
+                df.groupBy(*on)
+                .agg(
+                    F.count(F.lit(1)).alias(_GRP_CNT),
+                    F.first(F.struct(*df.columns)).alias(_ROW_NUM),
+                )
+                .filter(F.col(_GRP_CNT) == 1)
+                .select(f"{_ROW_NUM}.*")
             )
+        w = Window.partitionBy(*on)
+        return (
+            df.withColumn(_GRP_CNT, F.count(F.lit(1)).over(w))
             .filter(F.col(_GRP_CNT) == 1)
-            .select(f"{_ROW_NUM}.*")
+            .drop(_GRP_CNT)
         )
 
     if order_by is None:

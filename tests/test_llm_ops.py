@@ -475,6 +475,31 @@ def test_minhash_assume_dups_paths_agree(spark, docs):
         assert got == want
 
 
+def test_embedding_assume_dups_and_max_bucket_knobs(spark, emb):
+    """assume_dups must not change embedding near-dup results on either
+    path, and max_bucket must thread through embedding_near_dup."""
+    clones = emb.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    both = emb.unionByName(clones.select(emb.columns))
+    base = sorted(
+        tuple(r)
+        for r in S.embedding_near_dup(both, 0.8, method="lsh", dim=64).collect()
+    )
+    for kw in ({"assume_dups": True}, {"assume_dups": False},
+               {"max_bucket": 50_000}):
+        spark.catalog.clearCache()
+        got = sorted(
+            tuple(r)
+            for r in S.embedding_near_dup(
+                both, 0.8, method="lsh", dim=64, **kw
+            ).collect()
+        )
+        assert got == base, kw
+    spark.catalog.clearCache()
+
+
 def test_lsh_threshold_join_equals_exact(spark, emb):
     """Two-sided LSH threshold join equals the exact quadratic cross join
     on the planted-dup fixture (cos ~0.9999 pairs: miss prob ~1e-12)."""

@@ -74,6 +74,19 @@ def test_drop_duplicates_keep_drop(spark):
     assert rows(out) == [("a", 1), ("c", 4)]
 
 
+def test_drop_duplicates_keep_drop_duplicate_column_names(spark):
+    """Post-join DataFrames can carry duplicate column names; keep='drop'
+    must fall back to the window-count shape there (the aggregate shape's
+    struct expansion would collide)."""
+    left = spark.createDataFrame([("a", 1), ("b", 2), ("b", 3)], ["k", "v"])
+    right = spark.createDataFrame([("a", 9), ("b", 8)], ["k", "v"])
+    joined = left.join(right, on="k")  # columns: k, v, v
+    assert joined.columns == ["k", "v", "v"]
+    out = drop_duplicates(joined, on=["k"], keep="drop")
+    assert out.columns == ["k", "v", "v"]
+    assert [tuple(r) for r in out.collect()] == [("a", 1, 9)]
+
+
 def test_groupby_named_aggs_bare_names(animals):
     # reference: output columns keep the input names (group.py:44-47)
     med = groupby(animals, ["Animal"]).median()
