@@ -3,10 +3,13 @@
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side machinery — schema, partition-friendly batch
 processing via ``mapInPandas``, deterministic feature extraction — is real
-and tested; the actual media decode is STUBBED (the decode libraries are
-not in this container): ``decode_image`` raises ``NotImplementedError``
-unless given the deterministic-fake flag, which produces a stable fake
-"decoded" feature row from the bytes alone.
+and tested. Image decode is an OPTIONAL EXTRA: with Pillow installed,
+``decode_image(fake=False)`` / ``extract_features(fake_decode=False)``
+run the real decode (header dims + mean grayscale luma); without it they
+raise ``NotImplementedError`` (this container ships no imaging libs), and
+the deterministic-fake flag produces a stable pseudo-decode from the
+bytes alone so the distributed plumbing stays testable anywhere. Video
+frame decode remains stubbed (no portable pure-Python video decoder).
 
 At scale: binary payloads stay in executor memory only for the duration of
 one Arrow batch; metadata-only plans (filtering by size/mime before
@@ -42,17 +45,39 @@ def with_media_metadata(df: DataFrame, binary_col: str, mime: str = "application
     )
 
 
+def _real_decode_image(payload: bytes) -> dict:
+    """Actual image decode via Pillow (optional extra — raises
+    ImportError when PIL is absent): width/height from the header,
+    mean_luma = mean 8-bit grayscale intensity / 255."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as img:
+        width, height = img.size
+        gray = img.convert("L")
+        hist = gray.histogram()  # 256 bins; no numpy needed
+        n = sum(hist)
+        mean = sum(i * c for i, c in enumerate(hist)) / n if n else 0.0
+    return {"width": width, "height": height, "mean_luma": mean / 255.0}
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """STUB: real decode needs an image library not present here.
+    """Image decode: real (Pillow, when installed) or deterministic fake.
 
     With ``fake=True`` returns a deterministic pseudo-decode derived from
     the bytes (stable across engines/runs) so the distributed plumbing can
-    be exercised end-to-end."""
+    be exercised end-to-end without media libraries. With ``fake=False``
+    the real Pillow decode runs if PIL is importable; otherwise
+    ``NotImplementedError`` (this container ships no imaging libs)."""
     if not fake:
-        raise NotImplementedError(
-            "image decode requires an imaging library not available in this "
-            "environment; pass fake=True for the deterministic stub"
-        )
+        try:
+            return _real_decode_image(payload)
+        except ImportError:
+            raise NotImplementedError(
+                "image decode requires Pillow, which is not installed; "
+                "pass fake=True for the deterministic stub"
+            ) from None
     digest = hashlib.md5(payload).digest()
     return {
         "width": 1 + digest[0],
@@ -77,10 +102,29 @@ def extract_features(
 
         def _decode(payload: bytes) -> dict:
             if not fake_decode:
-                raise NotImplementedError(
-                    "image decode requires an imaging library not available "
-                    "in this environment; pass fake_decode=True for the stub"
-                )
+                # real decode path: Pillow when installed on the executor
+                try:
+                    from io import BytesIO as _BytesIO
+
+                    from PIL import Image as _Image
+                except ImportError:
+                    raise NotImplementedError(
+                        "image decode requires Pillow, which is not "
+                        "installed on this executor; pass fake_decode=True "
+                        "for the deterministic stub"
+                    ) from None
+                with _Image.open(_BytesIO(bytes(payload))) as img:
+                    width, height = img.size
+                    hist = img.convert("L").histogram()
+                    n = sum(hist)
+                    mean = (
+                        sum(i * c for i, c in enumerate(hist)) / n if n else 0.0
+                    )
+                return {
+                    "width": width,
+                    "height": height,
+                    "mean_luma": mean / 255.0,
+                }
             digest = _hl.md5(payload).digest()
             return {
                 "width": 1 + digest[0],

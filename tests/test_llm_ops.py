@@ -332,8 +332,38 @@ def test_lang_guess_votes(spark):
 
 
 def test_multimodal_decode_stub_raises():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — the real decode path applies")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"bytes", fake=False)
+
+
+def test_multimodal_real_decode_with_pillow(spark):
+    """Real decode path (optional extra): with Pillow present,
+    extract_features(fake_decode=False) must return the true header
+    dimensions and mean luma. Skip-marked in containers without PIL."""
+    PIL = pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("RGB", (7, 3), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    assert MM.decode_image(png) == {
+        "width": 7,
+        "height": 3,
+        "mean_luma": pytest.approx(76 / 255.0, abs=1e-6),
+    }
+    df = spark.createDataFrame([(1, png)], "id long, payload binary")
+    row = MM.extract_features(df, "payload", "id", fake_decode=False).collect()[0]
+    assert (row.width, row.height) == (7, 3)
+    assert row.mean_luma == pytest.approx(76 / 255.0, abs=1e-4)
 
 
 def test_multimodal_fake_features_deterministic(spark):
