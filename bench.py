@@ -117,7 +117,17 @@ BENCH_QUERIES = [
     "skew_salted_join",
 ]
 
-N_PASSES = 3
+N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+# Adaptive re-runs (round-9, the driver-vs-solo drift fix): a query whose
+# three passes disagree by more than RESPREAD was hit by a host stall in
+# at least one pass — possibly all of them, which the cross-pass min
+# cannot repair. Such queries get up to EXTRA more runs at the END of the
+# suite (warmest JVM, load often decayed) and keep the overall min. Only
+# queries that matter for the total (min wall above the floor) re-run, so
+# the worst-case added wall is bounded by EXTRA x (sum of noisy mins).
+RESPREAD = float(os.environ.get("SPARK_GRAFT_BENCH_RESPREAD", "1.4"))
+EXTRA_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2"))
+RERUN_FLOOR_SEC = 0.3
 
 
 class _StageTaskTime:
@@ -185,6 +195,24 @@ def main() -> None:
             # cached blocks accumulating across the suite evict each other
             # under storage-memory pressure, making later queries pay
             # recompute that has nothing to do with their own plan.
+            spark.catalog.clearCache()
+
+    # adaptive re-runs for stall-hit queries (see RESPREAD note above)
+    noisy = [
+        n
+        for n in names
+        if min(wall[n]) > RERUN_FLOOR_SEC
+        and max(wall[n]) / min(wall[n]) > RESPREAD
+    ]
+    for name in noisy:
+        for _ in range(EXTRA_RUNS):
+            tracker.delta()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall[name].append(time.perf_counter() - t0)
+            task[name].append(tracker.delta())
             spark.catalog.clearCache()
 
     timings = {n: round(min(wall[n]), 3) for n in names}
@@ -285,6 +313,7 @@ def main() -> None:
         "task_time_sec": task_time,
         "task_time_total": round(sum(task_time.values()), 3),
         "passes": N_PASSES,
+        "rerun_queries": sorted(noisy),
         "scale_ratio_10x": scale_ratio,
         "streaming_throughput": streaming_tp,
         "sf": sf,
