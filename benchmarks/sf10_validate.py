@@ -11,7 +11,7 @@ repeat (dedup families see 100x corpora with 100x planted-duplicate
 mass — the adversarial case for any pair-generation step).
 
 Run:  python benchmarks/sf10_validate.py [query ...]
-Writes benchmarks/sf10_validation_r8.json and prints one JSON line.
+Writes benchmarks/sf10_validation_r9.json and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -44,6 +44,8 @@ DEFAULT = [
     "dedup_minhash_lsh",
     "embedding_near_dup_lsh",
     "pipeline_llm_curation",
+    "dedup_winnow_pairs",
+    "dedup_winnow_clusters",
 ]
 
 N_PASSES = 2
@@ -109,10 +111,19 @@ def main() -> None:
         }
         print(n, json.dumps(out[n]), flush=True)
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "sf10_validation_r8.json"
+        os.path.dirname(os.path.abspath(__file__)), "sf10_validation_r9.json"
     )
+    # merge with any prior partial run so the artifact accumulates across
+    # split invocations (long queries run in their own process)
+    merged: dict = {"passes": N_PASSES, "queries": {}}
+    if os.path.exists(path):
+        try:
+            merged = json.load(open(path))
+        except Exception:
+            pass
+    merged.setdefault("queries", {}).update(out)
     with open(path, "w") as f:
-        json.dump({"passes": N_PASSES, "queries": out}, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
     print(json.dumps({"detail": path, "n": len(out)}))
     spark.stop()
 

@@ -11,7 +11,7 @@ diff before the number is believed — but first re-measure: this VM's
 contention can fake a 3x swing, see .claude/skills/verify/SKILL.md).
 
 Run:  python benchmarks/sf1_validate.py [query ...]
-Writes benchmarks/sf1_validation_r8.json and prints one JSON line.
+Writes benchmarks/sf1_validation_r9.json and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -41,6 +41,7 @@ DEFAULT = [
     "events_retention_cohorts",
     "pipeline_llm_curation",
     "text_stats",
+    "dedup_winnow_clusters",
 ]
 
 N_PASSES = 3
@@ -82,7 +83,7 @@ def main() -> None:
         }
         print(n, json.dumps(out[n]), flush=True)
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "sf1_validation_r8.json"
+        os.path.dirname(os.path.abspath(__file__)), "sf1_validation_r9.json"
     )
     with open(path, "w") as f:
         json.dump({"passes": N_PASSES, "queries": out}, f, indent=1, sort_keys=True)
