@@ -572,14 +572,23 @@ def dedup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    num_hashes: int = 80,
+    bands: int = 16,
+    max_bucket: int = 10_000,
+    assume_dups: bool | None = None,
 ) -> DataFrame:
     """Full near-dup dedup decision: MinHash-LSH edges -> transitive
     clusters -> one row per document with its cluster representative.
     Output: (doc_id, canonical_id, is_duplicate); documents with no
     near-dup keep themselves. Uses the star-edge list (see
     ``minhash_lsh_edges``): identical-document groups enter the component
-    graph linearly instead of as O(g²) cliques — same components."""
-    pairs = minhash_lsh_edges(df, threshold, id_col, text_col, n)
+    graph linearly instead of as O(g²) cliques — same components.
+    ``num_hashes``/``bands``/``max_bucket``/``assume_dups`` pass through
+    to the edge generator (same knobs as ``winnow_clusters``)."""
+    pairs = minhash_lsh_edges(
+        df, threshold, id_col, text_col, n, num_hashes, bands, max_bucket,
+        assume_dups,
+    )
     comps = connected_components(pairs, "id_a", "id_b")
     out = df.select(id_col).join(
         comps, on=F.col(id_col) == F.col("node"), how="left"
