@@ -929,15 +929,22 @@ def _winnow_rep_pairs(
     representatives — the prefix-filtered candidate engine shared by the
     winnow pair/edge entry points above. Exact (prefix lemma holds for any
     consistent total order of fingerprints, so frequency counts over
-    representatives are valid) — output equals the O(n²) baseline."""
+    representatives are valid) — output equals the O(n²) baseline.
+
+    Fingerprints come from the Arrow-batched
+    ``winnowed_fingerprint_rows`` (value-identical to the Catalyst
+    expression, ~25x cheaper — the rolling-hash HOF was 2.9 s of the
+    3.15 s sf0.1 query)."""
     from pyspark import StorageLevel
 
-    from pyarrow_ops_spark.functions.text import spread, winnowed_fingerprints
+    from pyarrow_ops_spark.functions.text import (
+        spread,
+        winnowed_fingerprint_rows,
+    )
 
     reps = groups.select(F.element_at("members", 1).alias("id"), "__t")
-    fps = spread(reps).select(
-        "id",
-        winnowed_fingerprints("__t", k=k, window=window).alias("fps"),
+    fps = winnowed_fingerprint_rows(
+        spread(reps), "id", "__t", k=k, window=window
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     ex = fps.select("id", F.explode("fps").alias("fp"))

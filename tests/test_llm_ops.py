@@ -381,6 +381,42 @@ def test_media_metadata_struct(spark):
     assert out.payload_meta.n_bytes == 4
 
 
+def test_winnowed_fingerprint_rows_equals_expression(spark, docs):
+    """The Arrow-batched fingerprint path must be value-identical to the
+    Catalyst expression, including the edge semantics it replicates
+    ("" -> [0], null -> [null], short texts, non-ASCII and astral
+    codepoints)."""
+    from pyspark.sql import Row
+
+    edge = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="a"),
+            Row(doc_id=3, text="abcdefghijklmnop"),
+            Row(doc_id=4, text="abcdefghijklmnopq"),
+            Row(doc_id=5, text=None),
+            Row(doc_id=6, text="héllo wörld ünïcode"),
+            Row(doc_id=7, text="emoji \U0001F600 test!!"),
+            Row(doc_id=8, text="x" * 15),
+        ]
+    )
+    for frame in (edge, docs):
+        expr = {
+            r.doc_id: r.f
+            for r in frame.select(
+                "doc_id",
+                TX.winnowed_fingerprints("text", k=16, window=16).alias("f"),
+            ).collect()
+        }
+        batch = {
+            r.doc_id: r.fps
+            for r in TX.winnowed_fingerprint_rows(
+                frame, k=16, window=16
+            ).collect()
+        }
+        assert expr == batch
+
+
 def test_winnow_pairs_equals_bruteforce(spark, docs):
     """The inverted-index candidate engine is exact: winnow_pairs equals a
     quadratic self-join over the same fingerprint arrays."""
