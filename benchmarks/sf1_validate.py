@@ -85,8 +85,15 @@ def main() -> None:
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "sf1_validation_r9.json"
     )
+    merged: dict = {"passes": N_PASSES, "queries": {}}
+    if os.path.exists(path):
+        try:
+            merged = json.load(open(path))
+        except Exception:
+            pass
+    merged.setdefault("queries", {}).update(out)
     with open(path, "w") as f:
-        json.dump({"passes": N_PASSES, "queries": out}, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
     print(json.dumps({"detail": path, "n": len(out)}))
     spark.stop()
 
