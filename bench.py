@@ -197,13 +197,20 @@ def main() -> None:
             # recompute that has nothing to do with their own plan.
             spark.catalog.clearCache()
 
-    # adaptive re-runs for stall-hit queries (see RESPREAD note above)
-    noisy = [
-        n
-        for n in names
-        if min(wall[n]) > RERUN_FLOOR_SEC
-        and max(wall[n]) / min(wall[n]) > RESPREAD
-    ]
+    # adaptive re-runs for stall-hit queries (see RESPREAD note above).
+    # Bounded: only the MAX_RERUN noisiest-by-min-cost queries re-run, so
+    # a globally contended window (where most queries show spread) cannot
+    # blow the suite budget — the big mins dominate the total anyway.
+    MAX_RERUN = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RERUN", "12"))
+    noisy = sorted(
+        (
+            n
+            for n in names
+            if min(wall[n]) > RERUN_FLOOR_SEC
+            and max(wall[n]) / min(wall[n]) > RESPREAD
+        ),
+        key=lambda n: -min(wall[n]),
+    )[:MAX_RERUN]
     for name in noisy:
         for _ in range(EXTRA_RUNS):
             tracker.delta()
