@@ -336,6 +336,84 @@ def minhash_lsh_edges(
     return rep_pairs.select("id_a", "id_b").unionByName(star)
 
 
+def _minhash_band_rows(
+    hashed: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Exploded (id, band, sig) MinHash band signatures via one vectorized
+    Arrow batch per partition — the numeric-slot-mixing twin of
+    ``similarity.banded_rows``.
+
+    Input: (id long, hashes array<long>) — xxhash64 of each distinct
+    shingle, computed JVM-side. Per document, slot i's minhash is
+    ``min over shingles of splitmix64(h ^ key_i)`` where ``key_i`` is the
+    splitmix64 stream at index i (golden-gamma increments); a band's
+    signature chains its ``rows`` slot minima through the same finalizer.
+    One (k × n_shingles) broadcasted mix + a min per axis — no
+    interpreted per-element lambdas. Deterministic: fixed published
+    constants, no seeds, no RNG. Empty/null shingle arrays yield no
+    output rows (such documents can never pair — matches the expression
+    path, where array_min of an empty array is null and the null
+    signature still groups only with nulls; representatives with no
+    shingles produce no candidates either way). Closure is
+    self-contained for plain-session cloudpickle."""
+    n_bands, n_rows = int(bands), int(num_hashes // bands)
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        M1 = _np.uint64(0xBF58476D1CE4E5B9)
+        M2 = _np.uint64(0x94D049BB133111EB)
+        GAMMA = _np.uint64(0x9E3779B97F4A7C15)
+
+        def _mix(z):
+            z = z.copy()
+            z ^= z >> _np.uint64(30)
+            z *= M1
+            z ^= z >> _np.uint64(27)
+            z *= M2
+            z ^= z >> _np.uint64(31)
+            return z
+
+        k = n_bands * n_rows
+        slot_keys = _mix(
+            (_np.arange(1, k + 1, dtype=_np.uint64)) * GAMMA
+        )  # (k,) per-slot xor keys
+
+        def _bands(hashes):
+            h = _np.asarray(hashes, dtype=_np.int64).view(_np.uint64)
+            if h.size == 0:
+                return None
+            mixed = _mix(h[_np.newaxis, :] ^ slot_keys[:, _np.newaxis])
+            mins = mixed.min(axis=1).reshape(n_bands, n_rows)
+            # fold each band's slot minima through the same finalizer
+            acc = _np.zeros(n_bands, dtype=_np.uint64)
+            for j in range(n_rows):
+                acc = _mix(acc ^ mins[:, j])
+            return acc.view(_np.int64)
+
+        for pdf in batches:
+            ids, bnds, sigs = [], [], []
+            for id_, hashes in zip(pdf["id"], pdf["hashes"]):
+                if hashes is None:
+                    continue
+                b = _bands(hashes)
+                if b is None:
+                    continue
+                ids.extend([id_] * n_bands)
+                bnds.extend(range(n_bands))
+                sigs.extend(b.tolist())
+            yield _pd.DataFrame(
+                {
+                    "id": _pd.Series(ids, dtype="int64"),
+                    "band": _pd.Series(bnds, dtype="int32"),
+                    "sig": _pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return hashed.mapInPandas(gen, "id long, band int, sig long")
+
+
 def _ordered_pairs_expr(ids: Column) -> Column:
     """All (id_a < id_b) pairs of a SORTED array column — single shared
     implementation (similarity.py owns it; a drifted copy here would
@@ -378,25 +456,20 @@ def _minhash_rep_pairs(
         "id", F.transform("grams", lambda g: F.xxhash64(g)).alias("hashes")
     )
 
-    # Band signatures as ONE nested array expression (runtime loops over
-    # band/slot indices) instead of k unrolled minhash columns: the
-    # unrolled form generates an enormous whole-stage-codegen class whose
-    # janino compilation costs seconds on the first execution — more than
-    # the hashing itself at moderate corpus sizes. Each minhash slot
-    # (min over shingles of xxhash64(h, slot)) is computed exactly once;
-    # slots fold into their band's signature via an xxhash64 chain.
-    def slot_min(slot: Column) -> Column:
-        return F.array_min(F.transform(F.col("hashes"), lambda h: F.xxhash64(h, slot)))
-
-    sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.aggregate(
-            F.sequence(F.lit(0), F.lit(rows - 1)),
-            F.lit(0).cast("bigint"),
-            lambda acc, j: F.xxhash64(acc, slot_min(b * F.lit(rows) + j)),
-        ),
-    )
-    exploded = hashed.select("id", F.posexplode(sigs).alias("band", "sig"))
+    # Band signatures via one Arrow batch (``_minhash_band_rows``): the
+    # expression form — k slots × per-shingle remix as nested
+    # higher-order functions — runs INTERPRETED (~128M lambda
+    # evaluations for the sf0.1 corpus; measured 8 s of the 9.3 s
+    # signature stage), while the same math is one (k × n_shingles)
+    # vectorized mix-and-min per document. Same modality split as
+    # winnow/banded_rows: string→long hashing stays JVM xxhash64 (one
+    # cheap pass above); dense numeric slot mixing goes to numpy. The
+    # slot mixer is splitmix64 keyed per slot — a published-constant
+    # 64-bit finalizer, deterministic across runs and engines; the
+    # certs compare verified PAIRS against exact Jaccard, so any
+    # uniform hash family yields the same output (per-pair miss prob
+    # ~1e-7 at the banding configs used).
+    exploded = _minhash_band_rows(hashed, num_hashes, bands)
     # Bucket-local pair generation instead of a self-join: ONE pass over the
     # signatures (a self-join would execute the whole signature pipeline
     # twice), one shuffle on (band, sig), pairs generated inside each
