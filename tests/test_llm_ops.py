@@ -381,6 +381,33 @@ def test_media_metadata_struct(spark):
     assert out.payload_meta.n_bytes == 4
 
 
+def test_minhash_band_rows_deterministic_and_null_safe(spark):
+    """The Arrow-batched band-signature generator must be a pure function
+    of the shingle-hash array (identical across runs — fixed splitmix64
+    constants, no RNG) and must emit no rows for null/empty arrays
+    (documents that can never pair)."""
+    from pyspark.sql import Row
+
+    from pyarrow_ops_spark.functions.dedup import _minhash_band_rows
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, hashes=[123456789, -987654321, 42]),
+            Row(id=2, hashes=[]),
+            Row(id=3, hashes=None),
+            Row(id=4, hashes=[123456789, -987654321, 42]),
+        ],
+        "id long, hashes array<long>",
+    )
+    a = {(r.id, r.band): r.sig for r in _minhash_band_rows(df, 80, 16).collect()}
+    b = {(r.id, r.band): r.sig for r in _minhash_band_rows(df, 80, 16).collect()}
+    assert a == b
+    assert {i for i, _ in a} == {1, 4}
+    assert len(a) == 2 * 16  # bands per surviving doc
+    # identical hash arrays -> identical signatures in every band
+    assert all(a[(1, bnd)] == a[(4, bnd)] for bnd in range(16))
+
+
 def test_winnowed_fingerprint_rows_equals_expression(spark, docs):
     """The Arrow-batched fingerprint path must be value-identical to the
     Catalyst expression, including the edge semantics it replicates
