@@ -305,3 +305,81 @@ def test_range_join_bucketed_equals_predicate(spark, points, intervals, width):
         if lo <= v < hi
     }
     assert got == want
+
+
+# --- round-9 Arrow-batch twins: property equality with the expressions ---
+
+TEXTS = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(max_size=40),  # arbitrary unicode incl. astral planes
+        st.text(alphabet="ab \n", max_size=60),  # high-overlap ASCII
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(texts=TEXTS)
+def test_winnow_batch_fingerprints_equal_expression(spark, texts):
+    """The Arrow-batched winnow fingerprint path is value-identical to
+    the Catalyst expression on ARBITRARY text (nulls, empties, unicode,
+    astral codepoints, whitespace runs)."""
+    from pyarrow_ops_spark.functions.text import (
+        winnowed_fingerprint_rows,
+        winnowed_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    expr = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", winnowed_fingerprints("text", k=4, window=3).alias("f")
+        ).collect()
+    }
+    batch = {
+        r.doc_id: r.fps
+        for r in winnowed_fingerprint_rows(df, k=4, window=3).collect()
+    }
+    assert expr == batch
+
+
+HASH_ARRS = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=12
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SETTINGS
+@given(arrs=HASH_ARRS)
+def test_minhash_band_rows_set_semantics(spark, arrs):
+    """Band signatures are a pure function of the shingle-hash SET:
+    permuting or duplicating the array must not change any signature
+    (minhash is a min over the set), and null/empty arrays emit no rows."""
+    import random
+
+    from pyarrow_ops_spark.functions.dedup import _minhash_band_rows
+
+    rng = random.Random(0)
+    base = list(enumerate(arrs))
+    permuted = [
+        (i, (lambda a: rng.sample(a, len(a)) + rng.sample(a, len(a)))(a)
+         if a else a)
+        for i, a in base
+    ]
+    df1 = spark.createDataFrame(base, "id long, hashes array<long>")
+    df2 = spark.createDataFrame(permuted, "id long, hashes array<long>")
+    s1 = {(r.id, r.band): r.sig for r in _minhash_band_rows(df1, 20, 4).collect()}
+    s2 = {(r.id, r.band): r.sig for r in _minhash_band_rows(df2, 20, 4).collect()}
+    assert s1 == s2
+    expected_ids = {i for i, a in base if a}
+    assert {i for i, _ in s1} == expected_ids
