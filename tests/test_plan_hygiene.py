@@ -359,3 +359,27 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_banded_dedup_plans_are_arrow_batched_and_observed(spark):
+    """Round-9 scale contract: both banded pair generators run their
+    dense numeric stage as ONE Arrow batch (MapInPandas — never
+    interpreted per-element lambdas), carry the bucket-drop Observation
+    (CollectMetrics), and contain no cartesian product."""
+    from pyarrow_ops_spark.functions.dedup import minhash_lsh_pairs, winnow_pairs
+    from pyarrow_ops_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    for fn, kwargs in (
+        (minhash_lsh_pairs, dict(threshold=0.8, n=5)),
+        (winnow_pairs, dict(threshold=0.5, k=16, window=16)),
+    ):
+        plan = (
+            fn(docs, assume_dups=False, **kwargs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "MapInPandas" in plan, fn.__name__
+        assert "CollectMetrics" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
