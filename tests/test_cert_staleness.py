@@ -89,6 +89,31 @@ def test_new_rows_enter_the_cap_immediately():
     )
 
 
+def test_rotation_survives_synthetic_next_round():
+    """The derived rotation must stay green when the NEXT round's
+    CORRECTNESS file lands (the round-boundary red that recurred in r8 and
+    r9). Simulate: assume the current cap goes green at round latest+1,
+    re-derive the cap with that synthetic state, and assert both staleness
+    invariants hold — repeatedly, PERIOD+2 rounds into the future."""
+    from pyarrow_ops_spark.entry_queries import QUERIES, derive_cap_order
+
+    last, latest = _last_green_by_row()
+    names = list(QUERIES)
+    green = dict(last)
+    rnd = latest
+    order = names
+    for _ in range(PERIOD + 2):
+        order = derive_cap_order(names, green, rnd, claims=[])
+        cap_rows = set(order[:CAP])
+        floor = rnd + 2 - PERIOD
+        stale = [n for n in names if n not in cap_rows and green.get(n, 0) < floor]
+        assert not stale, f"round {rnd + 1} derivation leaves stale rows: {stale}"
+        # the synthetic driver round lands green for the cap rows
+        rnd += 1
+        for n in cap_rows:
+            green[n] = rnd
+
+
 def test_rotation_stays_feasible_next_round():
     """The NEXT round's mandatory load (rows that will be due once this
     round's cap lands green) must itself fit the cap — otherwise the

@@ -45,12 +45,25 @@ def test_every_query_is_oracle_backed():
     assert not orphaned, f"oracles without a query: {orphaned}"
 
 
-def test_driver_cap_prefix_matches_priority_list():
-    from pyarrow_ops_spark.entry_queries import _DRIVER_CAP_PRIORITY, QUERIES
+def test_driver_cap_prefix_matches_derived_order():
+    """The registry prefix must equal the derived rotation (cap is no
+    longer a hand list — it is computed from the CORRECTNESS files)."""
+    from pyarrow_ops_spark.entry_queries import (
+        _CHANGED_PATH_CLAIMS,
+        _last_green_by_row,
+        _repo_root,
+        derive_cap_order,
+        QUERIES,
+    )
 
-    assert len(_DRIVER_CAP_PRIORITY) == 50
-    assert len(set(_DRIVER_CAP_PRIORITY)) == 50
-    assert list(QUERIES)[:50] == _DRIVER_CAP_PRIORITY
+    last, latest = _last_green_by_row(_repo_root())
+    assert latest > 0
+    names = list(QUERIES)
+    expected = derive_cap_order(sorted(names), last, latest, _CHANGED_PATH_CLAIMS)
+    assert names[:50] == expected[:50]
+    assert len(set(names[:50])) == 50
+    # claims must reference real registry rows (typos would silently no-op)
+    assert set(_CHANGED_PATH_CLAIMS) <= set(names)
 
 
 def test_family_modules_stay_under_size_budget():
