@@ -158,7 +158,8 @@ def q_ml_impute_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH u AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+        FROM documents
         WHERE doc_id % 10 = 0
     ),
     m AS (
@@ -215,14 +216,16 @@ def q_pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    # planted ids live at +1e6: the synthetic documents table holds 5k
-    # rows per sf0.1, so base ids stay far below 1_000_000 at every cert
-    # scale. The min_by dedup below relies on doc_id uniqueness for
-    # determinism — if the corpus ever reached 1M base rows the offset
-    # would collide and tie-breaking would go engine-dependent; derive
-    # the offset from max(doc_id) before reusing this pattern there.
-    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    # Planted copies get ids offset by max(doc_id)+1, so they can never
+    # collide with base ids at ANY corpus size (the min_by dedup below
+    # relies on doc_id uniqueness for determinism). The offset is a
+    # broadcast one-row aggregate — no driver collect, and the extra scan
+    # is column-pruned to doc_id only.
+    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("__off__"))
+    planted = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("__off__")).alias("doc_id"), "text")
     )
     u = docs.unionByName(planted)
     m = u.select(

@@ -54,6 +54,62 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     ]
 
 
+# Auto-scaled shuffle width: 256 KiB of on-disk (zstd) parquet per initial
+# shuffle partition, capped. Rationale (benchmarks/keep_drop_ab_r9.json):
+# at sf10 (~863 MB lineitem) a 2048-wide start holds dedup_keep_drop's
+# task-time exponent at 1.08 vs 1.22 at the fixed 256 default — per-task
+# aggregate state must stay bounded as input grows, and AQE coalesces the
+# wide start back down for free at small scale. 256 KiB/partition puts
+# sf10 lineitem at ~3.3k initial partitions (the proven arm's regime)
+# while sf0.1 (~11 MB) stays at the session default.
+_BYTES_PER_INITIAL_PARTITION = 256 * 1024
+_MAX_INITIAL_PARTITIONS = 4096
+_INITIAL_PARTITIONS_CONF = (
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+)
+
+
+def _input_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if not fn.startswith(("_", ".")):
+                    try:
+                        total += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+        return total
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def _autoscale_initial_partitions(spark: SparkSession, path: str) -> None:
+    """Ratchet AQE's initial shuffle width up with input size (monotone
+    per session, never down — AQE coalescing makes over-width free while
+    under-width is a measured super-linear cliff). Skipped when the user
+    pinned SPARK_GRAFT_INITIAL_PARTITIONS explicitly."""
+    if os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS"):
+        return
+    target = min(
+        _MAX_INITIAL_PARTITIONS, _input_bytes(path) // _BYTES_PER_INITIAL_PARTITION
+    )
+    if target <= 0:
+        return
+    try:
+        current = int(spark.conf.get(_INITIAL_PARTITIONS_CONF))
+    except Exception:
+        # unset on plain sessions: AQE falls back to shuffle.partitions
+        try:
+            current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            current = 200
+    if target > current:
+        spark.conf.set(_INITIAL_PARTITIONS_CONF, str(target))
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one star-schema table from parquet."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
@@ -62,6 +118,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # factory (e.g. the correctness driver builds its own). Both are
     # runtime-settable SQL confs.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _autoscale_initial_partitions(spark, path)
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

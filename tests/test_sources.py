@@ -113,3 +113,57 @@ def test_write_training_shards_rejects_bad_shards(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         write_training_shards(df, "/tmp/x", n_shards=0)
+
+
+def test_autoscale_initial_partitions_ratchet(spark, tmp_path, monkeypatch):
+    """load_table must widen AQE's initial shuffle width with input size
+    (monotone, capped, env-pinnable) — the dedup_keep_drop sf10 exponent
+    fix (benchmarks/keep_drop_ab_r9.json: 2048-wide start -> 1.08 vs 1.22
+    at the fixed 256 default)."""
+    from pyarrow_ops_spark.sources.tables import (
+        _BYTES_PER_INITIAL_PARTITION,
+        _INITIAL_PARTITIONS_CONF,
+        _MAX_INITIAL_PARTITIONS,
+        _autoscale_initial_partitions,
+        _input_bytes,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_INITIAL_PARTITIONS", raising=False)
+    big = tmp_path / "big.parquet"
+    big.mkdir()
+    n_parts = 600
+    (big / "part-0.bin").write_bytes(b"x" * (n_parts * _BYTES_PER_INITIAL_PARTITION))
+    assert _input_bytes(str(big)) == n_parts * _BYTES_PER_INITIAL_PARTITION
+
+    before = spark.conf.get(_INITIAL_PARTITIONS_CONF)
+    try:
+        spark.conf.set(_INITIAL_PARTITIONS_CONF, "256")
+        _autoscale_initial_partitions(spark, str(big))
+        assert int(spark.conf.get(_INITIAL_PARTITIONS_CONF)) == n_parts
+
+        # monotone: a smaller input never narrows the session back down
+        small = tmp_path / "small.parquet"
+        small.write_bytes(b"y" * 1024)
+        _autoscale_initial_partitions(spark, str(small))
+        assert int(spark.conf.get(_INITIAL_PARTITIONS_CONF)) == n_parts
+
+        # capped
+        spark.conf.set(_INITIAL_PARTITIONS_CONF, "256")
+        huge = tmp_path / "huge.parquet"
+        huge.mkdir()
+        (huge / "part-0.bin").write_bytes(b"z")
+        import pyarrow_ops_spark.sources.tables as tbl
+
+        monkeypatch.setattr(
+            tbl, "_input_bytes", lambda p: 10**15, raising=True
+        )
+        _autoscale_initial_partitions(spark, str(huge))
+        assert int(spark.conf.get(_INITIAL_PARTITIONS_CONF)) == _MAX_INITIAL_PARTITIONS
+
+        # explicit env pin disables the ratchet
+        spark.conf.set(_INITIAL_PARTITIONS_CONF, "256")
+        monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "2048")
+        _autoscale_initial_partitions(spark, str(big))
+        assert int(spark.conf.get(_INITIAL_PARTITIONS_CONF)) == 256
+    finally:
+        spark.conf.set(_INITIAL_PARTITIONS_CONF, before)
