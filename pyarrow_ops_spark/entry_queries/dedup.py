@@ -237,10 +237,19 @@ def q_dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH h AS (
         SELECT doc_id,
-               [list_reduce(list_transform(range(0, 16),
-                                           j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT)),
-                            (a, b) -> (a * 31 + b) % 1000000007)
-                for i in range(1, greatest(length(text) - 15, 1) + 1)] AS hashes
+               CASE WHEN length(text) >= 16 THEN
+                   [list_reduce(list_transform(range(0, 16),
+                                               j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT)),
+                                (a, b) -> (a * 31 + b) % 1000000007)
+                    for i in range(1, length(text) - 15 + 1)]
+               ELSE
+                   -- texts shorter than k hash as ONE length-n polynomial
+                   -- (no zero-padding), exactly like the engine; ''
+                   -- degenerates to [0] via ascii('') = 0
+                   [list_reduce(list_transform(range(0, greatest(length(text), 1)),
+                                               j -> CAST(ascii(substr(text, 1 + j, 1)) AS BIGINT)),
+                                (a, b) -> (a * 31 + b) % 1000000007)]
+               END AS hashes
         FROM documents
     ),
     fps AS (
@@ -283,10 +292,19 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH RECURSIVE h AS (
         SELECT doc_id,
-               [list_reduce(list_transform(range(0, 16),
-                                           j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT)),
-                            (a, b) -> (a * 31 + b) % 1000000007)
-                for i in range(1, greatest(length(text) - 15, 1) + 1)] AS hashes
+               CASE WHEN length(text) >= 16 THEN
+                   [list_reduce(list_transform(range(0, 16),
+                                               j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT)),
+                                (a, b) -> (a * 31 + b) % 1000000007)
+                    for i in range(1, length(text) - 15 + 1)]
+               ELSE
+                   -- texts shorter than k hash as ONE length-n polynomial
+                   -- (no zero-padding), exactly like the engine; ''
+                   -- degenerates to [0] via ascii('') = 0
+                   [list_reduce(list_transform(range(0, greatest(length(text), 1)),
+                                               j -> CAST(ascii(substr(text, 1 + j, 1)) AS BIGINT)),
+                                (a, b) -> (a * 31 + b) % 1000000007)]
+               END AS hashes
         FROM documents
     ),
     fps AS (

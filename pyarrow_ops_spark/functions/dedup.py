@@ -160,6 +160,21 @@ class BucketStats:
         }
 
 
+def _expose_bucket_stats(out: DataFrame, fn, stats: "BucketStats") -> DataFrame:
+    """Expose drop accounting two ways: ``out.bucket_stats`` (a per-call
+    handle on the returned DataFrame object — use this when building
+    several pipelines before acting on them) and ``fn.last_bucket_stats``
+    (process-global convenience: LAST BUILD WINS, not thread-safe —
+    building a second pipeline overwrites the first's handle). Either
+    way, read with ``.get()`` only AFTER an action on the returned
+    DataFrame; ``Observation.get`` blocks until the first action
+    completes. The attribute lives on this exact DataFrame object —
+    further transformations return new objects without it."""
+    out.bucket_stats = stats
+    fn.last_bucket_stats = stats
+    return out
+
+
 def _observe_buckets(
     raw: DataFrame, ids_col: str, max_bucket: int
 ) -> "tuple[DataFrame, BucketStats]":
@@ -204,10 +219,16 @@ def _collapse_exact_texts(
     can only run the collapse spuriously, never merge distinct texts.
     The pre-check is an extra eager scan — at 100 TB a pipeline that
     already knows its dup profile can skip it with ``assume_dups``:
-    ``True`` collapses unconditionally, ``False`` skips the collapse
-    unconditionally (both paths produce identical downstream RESULTS
-    either way — the knob only trades the pre-check scan against a
-    possibly-unneeded collapse shuffle), ``None`` (auto) runs the check.
+    ``True`` collapses unconditionally (always result-identical to auto —
+    collapsing a dup-free corpus is only a wasted shuffle), ``False``
+    skips the collapse unconditionally, ``None`` (auto) runs the check.
+    CAVEAT on ``False``: it is result-identical only when the input is
+    genuinely dup-free (or every clone group fits ``max_bucket``) —
+    with real clone mass, skipping the collapse puts every clone member
+    into the same band buckets, and a clone group larger than
+    ``max_bucket`` is then dropped by the bucket cap, losing the
+    Jaccard-1.0 pairs/edges the collapsed path emits as intra-group
+    output.
 
     Returns ``(groups, had_dups)`` so call sites can skip the group
     persist and member-expansion machinery entirely on the skip path."""
@@ -269,8 +290,9 @@ def minhash_lsh_pairs(
     groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
         out = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
-        minhash_lsh_pairs.last_bucket_stats = _minhash_rep_pairs.last_bucket_stats
-        return out
+        return _expose_bucket_stats(
+            out, minhash_lsh_pairs, _minhash_rep_pairs.last_bucket_stats
+        )
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     intra = (
         groups.filter(F.size("members") >= 2)
@@ -278,7 +300,7 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
     )
     rep_pairs = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
-    minhash_lsh_pairs.last_bucket_stats = _minhash_rep_pairs.last_bucket_stats
+    stats = _minhash_rep_pairs.last_bucket_stats
     mem = groups.select(
         F.element_at("members", 1).alias("rep"), F.explode("members").alias("m")
     )
@@ -297,7 +319,9 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
-    return intra.unionByName(expanded)
+    return _expose_bucket_stats(
+        intra.unionByName(expanded), minhash_lsh_pairs, stats
+    )
 
 
 def minhash_lsh_edges(
@@ -324,16 +348,20 @@ def minhash_lsh_edges(
         out = _minhash_rep_pairs(
             groups, threshold, n, num_hashes, bands, max_bucket
         ).select("id_a", "id_b")
-        minhash_lsh_edges.last_bucket_stats = _minhash_rep_pairs.last_bucket_stats
-        return out
+        return _expose_bucket_stats(
+            out, minhash_lsh_edges, _minhash_rep_pairs.last_bucket_stats
+        )
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     star = groups.filter(F.size("members") >= 2).select(
         F.element_at("members", 1).alias("id_a"),
         F.explode(F.slice("members", 2, F.size("members"))).alias("id_b"),
     )
     rep_pairs = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
-    minhash_lsh_edges.last_bucket_stats = _minhash_rep_pairs.last_bucket_stats
-    return rep_pairs.select("id_a", "id_b").unionByName(star)
+    return _expose_bucket_stats(
+        rep_pairs.select("id_a", "id_b").unionByName(star),
+        minhash_lsh_edges,
+        _minhash_rep_pairs.last_bucket_stats,
+    )
 
 
 def _minhash_band_rows(
@@ -895,8 +923,9 @@ def winnow_pairs(
     groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
         out = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
-        winnow_pairs.last_bucket_stats = _winnow_rep_pairs.last_bucket_stats
-        return out
+        return _expose_bucket_stats(
+            out, winnow_pairs, _winnow_rep_pairs.last_bucket_stats
+        )
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     intra = (
         groups.filter(F.size("members") >= 2)
@@ -904,7 +933,7 @@ def winnow_pairs(
         .select("p.id_a", "p.id_b", F.lit(1.0).alias("winnow_jaccard"))
     )
     rep_pairs = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
-    winnow_pairs.last_bucket_stats = _winnow_rep_pairs.last_bucket_stats
+    stats = _winnow_rep_pairs.last_bucket_stats
     mem = groups.select(
         F.element_at("members", 1).alias("rep"), F.explode("members").alias("m")
     )
@@ -923,7 +952,7 @@ def winnow_pairs(
             "winnow_jaccard",
         )
     )
-    return intra.unionByName(expanded)
+    return _expose_bucket_stats(intra.unionByName(expanded), winnow_pairs, stats)
 
 
 def winnow_edges(
@@ -949,16 +978,20 @@ def winnow_edges(
         out = _winnow_rep_pairs(groups, threshold, k, window, max_bucket).select(
             "id_a", "id_b"
         )
-        winnow_edges.last_bucket_stats = _winnow_rep_pairs.last_bucket_stats
-        return out
+        return _expose_bucket_stats(
+            out, winnow_edges, _winnow_rep_pairs.last_bucket_stats
+        )
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     star = groups.filter(F.size("members") >= 2).select(
         F.element_at("members", 1).alias("id_a"),
         F.explode(F.slice("members", 2, F.size("members"))).alias("id_b"),
     )
     rep_pairs = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
-    winnow_edges.last_bucket_stats = _winnow_rep_pairs.last_bucket_stats
-    return rep_pairs.select("id_a", "id_b").unionByName(star)
+    return _expose_bucket_stats(
+        rep_pairs.select("id_a", "id_b").unionByName(star),
+        winnow_edges,
+        _winnow_rep_pairs.last_bucket_stats,
+    )
 
 
 def winnow_clusters(

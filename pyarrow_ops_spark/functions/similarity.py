@@ -150,8 +150,13 @@ def _collapse_exact_vectors(
     The pre-check is still an extra eager scan; pipelines that already
     know their dup profile pass ``assume_dups`` (True = collapse
     unconditionally, False = skip unconditionally, None = auto-check).
-    Results are identical on every path — the knob only trades the
-    pre-check scan against a possibly-unneeded collapse shuffle.
+    ``True`` is always result-identical to auto (collapsing a dup-free
+    corpus is only a wasted shuffle). ``False`` is result-identical only
+    when the input is genuinely dup-free or every clone group fits the
+    caller's ``max_bucket``: with real clone mass, skipping the collapse
+    puts every clone member into the same band buckets, and a clone
+    group larger than ``max_bucket`` is then dropped by the bucket cap,
+    losing pairs the collapsed path reports via group membership.
 
     Returns ``(groups, had_dups)`` so call sites can skip the group
     persist and member-expansion machinery entirely on the skip path."""

@@ -1257,3 +1257,187 @@ def test_strip_repeated_lines_first_occurrence_order(spark):
     df2 = spark.createDataFrame([(1, "x. y. x. z")], "doc_id long, text string")
     out = strip_repeated_lines(df2, "text", out="clean", sep=". ").collect()[0]
     assert out.text == "x. y. x. z" and out.clean == "x. y. z"
+
+
+def test_winnow_oracle_hash_congruent_for_all_lengths(spark):
+    """The DuckDB oracle used by dedup_winnow_pairs/_clusters must compute
+    EXACTLY the engine's fingerprint hash for every input length — in
+    particular texts shorter than k must hash as one length-n polynomial,
+    not a zero-padded k-gram (round-9 ADVICE #3)."""
+    import duckdb
+    import re
+
+    from pyarrow_ops_spark.entry_queries import ORACLES
+
+    texts = [
+        "",  # empty -> [0]
+        "a",  # 1 < k
+        "hello world!",  # 12 < k=16
+        "exactly sixteen.",  # == k
+        "between k and k+window chars",  # k < n < k+window-1
+        "a deterministic long document body " * 4,  # >> k+window
+        "exactly sixteen.",  # clone of the ==k text (must pair with it)
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    engine = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in TX.winnowed_fingerprint_rows(sdf, k=16, window=16).collect()
+    }
+
+    # lift the oracle's h/fps CTEs verbatim out of the registered SQL so
+    # this test breaks if the oracle drifts from what we check here
+    sql = ORACLES["dedup_winnow_pairs"]
+    m = re.search(r"WITH (h AS .*?)\s*,\s*pairs AS", sql, re.S)
+    assert m, "oracle shape changed; update this test"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    odf = con.execute(
+        f"WITH {m.group(1)} SELECT doc_id, fps FROM fps ORDER BY doc_id"
+    ).fetchall()
+    oracle = {doc_id: sorted(fps) for doc_id, fps in odf}
+    assert oracle == engine
+
+
+def test_bucket_stats_per_call_handle_survives_concurrent_builds(spark, docs):
+    """round-9 ADVICE #2: last_bucket_stats is process-global (last build
+    wins), so building a second pipeline before acting on the first used
+    to lose the first's handle. The per-call ``.bucket_stats`` attribute
+    on the returned DataFrame must keep each pipeline's own accounting."""
+    tight = D.winnow_pairs(docs, threshold=0.5, k=16, max_bucket=2)
+    loose = D.winnow_pairs(docs, threshold=0.5, k=16, max_bucket=10_000)
+    # the global handle now points at `loose`; the per-call ones must not
+    assert D.winnow_pairs.last_bucket_stats is loose.bucket_stats
+    tight.count()
+    loose.count()
+    st_tight = tight.bucket_stats.get()
+    st_loose = loose.bucket_stats.get()
+    assert st_tight["max_bucket"] == 2 and st_tight["dropped_buckets"] > 0
+    assert st_loose["max_bucket"] == 10_000 and st_loose["dropped_buckets"] == 0
+    # same corpus, same unfiltered bucket relation
+    assert st_tight["total_buckets"] == st_loose["total_buckets"]
+
+    edges = D.minhash_lsh_edges(docs, 0.8, n=5)
+    edges.count()
+    assert edges.bucket_stats.get()["total_buckets"] > 0
+
+
+def _make_wav(rate=8000, channels=1, width=2, samples=None):
+    import io
+    import struct
+    import wave
+
+    samples = samples if samples is not None else [0] * rate
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        else:
+            w.writeframes(bytes((s + 128) & 0xFF for s in samples))
+    return buf.getvalue()
+
+
+def test_decode_wav_real_pcm16_and_pcm8():
+    """The REAL audio path needs no optional library: stdlib wave decode
+    with exact header fields and RMS of a known signal."""
+    # constant-amplitude square wave: rms == amp / full-scale exactly
+    amp = 16384
+    wav16 = _make_wav(rate=16000, samples=[amp, -amp] * 8000)
+    f = MM.decode_wav(wav16)
+    assert f["sample_rate"] == 16000 and f["n_channels"] == 1
+    assert f["n_samples"] == 16000 and f["duration_sec"] == 1.0
+    assert abs(f["rms"] - amp / 32767.0) < 1e-9
+
+    wav8 = _make_wav(rate=8000, width=1, samples=[64, -64] * 400)
+    f8 = MM.decode_wav(wav8)
+    assert f8["sample_rate"] == 8000 and f8["n_samples"] == 800
+    assert abs(f8["rms"] - 64 / 127.0) < 1e-9
+
+
+def test_extract_audio_features_real_wav_through_spark(spark):
+    """End-to-end REAL decode through mapInPandas: the Arrow batch shape,
+    schema, and values — no fake, no optional libs."""
+    import hashlib
+
+    w1 = _make_wav(rate=8000, samples=[8192, -8192] * 4000)  # 1.0 s
+    w2 = _make_wav(rate=16000, channels=1, samples=[0] * 8000)  # 0.5 s silence
+    df = spark.createDataFrame(
+        [(1, w1), (2, w2)], "aid long, payload binary"
+    )
+    rows = {
+        r.aid: r
+        for r in MM.extract_audio_features(
+            df, "payload", "aid", fake_decode=False
+        ).collect()
+    }
+    assert rows[1].sample_rate == 8000 and rows[1].duration_sec == 1.0
+    assert rows[1].n_samples == 8000
+    assert abs(rows[1].rms - round(8192 / 32767.0, 6)) < 1e-6
+    assert rows[2].sample_rate == 16000 and rows[2].duration_sec == 0.5
+    assert rows[2].rms == 0.0
+    assert rows[1].digest == hashlib.md5(w1).hexdigest()
+    assert rows[1].n_bytes == len(w1)
+
+
+def test_extract_audio_features_fake_matches_formula(spark):
+    import hashlib
+
+    payload = b"some document text standing in for audio"
+    df = spark.createDataFrame([(7, payload)], "aid long, payload binary")
+    r = MM.extract_audio_features(df, "payload", "aid").collect()[0]
+    d = hashlib.md5(payload).digest()
+    rate = 8000 * (1 + d[0] % 6)
+    assert r.sample_rate == rate
+    assert r.n_channels == 1 + d[1] % 2
+    assert r.n_samples == len(payload)
+    assert r.duration_sec == len(payload) / rate
+    assert r.rms == round(d[2] / 255.0, 6)
+
+
+def test_extract_audio_features_non_wav_real_raises_without_av(spark):
+    pytest.importorskip("pytest")  # structure parity; av absence is the point
+    try:
+        import av  # noqa: F401
+
+        pytest.skip("av installed — the stub-raise case does not apply")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([(1, b"not a wav")], "aid long, payload binary")
+    out = MM.extract_audio_features(df, "payload", "aid", fake_decode=False)
+    with pytest.raises(Exception, match="NotImplementedError|requires av"):
+        out.collect()
+
+
+def test_sample_frames_real_decode_with_av(spark):
+    """Real video decode (optional extra): only runs where av is
+    installed — synthesizes a 10-frame video in-memory and checks the
+    stride sample against the container's true frame count."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=5)
+        stream.width, stream.height, stream.pix_fmt = 64, 64, "yuv420p"
+        for i in range(10):
+            img = np.full((64, 64, 3), i * 20, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    payload = buf.getvalue()
+
+    from pyarrow_ops_spark.functions.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, payload)], "vid long, payload binary")
+    rows = sample_frames(df, "payload", "vid", every_n=4, fake_decode=False).collect()
+    assert {r.n_frames for r in rows} == {10}
+    assert sorted(r.frame_idx for r in rows) == [0, 4, 8]
+    assert all(len(r.frame_digest) == 32 for r in rows)
