@@ -357,6 +357,38 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_features",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(8000 * (1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 6) AS INT)
+               AS sample_rate,
+           CAST(1 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 2 AS INT)
+               AS n_channels,
+           CAST(length(text) AS BIGINT) AS n_samples,
+           length(text)::DOUBLE /
+               (8000 * (1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 6))
+               AS duration_sec,
+           round(('0x' || substr(md5(text), 5, 2))::INTEGER / 255.0, 6) AS rms
+    FROM documents
+    """,
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing: the deterministic fake decode (every feature
+    derived from md5(payload) + byte length) exercises the Arrow batch
+    shape end-to-end; the REAL path of the same function decodes RIFF/WAVE
+    via the stdlib wave module (pytest-exercised — no optional libs)."""
+    from pyarrow_ops_spark.functions.multimodal import extract_audio_features
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_audio_features(docs, "payload", "doc_id", fake_decode=True)
+
+
+
+@query(
     "multimodal_sample_frames",
     """
     WITH v AS (

@@ -9,7 +9,10 @@ run the real decode (header dims + mean grayscale luma); without it they
 raise ``NotImplementedError`` (this container ships no imaging libs), and
 the deterministic-fake flag produces a stable pseudo-decode from the
 bytes alone so the distributed plumbing stays testable anywhere. Video
-frame decode remains stubbed (no portable pure-Python video decoder).
+frame decode follows the same pattern behind optional ``av``/``imageio``
+imports. Audio is stronger: RIFF/WAVE decode uses the stdlib ``wave``
+module, so ``extract_audio_features(fake_decode=False)`` is REAL with no
+optional dependency (non-WAV containers still need ``av``).
 
 At scale: binary payloads stay in executor memory only for the duration of
 one Arrow batch; metadata-only plans (filtering by size/mime before
@@ -164,8 +167,13 @@ def sample_frames(
     < n_frames) — the frame-expanding batch shape a real video pipeline
     uses (decode once per payload, emit k frames).
 
-    Real decode is stubbed (no media library in this container;
-    ``fake_decode=False`` raises). The deterministic fake derives
+    Real decode (``fake_decode=False``) runs when an optional media
+    library is importable on the executor — ``av`` (PyAV container
+    decode) first, ``imageio.v3`` as a fallback — decoding ONCE per
+    payload and emitting the stride-sampled frames with
+    ``frame_digest = md5(rgb24 bytes)`` and the true ``n_frames``;
+    with neither installed it raises ``NotImplementedError`` (this
+    container ships no media libs). The deterministic fake derives
     ``n_frames = 1 + n_bytes % max_frames`` from the payload length and a
     per-frame digest ``md5(payload || ':' || frame_idx)`` — pure integer/
     hash math any engine reproduces, so the sampling arithmetic (stride,
@@ -181,16 +189,53 @@ def sample_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
+        def _real_frames(payload: bytes) -> "list[tuple[int, int, str]]":
+            """(frame_idx, n_frames, digest) rows via av or imageio."""
+            from io import BytesIO as _BytesIO
+
+            try:
+                import av as _av
+            except ImportError:
+                _av = None
+            if _av is not None:
+                sampled: dict[int, str] = {}
+                n = 0
+                with _av.open(_BytesIO(payload)) as container:
+                    for frame in container.decode(video=0):
+                        if n % every_n == 0:
+                            rgb = frame.to_ndarray(format="rgb24")
+                            sampled[n] = _hl.md5(rgb.tobytes()).hexdigest()
+                        n += 1
+                return [(i, n, d) for i, d in sorted(sampled.items())]
+            try:
+                import imageio.v3 as _iio
+            except ImportError:
+                raise NotImplementedError(
+                    "video decode requires av or imageio, neither of which "
+                    "is installed on this executor; pass fake_decode=True "
+                    "for the deterministic stub"
+                ) from None
+            frames = [
+                _hl.md5(f.tobytes()).hexdigest()
+                for f in _iio.imiter(_BytesIO(payload))
+            ]
+            return [
+                (i, len(frames), d)
+                for i, d in enumerate(frames)
+                if i % every_n == 0
+            ]
+
         for pdf in batches:
             ids, idxs, nfs, digests = [], [], [], []
             for id_, payload in zip(pdf[id_col], pdf[binary_col]):
-                if not fake_decode:
-                    raise NotImplementedError(
-                        "video decode requires a media library not available "
-                        "in this environment; pass fake_decode=True for the "
-                        "deterministic stub"
-                    )
                 payload = bytes(payload)
+                if not fake_decode:
+                    for idx, n_frames, digest in _real_frames(payload):
+                        ids.append(id_)
+                        idxs.append(idx)
+                        nfs.append(n_frames)
+                        digests.append(digest)
+                    continue
                 n_frames = 1 + len(payload) % max_frames
                 for idx in range(0, n_frames, every_n):
                     ids.append(id_)
@@ -211,4 +256,165 @@ def sample_frames(
     return df.select(id_col, binary_col).mapInPandas(
         run,
         schema=f"{id_col} long, frame_idx int, n_frames int, frame_digest string",
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAVE payloads via the stdlib ``wave``
+    module (no optional dependency — this path is genuinely executable
+    anywhere Python runs): sample_rate / n_channels / n_samples from the
+    header, duration, and RMS level over all samples normalized to
+    [0, 1] by the sample-width max amplitude. PCM 8-bit (unsigned) and
+    16-bit (signed) supported — the formats ``wave`` itself writes."""
+    import array as _array
+    import wave as _wave
+    from io import BytesIO as _BytesIO
+
+    with _wave.open(_BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        n_samples = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n_samples)
+    if width == 1:
+        samples = [b - 128 for b in raw]
+        full = 127.0
+    elif width == 2:
+        a = _array.array("h")
+        a.frombytes(raw)
+        samples = a
+        full = 32767.0
+    else:
+        raise NotImplementedError(
+            f"wav sample width {width} not supported (PCM 8/16-bit only)"
+        )
+    n = len(samples)
+    rms = (sum(s * s for s in samples) / n) ** 0.5 / full if n else 0.0
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "n_samples": n_samples,
+        "duration_sec": n_samples / rate if rate else 0.0,
+        "rms": rms,
+    }
+
+
+def extract_audio_features(
+    df: DataFrame, binary_col: str, id_col: str, fake_decode: bool = True
+) -> DataFrame:
+    """Per-payload audio feature extraction over ``mapInPandas``: Arrow
+    batches of (id, payload) in, (id, n_bytes, digest, sample_rate,
+    n_channels, n_samples, duration_sec, rms) out — the audio twin of
+    ``extract_features``.
+
+    Real decode (``fake_decode=False``): RIFF/WAVE payloads go through
+    the stdlib ``wave`` module (genuinely real, no optional dependency —
+    pytest-exercised in this container); other containers (mp3/flac/ogg)
+    require the optional ``av`` import, else ``NotImplementedError``.
+    The deterministic fake derives every feature from md5(payload) and
+    the byte length — the same oracle-checkable construction as the
+    image fake."""
+
+    # Self-contained closure (no package imports) — see extract_features.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import array as _array
+        import hashlib as _hl
+        import wave as _wave
+        from io import BytesIO as _BytesIO
+
+        def _decode(payload: bytes) -> dict:
+            if not fake_decode:
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    with _wave.open(_BytesIO(payload), "rb") as w:
+                        rate = w.getframerate()
+                        channels = w.getnchannels()
+                        n_samples = w.getnframes()
+                        width = w.getsampwidth()
+                        raw = w.readframes(n_samples)
+                    if width == 1:
+                        samples = [b - 128 for b in raw]
+                        full = 127.0
+                    elif width == 2:
+                        a = _array.array("h")
+                        a.frombytes(raw)
+                        samples = a
+                        full = 32767.0
+                    else:
+                        raise NotImplementedError(
+                            f"wav sample width {width} not supported"
+                        )
+                    n = len(samples)
+                    rms = (
+                        (sum(s * s for s in samples) / n) ** 0.5 / full
+                        if n
+                        else 0.0
+                    )
+                    return {
+                        "sample_rate": rate,
+                        "n_channels": channels,
+                        "n_samples": n_samples,
+                        "duration_sec": n_samples / rate if rate else 0.0,
+                        "rms": rms,
+                    }
+                try:
+                    import av as _av
+                except ImportError:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires av, which is not "
+                        "installed on this executor; pass fake_decode=True "
+                        "for the deterministic stub"
+                    ) from None
+                with _av.open(_BytesIO(payload)) as container:
+                    stream = container.streams.audio[0]
+                    rate = int(stream.rate or 0)
+                    channels = int(stream.channels or 0)
+                    total = 0
+                    acc = 0.0
+                    for frame in container.decode(audio=0):
+                        arr = frame.to_ndarray()
+                        total += arr.shape[-1]
+                        acc += float((arr.astype("float64") ** 2).sum())
+                    rms = (acc / max(total * max(channels, 1), 1)) ** 0.5
+                return {
+                    "sample_rate": rate,
+                    "n_channels": channels,
+                    "n_samples": total,
+                    "duration_sec": total / rate if rate else 0.0,
+                    "rms": rms,
+                }
+            digest = _hl.md5(payload).digest()
+            rate = 8000 * (1 + digest[0] % 6)
+            return {
+                "sample_rate": rate,
+                "n_channels": 1 + digest[1] % 2,
+                "n_samples": len(payload),
+                "duration_sec": len(payload) / rate,
+                "rms": digest[2] / 255.0,
+            }
+
+        for pdf in batches:
+            feats = [_decode(bytes(p)) for p in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(p) for p in pdf[binary_col]],
+                    "digest": [_hl.md5(p).hexdigest() for p in pdf[binary_col]],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    # raw IEEE division, NOT rounded: n/rate lands exactly
+                    # on decimal rounding ties (rate | 10^k), where Python
+                    # and SQL engines round differently — identical raw
+                    # doubles hash identically everywhere
+                    "duration_sec": [f["duration_sec"] for f in feats],
+                    "rms": [round(f["rms"], 6) for f in feats],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_bytes long, digest string, sample_rate int, "
+            "n_channels int, n_samples bigint, duration_sec double, rms double"
+        ),
     )

@@ -17,9 +17,10 @@ from __future__ import annotations
 
 import hashlib
 
-# sha256 over "\n".join(sorted(names)) at the round-9 split (187 rows)
-NAMES_SHA256 = "c08de24b9a2951d44d541721794d67a2100ecf1e82df655ac27d51cd1429cf0d"
-N_QUERIES = 187
+# sha256 over "\n".join(sorted(names)) — round 10 (188 rows:
+# +multimodal_audio_features)
+NAMES_SHA256 = "85ffce04cd27fcabec8182ab3c5e25d5f7ca82edc2394deba069089ad2438f63"
+N_QUERIES = 188
 
 
 def _names_hash(names) -> str:
