@@ -11,7 +11,7 @@ repeat (dedup families see 100x corpora with 100x planted-duplicate
 mass — the adversarial case for any pair-generation step).
 
 Run:  python benchmarks/sf10_validate.py [query ...]
-Writes benchmarks/sf10_validation_r9.json and prints one JSON line.
+Writes benchmarks/sf10_validation_r10.json and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -111,7 +111,7 @@ def main() -> None:
         }
         print(n, json.dumps(out[n]), flush=True)
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "sf10_validation_r9.json"
+        os.path.dirname(os.path.abspath(__file__)), "sf10_validation_r10.json"
     )
     # merge with any prior partial run so the artifact accumulates across
     # split invocations (long queries run in their own process)

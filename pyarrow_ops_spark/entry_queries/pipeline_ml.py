@@ -208,6 +208,15 @@ def q_pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting. One shuffle for the digest dedup, one for the final
     aggregate; every metric fuses into the scan stage. This is the query
     shape a 100 TB curation run executes per snapshot."""
+    return curation_stage_frames(spark, sf_dir)["final"]
+
+
+def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The curation pipeline's cumulative stage frames, exposed so the
+    scale harness can attribute task time per stage (metrics map vs
+    fp-dedup aggregate vs final aggregate): ``filtered`` ends at the
+    map+filter, ``kept`` adds the fingerprint min_by dedup shuffle,
+    ``final`` adds the per-language accounting aggregate."""
     from pyarrow_ops_spark.functions.text import (
         bpe_ish_token_count,
         fingerprint,
@@ -255,11 +264,12 @@ def q_pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("__k__.*")
     )
-    return kept.groupBy("lang_guessed").agg(
+    final = kept.groupBy("lang_guessed").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("toks").cast("bigint").alias("total_tokens"),
         F.round(F.avg("q"), 4).alias("avg_quality"),
     )
+    return {"filtered": f, "kept": kept, "final": final}
 
 
 
