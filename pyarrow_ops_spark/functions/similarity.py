@@ -169,11 +169,49 @@ def _collapse_exact_vectors(
         ).collect()[0]["d"]
         assume_dups = n_dups != 0
     if not assume_dups:
-        return e.select("v", F.array("id").alias("members")), False
-    return (
-        e.groupBy("v").agg(F.array_sort(F.collect_list("id")).alias("members")),
-        True,
-    )
+        out = e.select("v", F.array("id").alias("members"))
+        out._persisted_inputs = [e]  # tracked for unpersist_cached()
+        return out, False
+    g = e.groupBy("v").agg(F.array_sort(F.collect_list("id")).alias("members"))
+    g._persisted_inputs = [e]
+    return g, True
+
+
+def unpersist_cached(df, blocking: bool = False) -> int:
+    """Unpersist exactly the relations a similarity entry point cached for
+    the plan behind ``df`` (tracked on the returned DataFrame object as
+    ``cached_relations``) — the surgical alternative to
+    ``spark.catalog.clearCache()`` in long-lived sessions running many
+    pipelines. Call AFTER the action that consumed ``df``; returns the
+    number of relations released. No-op for DataFrames without the
+    attribute (e.g. dup-free skip paths that cached nothing extra, or
+    results of further transformations, which are new objects)."""
+    rels = getattr(df, "cached_relations", [])
+    for r in rels:
+        r.unpersist(blocking)
+    return len(rels)
+
+
+def _track_cached(out, *rels):
+    """Attach the pipeline's persisted relations to the output DataFrame:
+    each source contributes its own tracked ``_persisted_inputs`` plus
+    itself when it is persisted; duplicates are collapsed by identity."""
+    seen: list = []
+    ids: set = set()
+
+    def _add(df) -> None:
+        if id(df) not in ids:
+            ids.add(id(df))
+            seen.append(df)
+
+    for r in rels:
+        for pre in getattr(r, "_persisted_inputs", []):
+            _add(pre)
+        lvl = r.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            _add(r)
+    out.cached_relations = seen
+    return out
 
 
 def _lsh_rep_pairs(
@@ -224,7 +262,7 @@ def _lsh_rep_pairs(
     va = reps.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = reps.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     cos = cosine_batch()
-    return (
+    out = (
         candidates.join(va, on="id_a")
         .join(vb, on="id_b")
         .select(
@@ -238,6 +276,8 @@ def _lsh_rep_pairs(
         # Catalyst paths, where x/0 yields NULL and the comparison drops
         .filter((F.col("sim") >= threshold) & ~F.isnan("sim"))
     )
+    out._persisted_inputs = [reps]  # tracked for unpersist_cached()
+    return out
 
 
 def embedding_lsh_pairs(
@@ -286,7 +326,9 @@ def embedding_lsh_pairs(
         # singleton groups: representatives ARE the corpus, intra-group
         # pairs are empty and member expansion is the identity — skip the
         # persist and the two expansion joins outright.
-        return _lsh_rep_pairs(groups, threshold, dim, bits, bands, max_bucket)
+        rp = _lsh_rep_pairs(groups, threshold, dim, bits, bands, max_bucket)
+        return _track_cached(rp, rp, groups)
+    base_groups = groups
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     # identical-vector pairs: sim = cosine(v, v) ≡ 1.0. A zero vector's
     # 0/0 is NULL under Catalyst division, so the threshold comparison
@@ -321,7 +363,9 @@ def embedding_lsh_pairs(
             "sim",
         )
     )
-    return intra.unionByName(expanded)
+    return _track_cached(
+        intra.unionByName(expanded), rep_pairs, base_groups, groups
+    )
 
 
 def embedding_lsh_edges(
@@ -346,9 +390,9 @@ def embedding_lsh_edges(
     e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     groups, had_dups = _collapse_exact_vectors(e, assume_dups)
     if not had_dups:
-        return _lsh_rep_pairs(
-            groups, threshold, dim, bits, bands, max_bucket
-        ).select("id_a", "id_b")
+        rp = _lsh_rep_pairs(groups, threshold, dim, bits, bands, max_bucket)
+        return _track_cached(rp.select("id_a", "id_b"), rp, groups)
+    base_groups = groups
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     star = (
         groups.filter(F.size("members") >= 2)
@@ -358,7 +402,12 @@ def embedding_lsh_edges(
         )
     )
     rep_pairs = _lsh_rep_pairs(groups, threshold, dim, bits, bands, max_bucket)
-    return rep_pairs.select("id_a", "id_b").unionByName(star)
+    return _track_cached(
+        rep_pairs.select("id_a", "id_b").unionByName(star),
+        rep_pairs,
+        base_groups,
+        groups,
+    )
 
 
 def embedding_near_dup(
@@ -406,8 +455,9 @@ def embedding_near_dup(
     ``_collapse_exact_vectors``). Persist contract: the LSH path persists
     the input relation and (when duplicates exist) the collapsed group
     relation, MEMORY_AND_DISK and LRU-evictable, left referenced by the
-    returned plan; long-lived sessions running many pipelines
-    back-to-back should ``spark.catalog.clearCache()`` between them."""
+    returned plan. Release them after the consuming action with
+    ``unpersist_cached(result)`` (tracked per call on the returned
+    DataFrame), or ``spark.catalog.clearCache()`` to drop everything."""
     if method == "lsh":
         if dim is None:
             raise ValueError("method='lsh' requires the embedding dim")
@@ -415,6 +465,7 @@ def embedding_near_dup(
 
         e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
         groups, had_dups = _collapse_exact_vectors(e, assume_dups)
+        base_groups = groups
         if had_dups:
             # two consumers below (rep pairs + group stats) — cache the
             # groupBy result; the skip path reads the already-cached input
@@ -456,9 +507,11 @@ def embedding_near_dup(
                 ),
             )
         )
-        return per_group.select(
+        out = per_group.select(
             F.explode("members").alias(id_col), "canonical_id", "n_neighbors"
         ).withColumn("is_duplicate", F.col("canonical_id") != F.col(id_col))
+        extra = (groups,) if had_dups else ()
+        return _track_cached(out, rep_pairs, base_groups, *extra)
     elif method == "exact":
         e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
         a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))

