@@ -142,15 +142,41 @@ class BucketStats:
     collected during whatever action materializes the pair output — zero
     extra jobs (the no-silent-caps rule: degenerate buckets are dropped at
     the plan level, and this is the receipt). Call :meth:`get` AFTER an
-    action on the returned DataFrame; it delegates to ``Observation.get``,
-    which blocks until the first action completes."""
+    action on the returned DataFrame; it delegates to ``Observation.get``.
 
-    def __init__(self, observation, max_bucket: int) -> None:
+    Fallback: when the observation never fired — AQE's empty-relation
+    propagation ELIMINATES the observe node from the executed plan
+    whenever the downstream result is empty (e.g. every bucket capped
+    away), and the resolved metrics row then has no schema — :meth:`get`
+    recomputes the identical metrics from the raw bucket relation with
+    one small aggregate job. (The build-then-act-then-get ordering still
+    applies: before any action ``Observation.get`` blocks.)"""
+
+    def __init__(
+        self, observation, max_bucket: int, raw=None, ids_col: str | None = None
+    ) -> None:
         self._observation = observation
+        self._raw = raw
+        self._ids_col = ids_col
         self.max_bucket = max_bucket
 
+    def _fallback_row(self):
+        sz = F.size(self._ids_col)
+        over = (sz > self.max_bucket).cast("long")
+        return self._raw.agg(
+            F.count(F.lit(1)).alias("total_buckets"),
+            F.sum(over).alias("dropped_buckets"),
+            F.sum(over * sz.cast("long")).alias("dropped_ids"),
+            F.max(sz).alias("max_bucket_size"),
+        ).collect()[0]
+
     def get(self) -> dict:
-        row = self._observation.get
+        try:
+            row = self._observation.get
+        except Exception:
+            if self._raw is None:
+                raise
+            row = self._fallback_row()
         return {
             "max_bucket": self.max_bucket,
             "total_buckets": row["total_buckets"] or 0,
@@ -193,7 +219,7 @@ def _observe_buckets(
         F.sum(over * sz.cast("long")).alias("dropped_ids"),
         F.max(sz).alias("max_bucket_size"),
     )
-    return observed, BucketStats(obs, max_bucket)
+    return observed, BucketStats(obs, max_bucket, raw=raw, ids_col=ids_col)
 
 
 def _collapse_exact_texts(

@@ -195,7 +195,10 @@ def unpersist_cached(df, blocking: bool = False) -> int:
 def _track_cached(out, *rels):
     """Attach the pipeline's persisted relations to the output DataFrame:
     each source contributes its own tracked ``_persisted_inputs`` plus
-    itself when it is persisted; duplicates are collapsed by identity."""
+    itself when it is persisted; duplicates are collapsed by identity.
+    Also surfaces the LSH bucket-drop accounting (``_bucket_stats`` from
+    the rep-pair engine) as ``out.bucket_stats`` — same per-call handle
+    contract as the text-dedup entry points."""
     seen: list = []
     ids: set = set()
 
@@ -210,6 +213,9 @@ def _track_cached(out, *rels):
         lvl = r.storageLevel
         if lvl.useMemory or lvl.useDisk:
             _add(r)
+        bs = getattr(r, "_bucket_stats", None)
+        if bs is not None:
+            out.bucket_stats = bs
     out.cached_relations = seen
     return out
 
@@ -226,11 +232,13 @@ def _lsh_rep_pairs(
     min id of each identical-vector group) — the candidate engine shared by
     the pair/edge entry points below.
 
-    The persisted rep relation stays referenced by the returned plan, so
-    it is not unpersisted here; blocks are MEMORY_AND_DISK and
-    LRU-evictable, but a long-lived session running many pipelines
-    back-to-back should ``spark.catalog.clearCache()`` between them (the
-    bench harness does exactly this)."""
+    The persisted rep relation stays referenced by the returned plan
+    (tracked via ``_persisted_inputs`` for ``unpersist_cached``). Bucket
+    drops are counted via an Observation on the unfiltered bucket
+    relation (the dedup-side pattern — no extra job) and exposed through
+    ``_persisted_inputs``-style tagging: the returned DataFrame carries
+    ``_bucket_stats``, which the public entry points surface as
+    ``bucket_stats``."""
     from pyspark import StorageLevel
 
     # The representative relation feeds the signature pass and both
@@ -248,11 +256,16 @@ def _lsh_rep_pairs(
     # Bucket-local pair generation; degenerate buckets are dropped (a bucket
     # catching thousands of UNIQUE vectors carries no near-dup signal, only
     # O(bucket²) blowup — exact duplicates were collapsed upstream and
-    # cannot trip this cap).
-    buckets = (
-        exploded.groupBy("band", "val")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    # cannot trip this cap). Drops are OBSERVED, not silent (the
+    # no-silent-caps rule; same Observation pattern as functions.dedup).
+    from pyarrow_ops_spark.functions.dedup import _observe_buckets
+
+    raw_buckets = exploded.groupBy("band", "val").agg(
+        F.array_sort(F.collect_set("id")).alias("ids")
+    )
+    raw_buckets, stats = _observe_buckets(raw_buckets, "ids", max_bucket)
+    buckets = raw_buckets.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
     )
     candidates = (
         buckets.select(F.explode(_ordered_array_pairs(F.col("ids"))).alias("p"))
@@ -277,6 +290,7 @@ def _lsh_rep_pairs(
         .filter((F.col("sim") >= threshold) & ~F.isnan("sim"))
     )
     out._persisted_inputs = [reps]  # tracked for unpersist_cached()
+    out._bucket_stats = stats  # surfaced by entry points as .bucket_stats
     return out
 
 

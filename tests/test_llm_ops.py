@@ -1475,3 +1475,28 @@ def test_unpersist_cached_releases_all_blocks(spark, emb):
     out.count()
     S.unpersist_cached(out, blocking=True)
     assert n_cached() == 0
+
+
+def test_embedding_bucket_stats_observed(spark, emb):
+    """Embedding-LSH parity with the text-dedup no-silent-caps rule: a
+    degenerate max_bucket must surface drop accounting via the per-call
+    .bucket_stats handle on every embedding entry point."""
+    spark.catalog.clearCache()
+    out = S.embedding_lsh_pairs(emb, 0.8, dim=64, max_bucket=1)
+    out.count()
+    st = out.bucket_stats.get()
+    assert st["max_bucket"] == 1
+    assert st["dropped_buckets"] > 0
+    assert st["max_bucket_size"] > 1
+    S.unpersist_cached(out, blocking=True)
+
+    out2 = S.embedding_near_dup(emb, 0.8, method="lsh", dim=64)
+    out2.count()
+    st2 = out2.bucket_stats.get()
+    assert st2["dropped_buckets"] == 0 and st2["total_buckets"] > 0
+    S.unpersist_cached(out2, blocking=True)
+
+    out3 = S.embedding_lsh_edges(emb, 0.8, dim=64)
+    out3.count()
+    assert out3.bucket_stats.get()["total_buckets"] > 0
+    S.unpersist_cached(out3, blocking=True)
