@@ -344,6 +344,71 @@ def q_dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "dedup_cdc_chunks",
+    r"""
+    WITH h AS (
+      SELECT doc_id, text, length(text) AS n,
+        CASE WHEN length(text) >= 8 THEN
+          [i + 7 for i in range(1, length(text) - 7 + 1) if
+             list_reduce(list_transform(range(0, 8),
+                                        j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT)),
+                         (a, b) -> (a * 31 + b) % 1000000007) % 64 = 0]
+        ELSE CAST([] AS BIGINT[]) END AS ends0
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, n,
+        CASE WHEN len(ends0) = 0 OR ends0[-1] != n
+             THEN list_append(ends0, n) ELSE ends0 END AS ends
+      FROM h
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(substr(text,
+                        CAST(CASE WHEN u.idx = 1 THEN 1
+                             ELSE ends[u.idx - 1] + 1 END AS INT),
+                        CAST(ends[u.idx] - CASE WHEN u.idx = 1 THEN 0
+                             ELSE ends[u.idx - 1] END AS INT))) AS chunk_digest
+      FROM c, LATERAL unnest(range(1, len(ends) + 1)) AS u(idx)
+    ),
+    freq AS (
+      SELECT chunk_digest, count(DISTINCT doc_id) AS nd
+      FROM chunks GROUP BY chunk_digest
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+    FROM chunks JOIN freq USING (chunk_digest)
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: Rabin-Karp CDC boundaries
+    (functions/text.py cdc_chunk_rows — Arrow-batched sliding-window dot,
+    boundaries re-synchronize across byte insertions), chunk digests,
+    cross-document shared-chunk accounting. The storage/corpus dedup
+    primitive: per document, how many of its content-defined chunks also
+    appear in another document. One digest-only shuffle for the frequency
+    relation, one for the per-doc aggregate — text never shuffles."""
+    from pyarrow_ops_spark.functions.text import cdc_chunk_rows
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = cdc_chunk_rows(docs, "doc_id", "text")
+    freq = chunks.groupBy("chunk_digest").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(freq, on="chunk_digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("long")).cast("bigint").alias("n_shared"),
+        )
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Decontamination + PII scrubbing (functions/dedup.py, functions/text.py)
 # ---------------------------------------------------------------------------

@@ -329,6 +329,103 @@ def winnowed_fingerprint_rows(
     return out.withColumnRenamed("id", id_col) if id_col != "id" else out
 
 
+def cdc_chunk_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    mask: int = 63,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-Karp CDC): split each document at
+    positions where the k-gram rolling hash ≡ 0 mod ``mask+1`` (expected
+    chunk length ≈ mask+1 characters) and emit one row per chunk —
+    (id, chunk_idx, chunk_digest, chunk_len). The storage/corpus dedup
+    primitive: byte-insertions shift fixed-width blocks but CDC
+    boundaries re-synchronize, so shared content yields shared chunk
+    digests regardless of offset.
+
+    Semantics (mirrored EXACTLY by the DuckDB oracle, same discipline as
+    ``winnowed_fingerprint_rows``): 1-based position i ∈ [k, n] closes a
+    chunk when hash(text[i-k+1..i]) % (mask+1) == 0 (the same
+    ``(acc*31+code) % mod`` polynomial as ``rolling_hashes``); the final
+    chunk always closes at n; texts shorter than k (including empty) are
+    one whole-text chunk. Digest = md5 of the chunk's UTF-8 bytes; text
+    is a CODEPOINT sequence (Spark ``split('')``/DuckDB ``substr``
+    agree). No min/max chunk bounds — production CDC adds them, but they
+    would complicate the oracle without changing the dedup semantics
+    under test.
+
+    Arrow-batched mapInPandas (the modality rule: the rolling hash is a
+    sliding-window dot, ~10-25× faster in numpy than interpreted HOF
+    lambdas); the closure is self-contained so plain driver sessions can
+    pickle it by value. One narrow output row per ~(mask+1) input chars;
+    at 100 TB the chunk-digest relation shuffles 16-byte digests, never
+    text."""
+    kk, mm, md = int(k), int(mask) + 1, int(mod)
+    idc, txc = id_col, text_col
+
+    def gen(batches):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+        from numpy.lib.stride_tricks import sliding_window_view as _svw
+
+        pw = _np.array(
+            [pow(31, kk - 1 - j, md) for j in range(kk)], dtype=_np.int64
+        )
+
+        def _chunks(text):
+            if text is None:
+                return []
+            n = len(text)
+            if text.isascii():
+                codes = _np.frombuffer(
+                    text.encode(), dtype=_np.uint8
+                ).astype(_np.int64)
+            else:
+                codes = _np.array([ord(c) for c in text], dtype=_np.int64)
+            if n >= kk:
+                h = (_svw(codes, kk) * pw).sum(axis=1) % md
+                # window starting at 0-based j ends at 1-based i = j + k
+                ends = (_np.nonzero(h % mm == 0)[0] + kk).tolist()
+            else:
+                ends = []
+            if not ends or ends[-1] != n:
+                ends.append(n)
+            out, start = [], 0
+            for idx, e in enumerate(ends):
+                chunk = text[start:e]
+                out.append(
+                    (idx, _hl.md5(chunk.encode()).hexdigest(), e - start)
+                )
+                start = e
+            return out
+
+        for pdf in batches:
+            ids, idxs, digs, lens = [], [], [], []
+            for id_, t in zip(pdf[idc], pdf[txc]):
+                for idx, dig, ln in _chunks(t):
+                    ids.append(id_)
+                    idxs.append(idx)
+                    digs.append(dig)
+                    lens.append(ln)
+            yield _pd.DataFrame(
+                {
+                    "id": _pd.Series(ids, dtype="int64"),
+                    "chunk_idx": _pd.Series(idxs, dtype="int32"),
+                    "chunk_digest": _pd.Series(digs, dtype="object"),
+                    "chunk_len": _pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(
+        gen, "id long, chunk_idx int, chunk_digest string, chunk_len int"
+    )
+    return out.withColumnRenamed("id", id_col) if id_col != "id" else out
+
+
 def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """One row per document with the full metric set.
 

@@ -1500,3 +1500,72 @@ def test_embedding_bucket_stats_observed(spark, emb):
     out3.count()
     assert out3.bucket_stats.get()["total_buckets"] > 0
     S.unpersist_cached(out3, blocking=True)
+
+
+def test_cdc_chunk_rows_semantics(spark):
+    """CDC boundary semantics: empty text -> one empty chunk; text < k ->
+    one whole-text chunk; chunk lens partition the text; boundary
+    re-synchronization — a prefix insertion shifts early chunks but the
+    tail chunks' digests reappear (the property fixed-width blocking
+    lacks and the whole point of CDC)."""
+    import hashlib
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    shifted = "INSERTED PREFIX >>> " + base
+    df = spark.createDataFrame(
+        [(1, ""), (2, "tiny"), (3, base), (4, shifted)],
+        "doc_id long, text string",
+    )
+    rows = TX.cdc_chunk_rows(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_len == 0
+    assert by_doc[1][0].chunk_digest == hashlib.md5(b"").hexdigest()
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 4
+    for doc_id, text in ((3, base), (4, shifted)):
+        lens = [r.chunk_len for r in sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)]
+        assert sum(lens) == len(text)
+    d3 = {r.chunk_digest for r in by_doc[3]}
+    d4 = {r.chunk_digest for r in by_doc[4]}
+    # boundaries re-synchronize after the insertion: most of base's
+    # chunks reappear verbatim in the shifted document
+    assert len(d3 & d4) >= len(d3) - 2 and len(d3) > 3
+
+
+def test_cdc_oracle_hash_congruent(spark):
+    """The dedup_cdc_chunks DuckDB oracle computes EXACTLY the engine's
+    chunking for every length class incl. non-ASCII (lifted CTE, same
+    discipline as the winnow congruence test)."""
+    import re
+
+    import duckdb
+
+    from pyarrow_ops_spark.entry_queries import ORACLES
+
+    texts = [
+        "",
+        "a",
+        "exactly7",
+        "hello world this is a test of chunking behavior xyz",
+        "héllo wörld unicode tëst of chunking behavior ábc",
+        "the quick brown fox jumps over the lazy dog " * 10,
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    engine = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_digest)
+        for r in TX.cdc_chunk_rows(sdf).collect()
+    )
+    sql = ORACLES["dedup_cdc_chunks"]
+    m = re.search(r"WITH (h AS .*?)\s*,\s*freq AS", sql, re.S)
+    assert m, "oracle shape changed; update this test"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = sorted(
+        con.execute(
+            f"WITH {m.group(1)} SELECT doc_id, chunk_digest FROM chunks"
+        ).fetchall()
+    )
+    assert sorted((d, dig) for d, _i, dig in engine) == oracle

@@ -17,10 +17,10 @@ from __future__ import annotations
 
 import hashlib
 
-# sha256 over "\n".join(sorted(names)) — round 10 (188 rows:
-# +multimodal_audio_features)
-NAMES_SHA256 = "85ffce04cd27fcabec8182ab3c5e25d5f7ca82edc2394deba069089ad2438f63"
-N_QUERIES = 188
+# sha256 over "\n".join(sorted(names)) — round 10 (189 rows:
+# +multimodal_audio_features, +dedup_cdc_chunks)
+NAMES_SHA256 = "07ffe3701c4d1fced88cce63fcc2ce0b8b35ecf5e3ed1dd5e3684e2fab110869"
+N_QUERIES = 189
 
 
 def _names_hash(names) -> str:
