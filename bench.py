@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     # round-7 additions: fact×fact grid-bucketed range join, salted join
     "range_join_bucketed_events",
     "skew_salted_join",
+    # round-10 additions: CDC chunk dedup, audio feature plumbing
+    "dedup_cdc_chunks",
+    "multimodal_audio_features",
 ]
 
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))

@@ -177,6 +177,8 @@ DEFAULT_QUERIES = [
     "events_retention_cohorts",
     "skew_key_report",
     "pipeline_perplexity_filter",
+    "dedup_cdc_chunks",
+    "multimodal_audio_features",
 ]
 
 
