@@ -115,9 +115,11 @@ BENCH_QUERIES = [
     # round-7 additions: fact×fact grid-bucketed range join, salted join
     "range_join_bucketed_events",
     "skew_salted_join",
-    # round-10 additions: CDC chunk dedup, audio feature plumbing
+    # round-10 additions: CDC chunk dedup, audio feature plumbing,
+    # kNN embedding-quality probe
     "dedup_cdc_chunks",
     "multimodal_audio_features",
+    "similarity_knn_label_probe",
 ]
 
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))

@@ -179,6 +179,7 @@ DEFAULT_QUERIES = [
     "pipeline_perplexity_filter",
     "dedup_cdc_chunks",
     "multimodal_audio_features",
+    "similarity_knn_label_probe",
 ]
 
 

@@ -81,6 +81,50 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_knn_label_probe",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sims AS (
+        SELECT q.vec_id AS q_id, q.label AS label,
+               n.vec_id AS n_id, n.label AS n_label,
+               round(list_cosine_similarity(q.v, n.v), 4) AS sim
+        FROM e q JOIN e n ON q.vec_id != n.vec_id
+    ),
+    top AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+            FROM sims) t
+        WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT q_id, label, n_label, count(*) AS n_votes
+        FROM top GROUP BY q_id, label, n_label
+    )
+    SELECT q_id AS vec_id, label, n_label AS predicted,
+           n_label = label AS correct
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS r
+        FROM votes) v
+    WHERE r = 1
+    """,
+)
+def q_similarity_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label probe (k=5) — the standard embedding-quality
+    eval: nearest neighbors by cosine vote on each vector's label, all
+    ranking deterministic across engines (rounded sim desc + id asc;
+    vote count desc + label asc)."""
+    from pyarrow_ops_spark.functions.similarity import knn_label_probe
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return knn_label_probe(emb, k=5)
+
+
+
+@query(
     "similarity_near_dup",
     """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

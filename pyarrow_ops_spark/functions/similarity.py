@@ -82,6 +82,58 @@ def cosine_topk(
     )
 
 
+def knn_label_probe(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-nearest-neighbor label probe — the standard
+    embedding-quality eval: for every vector, its k nearest neighbors by
+    cosine (self excluded) vote on a predicted label; output
+    (id, label, predicted, correct). Everything is rank-deterministic
+    across engines: neighbor order = (rounded sim desc, id asc), vote
+    winner = (vote count desc, label asc).
+
+    Exact quadratic by design — a probe is an EVAL op run on a sample or
+    a held-out slice (2k vectors = 4M pairs), not the 100 TB corpus; at
+    corpus scale the shortlist comes from ``ivf_topk``/``lsh_topk`` and
+    only the voting changes input."""
+    e = corpus.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        F.col(label_col).alias("lbl"),
+    )
+    a = e.select(
+        F.col("id").alias("q_id"), F.col("v").alias("v_q"), F.col("lbl").alias("label")
+    )
+    b = e.select(F.col("id").alias("n_id"), F.col("v").alias("v_n"), F.col("lbl").alias("n_label"))
+    sims = a.join(b, F.col("q_id") != F.col("n_id")).select(
+        "q_id",
+        "label",
+        "n_id",
+        "n_label",
+        F.round(cosine(F.col("v_q"), F.col("v_n")), 4).alias("sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    top = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    votes = top.groupBy("q_id", "label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("n_votes").desc(), F.col("n_label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("q_id").alias(id_col),
+            "label",
+            F.col("n_label").alias("predicted"),
+            (F.col("n_label") == F.col("label")).alias("correct"),
+        )
+    )
+
+
 def similarity_join(
     corpus: DataFrame,
     threshold: float,

@@ -1569,3 +1569,32 @@ def test_cdc_oracle_hash_congruent(spark):
         ).fetchall()
     )
     assert sorted((d, dig) for d, _i, dig in engine) == oracle
+
+
+def test_knn_label_probe_planted_clusters(spark):
+    """Tight planted clusters must probe at 100% accuracy; an adversarial
+    point nearest to another cluster must be predicted as that cluster.
+    Deterministic output on repeated runs."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # 3 well-separated clusters in 8-d: basis-aligned with small jitter
+    for lbl in range(3):
+        base = [0.0] * 8
+        base[lbl] = 1.0
+        for i in range(8):
+            v = [x + rng.uniform(-0.01, 0.01) for x in base]
+            rows.append((lbl * 100 + i, v, lbl))
+    # adversarial: labeled 2 but sitting in cluster 0
+    rows.append((999, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.01], 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.vec_id: r for r in S.knn_label_probe(df, k=5).collect()}
+    assert len(out) == 25
+    for vid, r in out.items():
+        if vid == 999:
+            assert r.predicted == 0 and not r.correct
+        else:
+            assert r.correct, (vid, r.predicted)
+    out2 = {r.vec_id: (r.predicted, r.correct) for r in S.knn_label_probe(df, k=5).collect()}
+    assert out2 == {v: (r.predicted, r.correct) for v, r in out.items()}

@@ -17,10 +17,10 @@ from __future__ import annotations
 
 import hashlib
 
-# sha256 over "\n".join(sorted(names)) — round 10 (189 rows:
-# +multimodal_audio_features, +dedup_cdc_chunks)
-NAMES_SHA256 = "07ffe3701c4d1fced88cce63fcc2ce0b8b35ecf5e3ed1dd5e3684e2fab110869"
-N_QUERIES = 189
+# sha256 over "\n".join(sorted(names)) — round 10 (190 rows:
+# +multimodal_audio_features, +dedup_cdc_chunks, +similarity_knn_label_probe)
+NAMES_SHA256 = "7455e1c9cca6cbe46283a82e65aaca376311f1a57846193b3ea06ddd00293274"
+N_QUERIES = 190
 
 
 def _names_hash(names) -> str:
