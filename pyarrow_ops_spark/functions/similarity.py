@@ -88,6 +88,7 @@ def knn_label_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    block_size: int = 8192,
 ) -> DataFrame:
     """Leave-one-out k-nearest-neighbor label probe — the standard
     embedding-quality eval: for every vector, its k nearest neighbors by
@@ -96,28 +97,88 @@ def knn_label_probe(
     across engines: neighbor order = (rounded sim desc, id asc), vote
     winner = (vote count desc, label asc).
 
-    Exact quadratic by design — a probe is an EVAL op run on a sample or
-    a held-out slice (2k vectors = 4M pairs), not the 100 TB corpus; at
-    corpus scale the shortlist comes from ``ivf_topk``/``lsh_topk`` and
-    only the voting changes input."""
+    Distributed block-matrix brute force (the standard exact-kNN shape):
+    both sides batch into ~``block_size`` groups, each (query-batch ×
+    corpus-block) pair computes ONE numpy GEMM inside an Arrow batch and
+    emits only its within-block top-k per query (a superset of the
+    global top-k, so the global window merge is exact), then a window
+    rank merges blocks. The naive Catalyst self-join ran the cosine as
+    an interpreted higher-order function per pair on one partition —
+    52 s at sf0.1 vs ~2 s for this shape; same modality rule as
+    banded_rows. Rounding is HALF-AWAY-FROM-ZERO to 4 decimals inside
+    the kernel, matching Spark's F.round and DuckDB round so ranking
+    ties agree across engines.
+
+    An exact probe is an EVAL op run on a sample or held-out slice, not
+    the 100 TB corpus — at corpus scale the shortlist comes from
+    ``ivf_topk``/``lsh_topk`` and only the voting changes input."""
     e = corpus.select(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("v"),
-        F.col(label_col).alias("lbl"),
+        F.col(label_col).cast("int").alias("lbl"),
     )
-    a = e.select(
-        F.col("id").alias("q_id"), F.col("v").alias("v_q"), F.col("lbl").alias("label")
+    n = e.count()
+    nb = max(1, -(-n // int(block_size)))
+    blocks = e.groupBy((F.pmod(F.xxhash64("id"), F.lit(nb))).alias("__b")).agg(
+        F.collect_list(F.struct("id", "v", "lbl")).alias("blk")
     )
-    b = e.select(F.col("id").alias("n_id"), F.col("v").alias("v_n"), F.col("lbl").alias("n_label"))
-    sims = a.join(b, F.col("q_id") != F.col("n_id")).select(
-        "q_id",
-        "label",
-        "n_id",
-        "n_label",
-        F.round(cosine(F.col("v_q"), F.col("v_n")), 4).alias("sim"),
+    abatch = e.groupBy((F.pmod(F.xxhash64("id"), F.lit(nb * 4))).alias("__a")).agg(
+        F.collect_list(F.struct("id", "v", "lbl")).alias("arows")
+    )
+    paired = abatch.crossJoin(blocks.select("blk"))
+    kk = int(k)
+
+    def gemm_topk(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def _mat(rows):
+            ids = _np.array([r["id"] for r in rows], dtype=_np.int64)
+            lbls = _np.array([r["lbl"] for r in rows], dtype=_np.int64)
+            m = _np.array([r["v"] for r in rows], dtype=_np.float64)
+            nrm = _np.linalg.norm(m, axis=1)
+            nrm[nrm == 0.0] = _np.nan  # zero vectors: undefined cosine
+            return ids, lbls, m / nrm[:, None]
+
+        for pdf in batches:
+            out = {"q_id": [], "label": [], "n_id": [], "n_label": [], "sim": []}
+            for arows, brows in zip(pdf["arows"], pdf["blk"]):
+                qi, ql, qm = _mat(arows)
+                bi, bl, bm = _mat(brows)
+                sims = qm @ bm.T
+                # HALF-AWAY-FROM-ZERO to 4 decimals (Spark/DuckDB round)
+                sims = _np.trunc(sims * 10_000 + _np.copysign(0.5, sims)) / 10_000
+                sims[qi[:, None] == bi[None, :]] = -_np.inf  # self
+                sims = _np.nan_to_num(sims, nan=-_np.inf)  # NULLs sort last
+                kb = min(kk, sims.shape[1])
+                # within-block top-k per query by (sim desc, n_id asc):
+                # lexsort on (-sim, id), take the first k columns
+                order = _np.lexsort((bi[None, :].repeat(len(qi), 0), -sims), axis=1)[
+                    :, :kb
+                ]
+                rowsel = _np.arange(len(qi))[:, None]
+                top_sim = sims[rowsel, order]
+                keep = _np.isfinite(top_sim)
+                out["q_id"].extend(_np.repeat(qi, kb)[keep.ravel()])
+                out["label"].extend(_np.repeat(ql, kb)[keep.ravel()])
+                out["n_id"].extend(bi[order].ravel()[keep.ravel()])
+                out["n_label"].extend(bl[order].ravel()[keep.ravel()])
+                out["sim"].extend(top_sim.ravel()[keep.ravel()])
+            yield _pd.DataFrame(
+                {
+                    "q_id": _pd.Series(out["q_id"], dtype="int64"),
+                    "label": _pd.Series(out["label"], dtype="int32"),
+                    "n_id": _pd.Series(out["n_id"], dtype="int64"),
+                    "n_label": _pd.Series(out["n_label"], dtype="int32"),
+                    "sim": _pd.Series(out["sim"], dtype="float64"),
+                }
+            )
+
+    cand = paired.mapInPandas(
+        gemm_topk, "q_id long, label int, n_id long, n_label int, sim double"
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
-    top = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    top = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     votes = top.groupBy("q_id", "label", "n_label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
