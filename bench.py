@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "dedup_cdc_chunks",
     "multimodal_audio_features",
     "similarity_knn_label_probe",
+    "dedup_split_leakage",
 ]
 
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))

@@ -180,6 +180,7 @@ DEFAULT_QUERIES = [
     "dedup_cdc_chunks",
     "multimodal_audio_features",
     "similarity_knn_label_probe",
+    "dedup_split_leakage",
 ]
 
 

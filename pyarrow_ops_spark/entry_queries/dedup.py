@@ -345,6 +345,69 @@ def q_dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_split_leakage",
+    r"""
+    WITH h AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 16 THEN
+                   [list_reduce(list_transform(range(0, 16),
+                                               j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT)),
+                                (a, b) -> (a * 31 + b) % 1000000007)
+                    for i in range(1, length(text) - 15 + 1)]
+               ELSE
+                   [list_reduce(list_transform(range(0, greatest(length(text), 1)),
+                                               j -> CAST(ascii(substr(text, 1 + j, 1)) AS BIGINT)),
+                                (a, b) -> (a * 31 + b) % 1000000007)]
+               END AS hashes
+        FROM documents
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(
+                   [list_min(hashes[i : i + 15])
+                    for i in range(1, greatest(len(hashes) - 15, 1) + 1)]) AS fps
+        FROM h
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE) /
+                    (len(a.fps) + len(b.fps) - len(list_intersect(a.fps, b.fps))), 4) >= 0.5
+    ),
+    s AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' AS is_test
+        FROM documents
+    ),
+    cp AS (
+        SELECT p.id_a, p.id_b, sa.is_test AS t_a, sb.is_test AS t_b
+        FROM p
+        JOIN s sa ON p.id_a = sa.doc_id
+        JOIN s sb ON p.id_b = sb.doc_id
+        WHERE sa.is_test != sb.is_test
+    )
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM s WHERE NOT is_test) AS n_train,
+        (SELECT CAST(count(*) AS BIGINT) FROM s WHERE is_test) AS n_test,
+        CAST(count(*) AS BIGINT) AS leaky_pairs,
+        CAST(count(DISTINCT CASE WHEN t_a THEN id_a ELSE id_b END) AS BIGINT)
+            AS contaminated_test_docs
+    FROM cp
+    """,
+)
+def q_dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split contamination: deterministic 10% hash split, then count
+    exact winnow-Jaccard near-dup pairs crossing the train/test boundary
+    and the distinct test documents contaminated — the near-dup leakage
+    check exact-fingerprint decontamination misses. One row out."""
+    from pyarrow_ops_spark.functions.dedup import split_leakage_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    return split_leakage_report(docs, test_frac=0.1, threshold=0.5, k=16, window=16)
+
+
+
+@query(
     "dedup_cdc_chunks",
     r"""
     WITH h AS (

@@ -1050,6 +1050,59 @@ def winnow_clusters(
     ).withColumn("is_duplicate", F.col("canonical_id") != F.col(id_col))
 
 
+def split_leakage_report(
+    df: DataFrame,
+    test_frac: float = 0.1,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    seed: str = "",
+) -> DataFrame:
+    """Eval-split contamination check: after a deterministic hash split
+    (``operators.sample.sample_hash`` semantics), count near-duplicate
+    pairs that CROSS the train/test boundary — each one is a test
+    document whose near-copy the model trains on, silently inflating
+    eval scores. The check every training-data pipeline owes its eval
+    sets; exact-dedup decontamination misses near-copies entirely.
+
+    Near-dup relation: exact winnow-Jaccard pairs (``winnow_pairs`` —
+    deterministic, so the quadratic DuckDB oracle matches exactly).
+    Output is ONE row: (n_train, n_test, leaky_pairs,
+    contaminated_test_docs) — counts shuffle as longs, text never
+    leaves the pair generator."""
+    from pyarrow_ops_spark.operators.sample import _bucket, _threshold
+
+    is_test = _bucket([id_col], seed) < F.lit(_threshold(test_frac))
+    labeled = df.select(F.col(id_col).alias("id"), is_test.alias("is_test"))
+    pairs = winnow_pairs(
+        df, threshold=threshold, id_col=id_col, text_col=text_col, k=k, window=window
+    ).select("id_a", "id_b")
+    lab = (
+        pairs.join(
+            labeled.select(F.col("id").alias("id_a"), F.col("is_test").alias("t_a")),
+            on="id_a",
+        ).join(
+            labeled.select(F.col("id").alias("id_b"), F.col("is_test").alias("t_b")),
+            on="id_b",
+        )
+    ).filter(F.col("t_a") != F.col("t_b"))
+    leaky = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaky_pairs"),
+        F.count_distinct(
+            F.when(F.col("t_a"), F.col("id_a")).otherwise(F.col("id_b"))
+        )
+        .cast("bigint")
+        .alias("contaminated_test_docs"),
+    )
+    totals = labeled.agg(
+        F.sum((~F.col("is_test")).cast("long")).cast("bigint").alias("n_train"),
+        F.sum(F.col("is_test").cast("long")).cast("bigint").alias("n_test"),
+    )
+    return totals.crossJoin(leaky)
+
+
 def _winnow_rep_pairs(
     groups: DataFrame,
     threshold: float,

@@ -1598,3 +1598,39 @@ def test_knn_label_probe_planted_clusters(spark):
             assert r.correct, (vid, r.predicted)
     out2 = {r.vec_id: (r.predicted, r.correct) for r in S.knn_label_probe(df, k=5).collect()}
     assert out2 == {v: (r.predicted, r.correct) for v, r in out.items()}
+
+
+def test_split_leakage_report_planted(spark, docs):
+    """A near-copy planted across the split boundary must be counted;
+    totals must equal the hash-split sizes."""
+    from pyarrow_ops_spark.operators.sample import _bucket, _threshold
+
+    base = docs.select("doc_id", "text")
+    # find one train doc and give its near-copy an id that hashes to test
+    split = base.select(
+        "doc_id", (_bucket(["doc_id"], "") < F.lit(_threshold(0.1))).alias("t")
+    )
+    rows = {r.doc_id: r.t for r in split.collect()}
+    train_id = next(i for i, t in sorted(rows.items()) if not t)
+    import hashlib as _hl
+
+    def in_test(i):
+        return _hl.md5(str(i).encode()).hexdigest()[:4] < "1999"
+
+    clone_id = next(
+        i for i in range(10_000_000, 10_001_000) if i not in rows and in_test(i)
+    )
+    src_text = base.filter(F.col("doc_id") == train_id).collect()[0].text
+    planted = spark.createDataFrame([(clone_id, src_text)], ["doc_id", "text"])
+    both = base.unionByName(planted)
+    rep = D.split_leakage_report(both, test_frac=0.1, threshold=0.5, k=16).collect()[0]
+    n_test_expected = sum(rows.values()) + 1
+    assert rep.n_test == n_test_expected
+    assert rep.n_train == len(rows) - sum(rows.values())
+    assert rep.leaky_pairs >= 1
+    assert rep.contaminated_test_docs >= 1
+
+    # clean corpus baseline: whatever leakage exists is from genuine
+    # near-dups in the fixture; the planted clone adds at least one pair
+    rep0 = D.split_leakage_report(base, test_frac=0.1, threshold=0.5, k=16).collect()[0]
+    assert rep.leaky_pairs > rep0.leaky_pairs or rep0.leaky_pairs > 0

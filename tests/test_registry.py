@@ -17,10 +17,11 @@ from __future__ import annotations
 
 import hashlib
 
-# sha256 over "\n".join(sorted(names)) — round 10 (190 rows:
-# +multimodal_audio_features, +dedup_cdc_chunks, +similarity_knn_label_probe)
-NAMES_SHA256 = "7455e1c9cca6cbe46283a82e65aaca376311f1a57846193b3ea06ddd00293274"
-N_QUERIES = 190
+# sha256 over "\n".join(sorted(names)) — round 10 (191 rows:
+# +multimodal_audio_features, +dedup_cdc_chunks,
+# +similarity_knn_label_probe, +dedup_split_leakage)
+NAMES_SHA256 = "695bbef388b4425ae6adadaa95a31ec2411b51460fb4b75cc3d3ba64a0e0a155"
+N_QUERIES = 191
 
 
 def _names_hash(names) -> str:
