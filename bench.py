@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "multimodal_audio_features",
     "similarity_knn_label_probe",
     "dedup_split_leakage",
+    "dedup_decontaminate_near",
 ]
 
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))

@@ -181,6 +181,7 @@ DEFAULT_QUERIES = [
     "multimodal_audio_features",
     "similarity_knn_label_probe",
     "dedup_split_leakage",
+    "dedup_decontaminate_near",
 ]
 
 

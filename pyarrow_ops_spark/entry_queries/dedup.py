@@ -478,6 +478,61 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_decontaminate_near",
+    r"""
+    WITH h AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 16 THEN
+                   [list_reduce(list_transform(range(0, 16),
+                                               j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT)),
+                                (a, b) -> (a * 31 + b) % 1000000007)
+                    for i in range(1, length(text) - 15 + 1)]
+               ELSE
+                   [list_reduce(list_transform(range(0, greatest(length(text), 1)),
+                                               j -> CAST(ascii(substr(text, 1 + j, 1)) AS BIGINT)),
+                                (a, b) -> (a * 31 + b) % 1000000007)]
+               END AS hashes
+        FROM documents
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(
+                   [list_min(hashes[i : i + 15])
+                    for i in range(1, greatest(len(hashes) - 15, 1) + 1)]) AS fps
+        FROM h
+    ),
+    test AS (
+        SELECT doc_id FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc'
+    ),
+    dirty AS (
+        SELECT DISTINCT a.doc_id
+        FROM fps a JOIN fps b ON b.doc_id IN (SELECT doc_id FROM test)
+        WHERE ROUND(CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE) /
+                    (len(a.fps) + len(b.fps) - len(list_intersect(a.fps, b.fps))), 4) >= 0.5
+    )
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def q_dedup_decontaminate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: drop every train document
+    whose winnow-Jaccard similarity to any eval document (the same
+    deterministic 5% hash sample as dedup_decontaminate) reaches 0.5 —
+    including the eval members themselves (self-similarity 1.0) and their
+    near-copies, which exact fingerprint decontamination misses."""
+    from pyarrow_ops_spark.functions.dedup import decontaminate_near
+    from pyarrow_ops_spark.operators.sample import sample_hash
+
+    docs = load_table(spark, "documents", sf_dir)
+    test = sample_hash(docs, 0.05, ["doc_id"])
+    return decontaminate_near(docs, test, threshold=0.5, k=16, window=16).select(
+        "doc_id", "n_chars"
+    )
+
+
+
+@query(
     "dedup_decontaminate",
     r"""
     WITH test AS (

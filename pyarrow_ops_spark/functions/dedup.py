@@ -1418,6 +1418,58 @@ def strip_duplicated_spans(
     )
 
 
+def decontaminate_near(
+    train: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_id_col: str | None = None,
+    test_text_col: str | None = None,
+    k: int = 8,
+    window: int = 16,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: remove from ``train`` every
+    document whose winnow-Jaccard similarity to ANY ``test`` document
+    reaches ``threshold`` — the near-copy leakage that exact-fingerprint
+    decontamination (:func:`decontaminate`) misses, applied as a drop
+    decision (the actionable sibling of ``split_leakage_report``).
+
+    Shape: union both corpora with an origin flag (test ids are never
+    emitted, so id collisions across corpora are fine — test rows get
+    negated-offset ids internally), run the exact prefix-filtered winnow
+    pair engine ONCE over the union, keep cross-origin pairs, anti-join
+    their train side out. Same cost class as winnow_pairs on
+    train+test; text never shuffles past the pair generator. Requires
+    non-negative train ids (the origin flag lives in the sign)."""
+    test_id_col = test_id_col or id_col
+    test_text_col = test_text_col or text_col
+    # internal ids: train >= 0 keeps its own id space; test ids map to
+    # negatives (-(id)-1), so origin is recoverable from the sign and no
+    # cross-corpus collision is possible
+    tr = train.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t")
+    )
+    te = test.select(
+        (-F.col(test_id_col).cast("long") - F.lit(1)).alias("id"),
+        F.col(test_text_col).alias("__t"),
+    )
+    u = tr.unionByName(te)
+    pairs = winnow_pairs(
+        u, threshold=threshold, id_col="id", text_col="__t",
+        k=k, window=window, max_bucket=max_bucket,
+    ).select("id_a", "id_b")
+    # cross-origin pairs: exactly one side negative
+    cross = pairs.filter((F.col("id_a") < 0) != (F.col("id_b") < 0))
+    dirty = cross.select(
+        F.greatest("id_a", "id_b").alias("id")  # the non-negative train side
+    ).distinct()
+    return train.join(
+        dirty, on=F.col(id_col).cast("long") == F.col("id"), how="left_anti"
+    )
+
+
 def decontaminate_bloom(
     train: DataFrame,
     test: DataFrame,

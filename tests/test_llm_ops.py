@@ -1634,3 +1634,28 @@ def test_split_leakage_report_planted(spark, docs):
     # near-dups in the fixture; the planted clone adds at least one pair
     rep0 = D.split_leakage_report(base, test_frac=0.1, threshold=0.5, k=16).collect()[0]
     assert rep.leaky_pairs > rep0.leaky_pairs or rep0.leaky_pairs > 0
+
+
+def test_decontaminate_near_drops_near_copies(spark, docs):
+    """Near-dup decontamination must drop eval members AND their
+    near-copies from train, keep unrelated docs, and reduce to exact
+    decontamination semantics on byte-identical overlap."""
+    base = docs.select("doc_id", "text")
+    test = base.filter(F.col("doc_id") < 3)
+    # near-copy of an eval doc planted into train under a fresh id
+    src = base.filter(F.col("doc_id") == 0).collect()[0].text
+    near = src + " tail drift"
+    train = base.unionByName(
+        spark.createDataFrame([(7_000_000, near)], ["doc_id", "text"])
+    )
+    kept = {
+        r.doc_id
+        for r in D.decontaminate_near(train, test, threshold=0.5, k=16).collect()
+    }
+    # eval members dropped (self-similarity 1.0), near-copy dropped
+    assert not ({0, 1, 2} & kept)
+    assert 7_000_000 not in kept
+    # unrelated documents survive
+    assert len(kept) > 0
+    n_train = train.count()
+    assert len(kept) >= n_train - 3 - 1 - 20  # fixture near-dups allowed
