@@ -1452,8 +1452,10 @@ def test_unpersist_cached_releases_all_blocks(spark, emb):
     def n_cached() -> int:
         return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
+    # shared test session: other tests may hold persisted blocks, so the
+    # invariant is measured as a DELTA against the post-clearCache floor
     spark.catalog.clearCache()
-    assert n_cached() == 0
+    baseline = n_cached()
     clones = emb.limit(3).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         *[c for c in emb.columns if c != "vec_id"],
@@ -1466,15 +1468,15 @@ def test_unpersist_cached_releases_all_blocks(spark, emb):
     ):
         out = fn(both, 0.8, **kw)
         out.count()
-        assert n_cached() > 0, fn.__name__
+        assert n_cached() > baseline, fn.__name__
         released = S.unpersist_cached(out, blocking=True)
         assert released >= 1, fn.__name__
-        assert n_cached() == 0, fn.__name__
+        assert n_cached() == baseline, fn.__name__
     # dup-free corpus: skip path caches only the input relation
     out = S.embedding_near_dup(emb, 0.8, method="lsh", dim=64)
     out.count()
     S.unpersist_cached(out, blocking=True)
-    assert n_cached() == 0
+    assert n_cached() == baseline
 
 
 def test_embedding_bucket_stats_observed(spark, emb):
