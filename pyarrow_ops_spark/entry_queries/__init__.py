@@ -125,10 +125,13 @@ def derive_cap_order(
     floor = latest_round + 2 - period  # window after the upcoming round
     by_age = sorted(names, key=lambda n: (last_green.get(n, 0), n))
     mandatory = [n for n in by_age if last_green.get(n, 0) < floor]
-    assert len(mandatory) <= cap, (
-        f"rotation infeasible: {len(mandatory)} mandatory rows > cap {cap}; "
-        f"raise the period or the cap"
-    )
+    # If mandatory overflows the cap (e.g. a driver round came back with
+    # many transient reds), DEGRADE, never raise: scheduling the oldest
+    # `cap` rows is still the optimal move, and raising here would brick
+    # every import — including the driver's entry() — exactly when
+    # recovery needs it most. tests/test_cert_staleness.py is where the
+    # policy infeasibility gets flagged loudly.
+    mandatory = mandatory[:cap]
     order = list(mandatory)
     for n in claims:
         if n in names and n not in order and len(order) < cap:

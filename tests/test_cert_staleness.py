@@ -130,3 +130,19 @@ def test_rotation_stays_feasible_next_round():
     assert len(due_next) <= CAP, (
         f"round {latest + 2} would owe {len(due_next)} refreshes > cap {CAP}"
     )
+
+
+def test_derivation_degrades_instead_of_raising_on_overflow():
+    """A driver round full of transient reds can make the mandatory set
+    exceed the cap; the import-time derivation must DEGRADE (schedule the
+    oldest cap-many rows) rather than raise — raising would brick every
+    import, including the driver's entry(), exactly when recovery needs
+    it. This test simulates 60 rows all past the window."""
+    from pyarrow_ops_spark.entry_queries import derive_cap_order
+
+    names = [f"q{i:03d}" for i in range(60)]
+    last = {n: 1 for n in names}  # everything ancient
+    order = derive_cap_order(names, last, latest_round=10, claims=["q059"])
+    assert len(order) == 60  # full registry preserved
+    assert order[:CAP] == sorted(names)[:CAP]  # oldest (tie: name) first
+    assert len(set(order)) == 60
