@@ -66,10 +66,15 @@ _PERIOD = 4
 # driver re-cert is the norm even when pytest swept them green. Reset this
 # list each round; mandatory stale rows always outrank it.
 _CHANGED_PATH_CLAIMS: list[str] = [
+    # r10 carries (verdict ask #2: these changed in r10 but were squeezed
+    # out of the r10 cap by the five new rows — re-cert them in r11)
     "pipeline_llm_curation",   # r10: planted-id offset derived from max(doc_id)
     "dedup_keep_drop",         # r10: auto-scaled wide-start initial partitions
-    "dedup_minhash_lsh",       # r10: BucketStats handle returned per-call
-    "dedup_winnow_clusters",   # r10: oracle hash congruence for short texts
+    "dedup_minhash_lsh",       # r10+r11: per-call BucketStats plumbing
+    "dedup_winnow_clusters",   # r10+r11: oracle congruence; stats plumbing
+    # r11 changes
+    "similarity_knn_label_probe",  # r11: zero-norm filter both engines
+    "dedup_cdc_chunks",        # r11: min/max chunk bounds (oracle mirrored)
 ]
 
 
@@ -91,7 +96,13 @@ def _last_green_by_row(root: str) -> tuple[dict[str, int], int]:
     last: dict[str, int] = {}
     latest = 0
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        # guard: a stray file like CORRECTNESS_r9_old.json matches the
+        # glob but not the round pattern — skip it instead of raising at
+        # import time (degrade-never-raise applies to the loader too)
+        m = re.search(r"r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
         latest = max(latest, rnd)
         try:
             recs = json.load(open(path))

@@ -80,12 +80,13 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "similarity_knn_label_probe",
-    """
-    WITH e AS (SELECT vec_id, label,
-                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+_KNN_PROBE_ORACLE = """
+    WITH e0 AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    -- zero-norm vectors excluded on BOTH engines: cosine is undefined for
+    -- them and engines disagree on where NaN similarities rank
+    e AS (SELECT * FROM e0 WHERE list_dot_product(v, v) > 0),
     sims AS (
         SELECT q.vec_id AS q_id, q.label AS label,
                n.vec_id AS n_id, n.label AS n_label,
@@ -110,8 +111,10 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS r
         FROM votes) v
     WHERE r = 1
-    """,
-)
+    """
+
+
+@query("similarity_knn_label_probe", _KNN_PROBE_ORACLE)
 def q_similarity_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out kNN label probe (k=5) — the standard embedding-quality
     eval: nearest neighbors by cosine vote on each vector's label, all
@@ -121,6 +124,35 @@ def q_similarity_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     return knn_label_probe(emb, k=5)
+
+
+@query("similarity_knn_probe_indexed", _KNN_PROBE_ORACLE)
+def q_similarity_knn_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-shortlist kNN label probe against the persisted IVF index in
+    its EXACT configuration (n_probe = n_clusters): every vector's
+    shortlist covers all cells, so the output must equal the exact
+    leave-one-out probe — hash-certifying the whole corpus-scale shape
+    (centroid probe fan-out, per-cell parquet-metadata block sizing,
+    cell-local Arrow GEMM, shared voting) against the same DuckDB oracle
+    as ``similarity_knn_label_probe``, independent of which centroids
+    KMeans found. Production n_probe < n_clusters configs are pinned by
+    the agreement-rate floor in tests/test_ann_recall.py (recall < 1 by
+    design). Unlike the exact probe's block cartesian, work here is
+    n × n_probe × cell_size — the probe a user CAN run on the full
+    corpus."""
+    from pyarrow_ops_spark.functions.similarity import (
+        build_ivf_index,
+        knn_label_probe_indexed,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = _cached_index(
+        sf_dir,
+        "ivf_index",
+        "embeddings",
+        lambda d: build_ivf_index(emb, d, n_clusters=8),
+    )
+    return knn_label_probe_indexed(spark, idx, emb, k=5, n_probe=8)
 
 
 

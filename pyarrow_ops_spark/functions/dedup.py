@@ -173,8 +173,14 @@ class BucketStats:
     def get(self) -> dict:
         try:
             row = self._observation.get
-        except Exception:
-            if self._raw is None:
+        except Exception as exc:
+            # Narrow catch: ONLY the known AQE empty-relation failure —
+            # the eliminated observe node leaves a schema-less metrics row
+            # that dies in PythonSQLUtils.toPyRow (a Py4JJavaError naming
+            # toPyRow). Anything else (analysis errors, connection
+            # failures, user bugs) re-raises: silently recomputing there
+            # would both mask the real failure and charge an extra job.
+            if self._raw is None or "toPyRow" not in str(exc):
                 raise
             row = self._fallback_row()
         return {
@@ -308,17 +314,25 @@ def minhash_lsh_pairs(
 
     ``assume_dups`` skips the collapse pre-check scan (see
     ``_collapse_exact_texts``); ``max_bucket`` caps degenerate band
-    buckets, with drop accounting exposed via
-    ``minhash_lsh_pairs.last_bucket_stats.get()`` after an action.
+    buckets, with drop accounting on the returned frame. FOOT-GUN:
+    ``.bucket_stats`` is a Python attribute on THIS DataFrame object —
+    any further transform returns a new object without it, so capture
+    the handle first::
+
+        pairs = minhash_lsh_pairs(df, 0.8)
+        stats = pairs.bucket_stats          # capture BEFORE transforms
+        pairs.filter(...).count()           # any action materializes it
+        stats.get()
+
+    (``minhash_lsh_pairs.last_bucket_stats`` remains as a last-build-wins
+    convenience for single-pipeline scripts.)
     """
     from pyspark import StorageLevel
 
     groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
         out = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
-        return _expose_bucket_stats(
-            out, minhash_lsh_pairs, _minhash_rep_pairs.last_bucket_stats
-        )
+        return _expose_bucket_stats(out, minhash_lsh_pairs, out._bucket_stats)
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     intra = (
         groups.filter(F.size("members") >= 2)
@@ -326,7 +340,7 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
     )
     rep_pairs = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
-    stats = _minhash_rep_pairs.last_bucket_stats
+    stats = rep_pairs._bucket_stats
     mem = groups.select(
         F.element_at("members", 1).alias("rep"), F.explode("members").alias("m")
     )
@@ -371,11 +385,9 @@ def minhash_lsh_edges(
 
     groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
-        out = _minhash_rep_pairs(
-            groups, threshold, n, num_hashes, bands, max_bucket
-        ).select("id_a", "id_b")
+        rp = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
         return _expose_bucket_stats(
-            out, minhash_lsh_edges, _minhash_rep_pairs.last_bucket_stats
+            rp.select("id_a", "id_b"), minhash_lsh_edges, rp._bucket_stats
         )
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     star = groups.filter(F.size("members") >= 2).select(
@@ -386,7 +398,7 @@ def minhash_lsh_edges(
     return _expose_bucket_stats(
         rep_pairs.select("id_a", "id_b").unionByName(star),
         minhash_lsh_edges,
-        _minhash_rep_pairs.last_bucket_stats,
+        rep_pairs._bucket_stats,
     )
 
 
@@ -536,7 +548,6 @@ def _minhash_rep_pairs(
         F.array_sort(F.collect_set("id")).alias("ids")
     )
     raw_buckets, stats = _observe_buckets(raw_buckets, "ids", max_bucket)
-    _minhash_rep_pairs.last_bucket_stats = stats
     buckets = raw_buckets.filter(
         (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
     )
@@ -566,6 +577,10 @@ def _minhash_rep_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # Per-call handle ON THE RETURNED FRAME (thread-safe: two concurrent
+    # pipeline builds each see their own stats; the old round-trip through
+    # a function attribute was last-build-wins even across threads).
+    verified._bucket_stats = stats
     return verified
 
 
@@ -941,17 +956,19 @@ def winnow_pairs(
     ``winnow_edges`` + ``connected_components`` (or ``winnow_clusters``),
     which is linear in clone mass.
 
-    Bucket-drop accounting: ``winnow_pairs.last_bucket_stats.get()`` after
-    an action. ``assume_dups`` skips the collapse pre-check scan.
+    Bucket-drop accounting rides on the returned frame: capture
+    ``out.bucket_stats`` BEFORE any further transform (the attribute
+    does not survive ``.filter()``/``.select()`` — they return new
+    objects) and call ``.get()`` after an action.
+    ``winnow_pairs.last_bucket_stats`` remains as a last-build-wins
+    convenience. ``assume_dups`` skips the collapse pre-check scan.
     """
     from pyspark import StorageLevel
 
     groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
         out = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
-        return _expose_bucket_stats(
-            out, winnow_pairs, _winnow_rep_pairs.last_bucket_stats
-        )
+        return _expose_bucket_stats(out, winnow_pairs, out._bucket_stats)
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     intra = (
         groups.filter(F.size("members") >= 2)
@@ -959,7 +976,7 @@ def winnow_pairs(
         .select("p.id_a", "p.id_b", F.lit(1.0).alias("winnow_jaccard"))
     )
     rep_pairs = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
-    stats = _winnow_rep_pairs.last_bucket_stats
+    stats = rep_pairs._bucket_stats
     mem = groups.select(
         F.element_at("members", 1).alias("rep"), F.explode("members").alias("m")
     )
@@ -1001,11 +1018,9 @@ def winnow_edges(
 
     groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
-        out = _winnow_rep_pairs(groups, threshold, k, window, max_bucket).select(
-            "id_a", "id_b"
-        )
+        rp = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
         return _expose_bucket_stats(
-            out, winnow_edges, _winnow_rep_pairs.last_bucket_stats
+            rp.select("id_a", "id_b"), winnow_edges, rp._bucket_stats
         )
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     star = groups.filter(F.size("members") >= 2).select(
@@ -1016,7 +1031,7 @@ def winnow_edges(
     return _expose_bucket_stats(
         rep_pairs.select("id_a", "id_b").unionByName(star),
         winnow_edges,
-        _winnow_rep_pairs.last_bucket_stats,
+        rep_pairs._bucket_stats,
     )
 
 
@@ -1159,7 +1174,6 @@ def _winnow_rep_pairs(
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
     )
     raw_buckets, stats = _observe_buckets(raw_buckets, "ids", max_bucket)
-    _winnow_rep_pairs.last_bucket_stats = stats
     buckets = raw_buckets.filter(
         (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
     )
@@ -1180,11 +1194,15 @@ def _winnow_rep_pairs(
     fps_a = fps.select(F.col("id").alias("id_a"), F.col("fps").alias("fps_a"))
     fps_b = fps.select(F.col("id").alias("id_b"), F.col("fps").alias("fps_b"))
     j = jaccard(F.col("fps_a"), F.col("fps_b"))
-    return (
+    out = (
         candidates.join(fps_a, on="id_a").join(fps_b, on="id_b")
         .select("id_a", "id_b", F.round(j, 4).alias("winnow_jaccard"))
         .filter(F.col("winnow_jaccard") >= threshold)
     )
+    # per-call handle on the returned frame (thread-safe; see
+    # _minhash_rep_pairs)
+    out._bucket_stats = stats
+    return out
 
 
 def word_ngrams(col: Column | str, n: int = 5) -> Column:

@@ -89,6 +89,7 @@ def knn_label_probe(
     vec_col: str = "embedding",
     label_col: str = "label",
     block_size: int = 8192,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Leave-one-out k-nearest-neighbor label probe — the standard
     embedding-quality eval: for every vector, its k nearest neighbors by
@@ -110,14 +111,30 @@ def knn_label_probe(
     ties agree across engines.
 
     An exact probe is an EVAL op run on a sample or held-out slice, not
-    the 100 TB corpus — at corpus scale the shortlist comes from
-    ``ivf_topk``/``lsh_topk`` and only the voting changes input."""
+    the 100 TB corpus — at corpus scale use ``knn_label_probe_indexed``
+    (IVF shortlist, same voting) on the full table.
+
+    Zero-norm vectors are EXCLUDED up front (as queries and as
+    neighbors): cosine is undefined for them, and engines disagree on
+    where NaN similarities rank — the registered oracle applies the
+    identical filter.
+
+    Sizing: pass ``n_rows`` (the approximate corpus row count — block
+    sizing is a heuristic, staleness is harmless) to skip the one
+    ``count()`` scan otherwise run before planning. Per-task memory
+    bound at defaults: a b-block packs ≤ block_size vectors
+    (block_size × dim × 8 B ≈ 4 MiB at 8192×64) and the GEMM's sims
+    matrix is (block_size/4) × block_size × 8 B ≈ 128 MiB — shrink
+    ``block_size`` for high-dim embeddings."""
     e = corpus.select(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("v"),
         F.col(label_col).cast("int").alias("lbl"),
     )
-    n = e.count()
+    e = e.filter(
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) > F.lit(0.0)
+    )
+    n = int(n_rows) if n_rows is not None else e.count()
     nb = max(1, -(-n // int(block_size)))
     blocks = e.groupBy((F.pmod(F.xxhash64("id"), F.lit(nb))).alias("__b")).agg(
         F.collect_list(F.struct("id", "v", "lbl")).alias("blk")
@@ -126,7 +143,19 @@ def knn_label_probe(
         F.collect_list(F.struct("id", "v", "lbl")).alias("arows")
     )
     paired = abatch.crossJoin(blocks.select("blk"))
-    kk = int(k)
+    cand = paired.mapInPandas(
+        _gemm_topk_kernel(int(k)),
+        "q_id long, label int, n_id long, n_label int, sim double",
+    )
+    return _knn_vote(cand, k, id_col)
+
+
+def _gemm_topk_kernel(kk: int):
+    """mapInPandas kernel shared by the exact and IVF-shortlist probes:
+    each input row pairs a query batch (``arows``) with a corpus block
+    (``blk``), computes ONE numpy GEMM, and emits the within-block top-k
+    candidate neighbors per query (a superset of the global top-k, so the
+    downstream window merge is exact over whatever blocks were paired)."""
 
     def gemm_topk(batches):
         import numpy as _np
@@ -174,9 +203,13 @@ def knn_label_probe(
                 }
             )
 
-    cand = paired.mapInPandas(
-        gemm_topk, "q_id long, label int, n_id long, n_label int, sim double"
-    )
+    return gemm_topk
+
+
+def _knn_vote(cand: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Voting/merge stages shared by the probes: global top-k per query
+    over the blockwise candidates (rank-deterministic: rounded sim desc,
+    id asc), then majority vote (count desc, label asc)."""
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     top = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     votes = top.groupBy("q_id", "label", "n_label").agg(
@@ -193,6 +226,92 @@ def knn_label_probe(
             (F.col("n_label") == F.col("label")).alias("correct"),
         )
     )
+
+
+def knn_label_probe_indexed(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    block_size: int = 8192,
+) -> DataFrame:
+    """kNN label probe with the shortlist from a PERSISTED IVF index (see
+    ``build_ivf_index``) — the corpus-scale variant of
+    ``knn_label_probe``: instead of the all-pairs block cartesian, every
+    vector probes only its ``n_probe`` nearest cells and candidate
+    neighbors come from those cells' index partitions. Voting/merge
+    stages are shared with the exact probe (``_knn_vote``), so with
+    ``n_probe >= n_clusters`` the output EQUALS the exact probe — the
+    hash-certifiable configuration — while production ``n_probe <
+    n_clusters`` trades recall for a ~n_probe/n_clusters candidate scan
+    (recall floor pinned in tests/test_ann_recall.py).
+
+    Scale shape: centroids broadcast (n_clusters × dim floats); the
+    query side fans out ×n_probe and blocks CELL-LOCALLY (per-cell block
+    count from one parquet-metadata count over the index — count
+    aggregate pushdown, no data read); the candidate GEMM is the same
+    Arrow-batched kernel as the exact probe but joins blocks ON THE CELL
+    KEY — no cartesian anywhere, work is n × n_probe × cell_size instead
+    of n². Zero-norm vectors are excluded exactly like the exact probe
+    (the inner label join applies the filter to the index side too)."""
+    e = corpus.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        F.col(label_col).cast("int").alias("lbl"),
+    ).filter(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) > F.lit(0.0))
+    spark.catalog.refreshByPath(f"{path}/cells")
+    centers = spark.read.parquet(f"{path}/centroids")
+    probe_w = W.partitionBy("id").orderBy(
+        F.col("centroid_sim").desc(), F.col("cluster")
+    )
+    probes = (
+        e.crossJoin(F.broadcast(centers))
+        .select(
+            "id", "v", "lbl", "cluster",
+            cosine(F.col("v"), F.col("center")).alias("centroid_sim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("id", "v", "lbl", "cluster")
+    )
+    # per-cell block count from parquet metadata (count pushdown reads
+    # footers, not data): bounds every collect_list buffer by ~block_size
+    # vectors regardless of cell skew
+    cells_raw = spark.read.parquet(f"{path}/cells")
+    cell_nb = (
+        cells_raw.groupBy("cluster")
+        .count()
+        .select(
+            "cluster",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("count") / F.lit(int(block_size)))
+            ).cast("int").alias("nb"),
+        )
+    )
+    bside = (
+        cells_raw.select(F.col(id_col).alias("id"), F.col("c_vec").alias("v"), "cluster")
+        # inner join: attaches labels AND drops zero-norm index rows
+        .join(e.select("id", "lbl"), on="id")
+        .join(F.broadcast(cell_nb), on="cluster")
+    )
+    bblocks = bside.groupBy(
+        "cluster", F.pmod(F.xxhash64("id"), F.col("nb")).alias("__b")
+    ).agg(F.collect_list(F.struct("id", "v", "lbl")).alias("blk"))
+    aside = probes.join(F.broadcast(cell_nb), on="cluster")
+    ablocks = aside.groupBy(
+        "cluster", F.pmod(F.xxhash64("id"), F.col("nb") * 4).alias("__a")
+    ).agg(F.collect_list(F.struct("id", "v", "lbl")).alias("arows"))
+    paired = ablocks.join(bblocks, on="cluster").select("arows", "blk")
+    cand = paired.mapInPandas(
+        _gemm_topk_kernel(int(k)),
+        "q_id long, label int, n_id long, n_label int, sim double",
+    )
+    return _knn_vote(cand, k, id_col)
 
 
 def similarity_join(

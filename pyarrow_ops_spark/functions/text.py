@@ -336,6 +336,8 @@ def cdc_chunk_rows(
     k: int = 8,
     mask: int = 63,
     mod: int = 1_000_000_007,
+    min_len: int | None = None,
+    max_len: int | None = None,
 ) -> DataFrame:
     """Content-defined chunking (Rabin-Karp CDC): split each document at
     positions where the k-gram rolling hash ≡ 0 mod ``mask+1`` (expected
@@ -350,11 +352,21 @@ def cdc_chunk_rows(
     chunk when hash(text[i-k+1..i]) % (mask+1) == 0 (the same
     ``(acc*31+code) % mod`` polynomial as ``rolling_hashes``); the final
     chunk always closes at n; texts shorter than k (including empty) are
-    one whole-text chunk. Digest = md5 of the chunk's UTF-8 bytes; text
-    is a CODEPOINT sequence (Spark ``split('')``/DuckDB ``substr``
-    agree). No min/max chunk bounds — production CDC adds them, but they
-    would complicate the oracle without changing the dedup semantics
-    under test.
+    one whole-text chunk (subject to ``max_len`` forced cuts). Digest =
+    md5 of the chunk's UTF-8 bytes; text is a CODEPOINT sequence (Spark
+    ``split('')``/DuckDB ``substr`` agree).
+
+    ``min_len``/``max_len`` are the production CDC clamps (FastCDC-style
+    normalization): a hash boundary closer than ``min_len`` to the chunk
+    start is skipped, and a chunk is FORCE-closed at ``max_len`` when no
+    eligible boundary arrives — bounding the worst-case chunk-row blowup
+    on pathological inputs (a text of all-identical characters is one
+    giant boundary run without the clamps). Selection rule (mirrored
+    EXACTLY by the DuckDB oracle's recursive CTE): from chunk start s,
+    cut at the smallest hash boundary e with min_len <= e-s <= max_len,
+    else at min(n, s+max_len); the final tail may be shorter than
+    ``min_len``. ``None`` (both) preserves the unbounded semantics
+    certified through r10.
 
     Arrow-batched mapInPandas (the modality rule: the rolling hash is a
     sliding-window dot, ~10-25× faster in numpy than interpreted HOF
@@ -363,6 +375,10 @@ def cdc_chunk_rows(
     at 100 TB the chunk-digest relation shuffles 16-byte digests, never
     text."""
     kk, mm, md = int(k), int(mask) + 1, int(mod)
+    if min_len is not None and max_len is not None and min_len > max_len:
+        raise ValueError(f"min_len {min_len} > max_len {max_len}")
+    lo = int(min_len) if min_len is not None else 1
+    hi = int(max_len) if max_len is not None else None
     idc, txc = id_col, text_col
 
     def gen(batches):
@@ -375,6 +391,29 @@ def cdc_chunk_rows(
         pw = _np.array(
             [pow(31, kk - 1 - j, md) for j in range(kk)], dtype=_np.int64
         )
+
+        def _cut_ends(cands, n):
+            # bounded boundary selection: smallest eligible hash boundary
+            # per chunk, else a forced cut at start+max_len (see docstring)
+            ends, start, i = [], 0, 0
+            while True:
+                cut = None
+                while i < len(cands):
+                    e = cands[i]
+                    if e - start < lo:
+                        i += 1  # too close — never eligible again
+                        continue
+                    if hi is not None and e - start > hi:
+                        break  # stays a candidate for later chunks
+                    cut = e
+                    i += 1
+                    break
+                if cut is None:
+                    cut = n if hi is None else min(n, start + hi)
+                ends.append(cut)
+                if cut >= n:
+                    return ends
+                start = cut
 
         def _chunks(text):
             if text is None:
@@ -389,11 +428,15 @@ def cdc_chunk_rows(
             if n >= kk:
                 h = (_svw(codes, kk) * pw).sum(axis=1) % md
                 # window starting at 0-based j ends at 1-based i = j + k
-                ends = (_np.nonzero(h % mm == 0)[0] + kk).tolist()
+                cands = (_np.nonzero(h % mm == 0)[0] + kk).tolist()
             else:
-                ends = []
-            if not ends or ends[-1] != n:
-                ends.append(n)
+                cands = []
+            if lo > 1 or hi is not None:
+                ends = _cut_ends(cands, n)
+            else:
+                ends = cands
+                if not ends or ends[-1] != n:
+                    ends = ends + [n]
             out, start = [], 0
             for idx, e in enumerate(ends):
                 chunk = text[start:e]

@@ -69,7 +69,25 @@ _INITIAL_PARTITIONS_CONF = (
 )
 
 
+_INPUT_BYTES_CACHE: dict[str, int] = {}
+
+
 def _input_bytes(path: str) -> int:
+    """On-disk bytes under ``path``, memoized per resolved path — the
+    warehouse tables are immutable within a run, and re-walking a
+    many-file directory on every ``load_table`` call is measurable
+    filesystem churn. (A process that rewrites a table in place can
+    clear ``_INPUT_BYTES_CACHE``; nothing in this repo does.)"""
+    key = os.path.abspath(path)
+    cached = _INPUT_BYTES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    total = _input_bytes_uncached(path)
+    _INPUT_BYTES_CACHE[key] = total
+    return total
+
+
+def _input_bytes_uncached(path: str) -> int:
     if os.path.isdir(path):
         total = 0
         for root, _dirs, files in os.walk(path):
@@ -111,7 +129,16 @@ def _autoscale_initial_partitions(spark: SparkSession, path: str) -> None:
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Load one star-schema table from parquet."""
+    """Load one star-schema table from parquet.
+
+    SESSION-WIDE SIDE EFFECT: loading a table ratchets
+    ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` up with
+    the table's on-disk size (monotone, never down) — one sf10 load in a
+    shared session permanently widens the initial shuffle width for later
+    small queries too. Benign under AQE (coalescing shrinks over-wide
+    starts for free) but surprising in A/B harnesses: pin arms with
+    ``SPARK_GRAFT_INITIAL_PARTITIONS`` (disables the ratchet) instead of
+    ``spark.conf.set``, which the next ``load_table`` out-ratchets."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Defensive runtime confs — the caller's session may not come from our

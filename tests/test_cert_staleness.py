@@ -39,7 +39,12 @@ def _last_green_by_row() -> tuple[dict[str, int], int]:
     last: dict[str, int] = {}
     latest = 0
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        # same guard as the registry loader: skip stray glob matches
+        # (e.g. CORRECTNESS_r9_old.json) so both loaders stay congruent
+        m = re.search(r"r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
         latest = max(latest, rnd)
         for name, rec in json.load(open(path)).items():
             green = (

@@ -1557,20 +1557,56 @@ def test_cdc_oracle_hash_congruent(spark):
     sdf = spark.createDataFrame(rows, "doc_id long, text string")
     engine = sorted(
         (r.doc_id, r.chunk_idx, r.chunk_digest)
-        for r in TX.cdc_chunk_rows(sdf).collect()
+        for r in TX.cdc_chunk_rows(sdf, min_len=24, max_len=128).collect()
     )
     sql = ORACLES["dedup_cdc_chunks"]
-    m = re.search(r"WITH (h AS .*?)\s*,\s*freq AS", sql, re.S)
+    m = re.search(r"WITH RECURSIVE (h AS .*?)\s*,\s*freq AS", sql, re.S)
     assert m, "oracle shape changed; update this test"
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     oracle = sorted(
         con.execute(
-            f"WITH {m.group(1)} SELECT doc_id, chunk_digest FROM chunks"
+            f"WITH RECURSIVE {m.group(1)} SELECT doc_id, chunk_digest FROM chunks"
         ).fetchall()
     )
     assert sorted((d, dig) for d, _i, dig in engine) == oracle
+
+
+def test_cdc_bounds_clamp_semantics(spark):
+    """min_len/max_len clamps (r10 verdict ask #5): every non-final chunk
+    length lands in [min_len, max_len]; a pathological boundary-dense
+    input (every window a boundary would mean a chunk per char without
+    the clamps) stays bounded; chunk lens still partition the text; the
+    default (None) path preserves the unbounded r10 semantics."""
+    base = "the quick brown fox jumps over the lazy dog " * 30  # 1350 chars
+    pathological = "z" * 600  # uniform content: worst case for CDC
+    df = spark.createDataFrame(
+        [(1, base), (2, pathological), (3, ""), (4, "tiny")],
+        "doc_id long, text string",
+    )
+    rows = TX.cdc_chunk_rows(df, min_len=24, max_len=128).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in ((1, base), (2, pathological)):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        lens = [r.chunk_len for r in chunks]
+        assert sum(lens) == len(text)
+        assert all(x <= 128 for x in lens)
+        assert all(x >= 24 for x in lens[:-1])  # tail may be short
+    # uniform content: forced cuts every max_len exactly
+    assert [r.chunk_len for r in sorted(by_doc[2], key=lambda r: r.chunk_idx)] == [
+        128, 128, 128, 128, 88,
+    ]
+    # degenerate docs keep the whole-text rule under the clamps
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_len == 0
+    assert len(by_doc[4]) == 1 and by_doc[4][0].chunk_len == 4
+    # min_len > max_len is a config error, not silent misbehavior
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TX.cdc_chunk_rows(df, min_len=10, max_len=5)
 
 
 def test_knn_label_probe_planted_clusters(spark):
@@ -1661,3 +1697,42 @@ def test_decontaminate_near_drops_near_copies(spark, docs):
     assert len(kept) > 0
     n_train = train.count()
     assert len(kept) >= n_train - 3 - 1 - 20  # fixture near-dups allowed
+
+
+def test_bucket_stats_per_call_handle_thread_safe(spark, docs):
+    """r10 ADVICE: the per-call handle used to round-trip through a
+    process-global function attribute, so two THREADS building pipelines
+    concurrently could cross-attach stats. The helpers now attach stats
+    to the frame they return; each thread must see its own max_bucket."""
+    import threading
+
+    results = {}
+
+    def build(mb):
+        out = D.winnow_pairs(docs, threshold=0.5, k=16, max_bucket=mb)
+        results[mb] = out.bucket_stats
+
+    threads = [threading.Thread(target=build, args=(mb,)) for mb in (2, 10_000)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results[2].max_bucket == 2
+    assert results[10_000].max_bucket == 10_000
+
+
+def test_bucket_stats_get_reraises_unrelated_errors():
+    """r10 ADVICE: BucketStats.get used to swallow EVERY exception into
+    the fallback recompute (masking real failures with an extra job). It
+    must now re-raise anything that is not the known AQE toPyRow
+    empty-relation condition."""
+    import pytest as _pytest
+
+    class Boom:
+        @property
+        def get(self):
+            raise RuntimeError("connection lost")
+
+    st = D.BucketStats(Boom(), max_bucket=10, raw=object(), ids_col="ids")
+    with _pytest.raises(RuntimeError, match="connection lost"):
+        st.get()

@@ -383,3 +383,74 @@ def test_banded_dedup_plans_are_arrow_batched_and_observed(spark):
         assert "MapInPandas" in plan, fn.__name__
         assert "CollectMetrics" in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_knn_probe_exact_is_one_block_cartesian_gemm(spark):
+    """Round-10 verdict ask #6: the exact kNN probe's plan must stay the
+    block-matrix shape — exactly ONE cartesian (of the two BLOCK
+    relations, each ~n/block_size rows, never raw rows) feeding an Arrow
+    GEMM stage (MapInPandas). A refactor that reintroduces the
+    interpreted Catalyst self-join (52 s at sf0.1 vs ~2 s) fails here."""
+    from pyarrow_ops_spark.functions.similarity import knn_label_probe
+    from pyarrow_ops_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    plan = (
+        knn_label_probe(emb, k=5, n_rows=500)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the block cross join compiles to CartesianProduct or, when one
+    # block relation is small enough to broadcast, BroadcastNestedLoopJoin
+    n_cross = plan.count("CartesianProduct") + plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert n_cross == 1, plan
+    assert "MapInPandas" in plan
+
+
+def test_knn_probe_exact_n_rows_skips_count_job(spark):
+    """Passing n_rows must build the plan with ZERO jobs run (the r10
+    verdict's extra-count nit): track jobs via the statusTracker."""
+    from pyarrow_ops_spark.functions.similarity import knn_label_probe
+    from pyarrow_ops_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    knn_label_probe(emb, k=5, n_rows=500)  # plan only, no action
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+
+
+def test_knn_probe_indexed_has_no_cartesian(spark, tmp_path):
+    """The IVF-shortlist probe joins blocks ON THE CELL KEY: no cartesian
+    anywhere, Arrow GEMM present, centroids broadcast."""
+    from pyarrow_ops_spark.functions.similarity import (
+        build_ivf_index,
+        knn_label_probe_indexed,
+    )
+    from pyarrow_ops_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    idx = str(tmp_path / "ivf_probe_idx")
+    build_ivf_index(emb, idx, n_clusters=4)
+    plan = (
+        knn_label_probe_indexed(spark, idx, emb, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no non-broadcast cartesian anywhere; the only cross joins are the
+    # centroid probes (broadcast build side = n_clusters rows)
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line and "Build" in line, line
+    assert "MapInPandas" in plan
+    assert "BroadcastExchange" in plan
+    # the block pairing is an EQUI join on the cell key
+    import re
+
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cluster", plan)

@@ -17,14 +17,12 @@ from __future__ import annotations
 
 import hashlib
 
-# sha256 over "\n".join(sorted(names)) — round 10 (192 rows:
-# +multimodal_audio_features, +dedup_cdc_chunks,
-# +similarity_knn_label_probe, +dedup_split_leakage,
-# +dedup_decontaminate_near). NOTE: five never-certified rows exactly
-# fill the r10 cap's free slots — adding a 6th query in the SAME round
-# would overflow the staleness gate; new rows resume in r11.
-NAMES_SHA256 = "c79acf042253ac07d220001eeddab2eea9712c327171b9e8d73ee0d821509a06"
-N_QUERIES = 192
+# sha256 over "\n".join(sorted(names)) — round 11
+# (+similarity_knn_probe_indexed; the folding consolidation moves rows
+# OUT of the driver registry into FOLDED_QUERIES — see test_folded below
+# and ARCHITECTURE.md "Cap-capacity policy").
+NAMES_SHA256 = "d4ac283a643af91e834546741001c0f97741346d08911973fef40db6e046698a"
+N_QUERIES = 193
 
 
 def _names_hash(names) -> str:
