@@ -38,7 +38,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyarrow_ops_spark.session import get_spark  # noqa: E402
-from pyarrow_ops_spark.entry_queries import QUERIES  # noqa: E402
+from pyarrow_ops_spark.entry_queries import ALL_QUERIES as QUERIES  # noqa: E402
 
 # Headline set: the compare.py analog plus one query per operator family.
 BENCH_QUERIES = [
@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "similarity_knn_label_probe",
     "dedup_split_leakage",
     "dedup_decontaminate_near",
+    # round-11 addition: IVF-shortlist kNN probe (the corpus-scale shape)
+    "similarity_knn_probe_indexed",
 ]
 
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from pyarrow_ops_spark.session import get_spark  # noqa: E402
-from pyarrow_ops_spark.entry_queries import QUERIES  # noqa: E402
+from pyarrow_ops_spark.entry_queries import ALL_QUERIES as QUERIES  # noqa: E402
 from pyarrow_ops_spark.sources.tables import TABLE_NAMES, load_table  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"

@@ -11,7 +11,24 @@ repeat (dedup families see 100x corpora with 100x planted-duplicate
 mass — the adversarial case for any pair-generation step).
 
 Run:  python benchmarks/sf10_validate.py [query ...]
-Writes benchmarks/sf10_validation_r10.json and prints one JSON line.
+Writes benchmarks/sf10_validation_r11.json and prints one JSON line.
+
+Round-11 (r10 verdict ask #4): every query now reports BOTH a raw and an
+EQUAL-OCCUPANCY exponent. Raw task-seconds are occupancy-weighted: sf1's
+small natural scan splits underfill the 32 threads (uncontended cycles)
+while sf10 saturates them (SMT/bandwidth-contended cycles, measured
+~2-3.7x slower for the identical map) — two rounds of forensics
+(curation_map_contention_r10.json, keep_drop_occupancy_r10.json) showed
+map-heavy queries reading exponent ~1.2-1.35 through this lens while
+being exactly linear (1.01) at equalized occupancy. The equal arm pins
+both scales to the SAME saturating width: scan splits via
+spark.sql.files.maxPartitionBytes = table_bytes/256 per scale, shuffle
+width 256 with AQE coalescing off (256 is the proven spill-safe width
+for the keep_drop aggregate at sf10 — NARROW equalization (32) hits the
+genuine agg-state cliff the auto-ratchet exists to avoid, 1358 task-s in
+keep_drop_occupancy_r10.json, and must not be used here). Wall exponents
+remain the headline scale signal; the equal-occupancy task exponent is
+the honest work-scaling number.
 """
 
 from __future__ import annotations
@@ -50,6 +67,65 @@ DEFAULT = [
 
 N_PASSES = 2
 
+# equal-occupancy arm: one saturating width for both scales (see module
+# docstring — wide enough to avoid the sf10 agg-state cliff, concurrent
+# enough to saturate 32 threads at sf1)
+EQUAL_WIDTH = 256
+_EQ_CONFS = (
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+)
+
+
+def _dir_bytes(sf_dir: str) -> int:
+    total = 0
+    for root, _d, files in os.walk(sf_dir):
+        for fn in files:
+            if not fn.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+    return total
+
+
+def _pin_equal_occupancy(spark, sf_dir: str) -> dict:
+    """Pin the session so BOTH scales run ~EQUAL_WIDTH concurrent tasks in
+    every stage: scan splits sized to the sf dir's dominant table, shuffle
+    width fixed, AQE coalescing off (it would shrink the small scale back
+    below saturation), and the load_table auto-ratchet disabled via its
+    env pin. Returns the prior conf values for restore."""
+    prior = {}
+    for c in _EQ_CONFS:
+        try:
+            prior[c] = spark.conf.get(c)
+        except Exception:
+            prior[c] = None
+    mpb = max(128 * 1024, _dir_bytes(sf_dir) // EQUAL_WIDTH)
+    os.environ["SPARK_GRAFT_INITIAL_PARTITIONS"] = str(EQUAL_WIDTH)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    spark.conf.set("spark.sql.shuffle.partitions", str(EQUAL_WIDTH))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        str(EQUAL_WIDTH),
+    )
+    return prior
+
+
+def _unpin_equal_occupancy(spark, prior: dict) -> None:
+    os.environ.pop("SPARK_GRAFT_INITIAL_PARTITIONS", None)
+    for c, v in prior.items():
+        if v is None:
+            try:
+                spark.conf.unset(c)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(c, v)
+
 
 def build_sf10(spark) -> None:
     build_sf1(spark)
@@ -87,6 +163,17 @@ def measure(spark, tracker, name: str, sf_dir: str, passes: int) -> dict:
     return {"wall_sec": round(min(wall), 3), "task_sec": round(min(task), 3)}
 
 
+def _exponents(m1: dict, m10: dict) -> dict:
+    return {
+        "wall_ratio": round(m10["wall_sec"] / m1["wall_sec"], 2),
+        "task_ratio": round(m10["task_sec"] / max(m1["task_sec"], 1e-9), 2),
+        "wall_exponent": round(math.log10(m10["wall_sec"] / m1["wall_sec"]), 2),
+        "task_exponent": round(
+            math.log10(m10["task_sec"] / max(m1["task_sec"], 1e-9)), 2
+        ),
+    }
+
+
 def main() -> None:
     names = sys.argv[1:] or DEFAULT
     spark = get_spark(app_name="sf10_validate")
@@ -95,23 +182,32 @@ def main() -> None:
     tracker = _StageTaskTime(spark.sparkContext)
     out: dict[str, dict] = {}
     for n in names:
+        # raw arm: production confs (auto-ratchet, AQE coalescing)
         m1 = measure(spark, tracker, n, SF1, N_PASSES + 1)
         m10 = measure(spark, tracker, n, SF10, N_PASSES)
+        # equal-occupancy arm: both scales pinned to EQUAL_WIDTH
+        prior = _pin_equal_occupancy(spark, SF1)
+        try:
+            e1 = measure(spark, tracker, n, SF1, N_PASSES)
+            _unpin_equal_occupancy(spark, prior)
+            prior = _pin_equal_occupancy(spark, SF10)
+            e10 = measure(spark, tracker, n, SF10, N_PASSES)
+        finally:
+            _unpin_equal_occupancy(spark, prior)
         out[n] = {
             "sf1": m1,
             "sf10": m10,
-            "wall_ratio": round(m10["wall_sec"] / m1["wall_sec"], 2),
-            "task_ratio": round(m10["task_sec"] / max(m1["task_sec"], 1e-9), 2),
-            "wall_exponent": round(
-                math.log10(m10["wall_sec"] / m1["wall_sec"]), 2
-            ),
-            "task_exponent": round(
-                math.log10(m10["task_sec"] / max(m1["task_sec"], 1e-9)), 2
-            ),
+            **_exponents(m1, m10),
+            "equal_occupancy": {
+                "width": EQUAL_WIDTH,
+                "sf1": e1,
+                "sf10": e10,
+                **_exponents(e1, e10),
+            },
         }
         print(n, json.dumps(out[n]), flush=True)
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "sf10_validation_r10.json"
+        os.path.dirname(os.path.abspath(__file__)), "sf10_validation_r11.json"
     )
     # merge with any prior partial run so the artifact accumulates across
     # split invocations (long queries run in their own process)

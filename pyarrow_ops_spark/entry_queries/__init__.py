@@ -16,8 +16,11 @@ are compared exactly.
 from __future__ import annotations
 
 from pyarrow_ops_spark.entry_queries._registry import (  # noqa: F401
+    FOLDED_ORACLES,
+    FOLDED_QUERIES,
     ORACLES,
     QUERIES,
+    folded_query,
     query,
 )
 
@@ -169,3 +172,9 @@ def _reorder_registry() -> None:
 
 
 _reorder_registry()
+
+# Everything implemented, driver-facing or folded — what bench/sweep
+# harnesses and pytest iterate so consolidation never shrinks COVERAGE,
+# only driver-cap load (see ARCHITECTURE.md "Cap-capacity policy").
+ALL_QUERIES = {**QUERIES, **FOLDED_QUERIES}
+ALL_ORACLES = {**ORACLES, **FOLDED_ORACLES}

@@ -20,7 +20,7 @@ from pyarrow_ops_spark.operators.join import join
 from pyarrow_ops_spark.functions.jsons import str_to_table
 from pyarrow_ops_spark.sources.tables import load_table
 
-from pyarrow_ops_spark.entry_queries._registry import query
+from pyarrow_ops_spark.entry_queries._registry import folded_query, query
 
 
 
@@ -64,7 +64,7 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("dedup_jaccard_brute", _JACCARD_ORACLE)
+@folded_query("dedup_jaccard_brute", _JACCARD_ORACLE)
 def q_dedup_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force 5-gram Jaccard pairs >= 0.8 (O(n²) baseline — the
     oracle semantics for the LSH path below)."""
@@ -195,7 +195,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
+@folded_query(
     "dedup_simhash_planted",
     """
     SELECT doc_id AS id_a,
@@ -613,7 +613,7 @@ def q_mix_sources_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
+@folded_query(
     "mix_sources_exact",
     """
     WITH counts AS (
@@ -869,7 +869,7 @@ def q_dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
+@folded_query(
     "dedup_exact_normalized",
     r"""
     WITH norm AS (

@@ -20,7 +20,7 @@ from pyarrow_ops_spark.operators.join import join
 from pyarrow_ops_spark.functions.jsons import str_to_table
 from pyarrow_ops_spark.sources.tables import load_table
 
-from pyarrow_ops_spark.entry_queries._registry import query
+from pyarrow_ops_spark.entry_queries._registry import folded_query, query
 
 
 
@@ -90,7 +90,7 @@ _ORDERS_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
 
 
 
-@query(
+@folded_query(
     "dedup_keep_first",
     f"""
     SELECT {_ORDERS_COLS} FROM (
@@ -111,7 +111,7 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
+@folded_query(
     "dedup_keep_last",
     f"""
     SELECT {_ORDERS_COLS} FROM (

@@ -20,7 +20,7 @@ from pyarrow_ops_spark.operators.join import join
 from pyarrow_ops_spark.functions.jsons import str_to_table
 from pyarrow_ops_spark.sources.tables import load_table
 
-from pyarrow_ops_spark.entry_queries._registry import query
+from pyarrow_ops_spark.entry_queries._registry import folded_query, query
 from pyarrow_ops_spark.entry_queries._shared import _cached_index
 
 
@@ -31,7 +31,7 @@ from pyarrow_ops_spark.entry_queries._shared import _cached_index
 # ---------------------------------------------------------------------------
 
 
-@query(
+@folded_query(
     "similarity_join_threshold",
     """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -606,7 +606,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
+@folded_query(
     "similarity_topk_ivf_exact",
     """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

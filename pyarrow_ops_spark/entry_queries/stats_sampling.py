@@ -19,7 +19,7 @@ from pyarrow_ops_spark.operators.join import join
 from pyarrow_ops_spark.functions.jsons import str_to_table
 from pyarrow_ops_spark.sources.tables import load_table
 
-from pyarrow_ops_spark.entry_queries._registry import query
+from pyarrow_ops_spark.entry_queries._registry import folded_query, query
 
 
 
@@ -190,7 +190,7 @@ def q_sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
+@folded_query(
     "histogram_totalprice",
     """
     SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,

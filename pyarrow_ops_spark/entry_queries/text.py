@@ -20,7 +20,7 @@ from pyarrow_ops_spark.operators.join import join
 from pyarrow_ops_spark.functions.jsons import str_to_table
 from pyarrow_ops_spark.sources.tables import load_table
 
-from pyarrow_ops_spark.entry_queries._registry import query
+from pyarrow_ops_spark.entry_queries._registry import folded_query, query
 from pyarrow_ops_spark.entry_queries._shared import _cached_index
 
 
@@ -466,7 +466,7 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
+@folded_query(
     "text_quality_filter",
     r"""
     WITH m AS (
@@ -509,7 +509,7 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
+@folded_query(
     "search_bm25_topk",
     """
     WITH base AS (

@@ -19,7 +19,7 @@ from pyarrow_ops_spark.operators.join import join
 from pyarrow_ops_spark.functions.jsons import str_to_table
 from pyarrow_ops_spark.sources.tables import load_table
 
-from pyarrow_ops_spark.entry_queries._registry import query
+from pyarrow_ops_spark.entry_queries._registry import folded_query, query
 
 
 
@@ -401,7 +401,7 @@ _SQL_FRONTEND_WINDOW = """
 
 
 
-@query("sql_frontend_window", _SQL_FRONTEND_WINDOW)
+@folded_query("sql_frontend_window", _SQL_FRONTEND_WINDOW)
 def q_sql_frontend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window analytics through the SQL front door — the SAME string object
     runs on spark.sql and on DuckDB. RANK + a partition-frame AVG in one
@@ -429,7 +429,7 @@ _SQL_FRONTEND_TOPN = """
 
 
 
-@query("sql_frontend_topn", _SQL_FRONTEND_TOPN)
+@folded_query("sql_frontend_topn", _SQL_FRONTEND_TOPN)
 def q_sql_frontend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTE + per-group top-N + join + aggregate, byte-identical SQL on both
     engines. Catalyst turns the rn <= 3 post-filter into a map-side

@@ -28,9 +28,9 @@ def test_every_benched_batch_query_has_a_trend_entry():
 def test_bench_and_trend_names_resolve_in_registry():
     from bench import BENCH_QUERIES
     from benchmarks.scale_trend import DEFAULT_QUERIES as TREND
-    from pyarrow_ops_spark.entry_queries import QUERIES
+    from pyarrow_ops_spark.entry_queries import ALL_QUERIES
 
-    unknown = sorted((set(BENCH_QUERIES) | set(TREND)) - set(QUERIES))
+    unknown = sorted((set(BENCH_QUERIES) | set(TREND)) - set(ALL_QUERIES))
     assert not unknown, f"bench/trend names not in the registry: {unknown}"
 
 

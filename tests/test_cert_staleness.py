@@ -151,3 +151,52 @@ def test_derivation_degrades_instead_of_raising_on_overflow():
     assert len(order) == 60  # full registry preserved
     assert order[:CAP] == sorted(names)[:CAP]  # oldest (tie: name) first
     assert len(set(order)) == 60
+
+
+def test_capacity_policy_feasible_through_r14():
+    """Cap-capacity policy (round-11, ARCHITECTURE.md): the registry must
+    fit the rotation with working slack through at least round 14.
+
+    Feasibility has two faces:
+    1. STATIC: R + GROWTH_BUDGET × rounds_to_14 <= CAP × PERIOD — the
+       rotation can keep every row inside the window even if the registry
+       grows at the full budget every round.
+    2. DYNAMIC: simulate those rounds (cap goes green each round, the
+       registry gains GROWTH_BUDGET synthetic never-certified rows per
+       round) and assert the derived cap never leaves a stale row
+       unscheduled AND always has >= GROWTH_BUDGET free slots after the
+       mandatory set (new rows must enter the cap immediately).
+    When this fails, fold more twice-certified rows (preferred) or raise
+    PERIOD with the tradeoff documented — BEFORE the driver round, not
+    after."""
+    from pyarrow_ops_spark.entry_queries import QUERIES, derive_cap_order
+
+    GROWTH_BUDGET = 3  # net new driver rows per round (additions - folds)
+    TARGET_ROUND = 14
+
+    last, latest = _last_green_by_row()
+    names = list(QUERIES)
+    rounds = max(0, TARGET_ROUND - latest)
+    assert len(names) + GROWTH_BUDGET * rounds <= CAP * PERIOD, (
+        f"registry {len(names)} + {GROWTH_BUDGET}/round × {rounds} rounds "
+        f"exceeds the {CAP}×{PERIOD} certifiable ceiling — fold more rows"
+    )
+
+    green = dict(last)
+    rnd = latest
+    synth = list(names)
+    for step in range(rounds):
+        order = derive_cap_order(synth, green, rnd, claims=[])
+        cap_rows = set(order[:CAP])
+        floor = rnd + 2 - PERIOD
+        stale = [n for n in synth if n not in cap_rows and green.get(n, 0) < floor]
+        assert not stale, f"synthetic round {rnd + 1}: stale rows {stale}"
+        mandatory = [n for n in synth if green.get(n, 0) < floor]
+        assert len(mandatory) + GROWTH_BUDGET <= CAP, (
+            f"synthetic round {rnd + 1}: mandatory load {len(mandatory)} "
+            f"leaves < {GROWTH_BUDGET} free slots"
+        )
+        rnd += 1
+        for n in cap_rows:
+            green[n] = rnd
+        synth = synth + [f"__synthetic_r{rnd}_{i}" for i in range(GROWTH_BUDGET)]

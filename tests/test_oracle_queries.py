@@ -2,23 +2,31 @@
 
 Mimics the driver's correctness gate (row-count + column names +
 order-insensitive value comparison) so failures surface here first.
+FOLDED rows (cap-capacity policy) stay in this gate forever — folding
+removes a row from the driver registry, never from differential
+coverage.
 """
 
 from __future__ import annotations
 
 import pytest
 
-from pyarrow_ops_spark.entry_queries import QUERIES, ORACLES
+from pyarrow_ops_spark.entry_queries import (
+    ALL_ORACLES,
+    ALL_QUERIES,
+    ORACLES,
+    QUERIES,
+)
 from tests.conftest import ORACLE_SF_DIR, assert_matches_oracle
 
-ORACLE_CASES = sorted(ORACLES)
+ORACLE_CASES = sorted(ALL_ORACLES)
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_query_matches_oracle(spark, duck, name):
-    sdf = QUERIES[name](spark, ORACLE_SF_DIR)
+    sdf = ALL_QUERIES[name](spark, ORACLE_SF_DIR)
     # rewrite table refs to the sf0.01-prefixed views registered in conftest
-    sql = ORACLES[name]
+    sql = ALL_ORACLES[name]
     for t in (
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
@@ -36,9 +44,9 @@ def _rewrite_table(sql: str, table: str) -> str:
     )
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLES)))
 def test_query_runs_rows_only(spark, name):
-    sdf = QUERIES[name](spark, ORACLE_SF_DIR)
+    sdf = ALL_QUERIES[name](spark, ORACLE_SF_DIR)
     assert sdf.count() >= 0
 
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pytest
 
-from pyarrow_ops_spark.entry_queries import QUERIES
+from pyarrow_ops_spark.entry_queries import ALL_QUERIES, QUERIES
 from pyarrow_ops_spark.plans.inspect import (
     formatted_plan,
     has_broadcast_join,
@@ -48,7 +48,7 @@ def test_dim_join_broadcasts(spark):
 def test_dedup_uses_window_group_limit(spark):
     # Spark 3.5+ pushes a WindowGroupLimit below the exchange for
     # row_number()<=k — map-side pre-filtering of the dedup window
-    df = QUERIES["dedup_keep_first"](spark, SF_DIR)
+    df = ALL_QUERIES["dedup_keep_first"](spark, SF_DIR)
     assert "WindowGroupLimit" in formatted_plan(df)
 
 
@@ -147,7 +147,7 @@ def test_sql_frontend_topn_window_group_limit_and_broadcast(spark):
     # the SQL front door gets the same physical plan quality as the
     # DataFrame API: map-side WindowGroupLimit below the window shuffle,
     # broadcast join on the customer dim
-    df = QUERIES["sql_frontend_topn"](spark, SF_DIR)
+    df = ALL_QUERIES["sql_frontend_topn"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
@@ -183,7 +183,7 @@ def test_quality_filter_map_only(spark):
     # permitted exchange is spread()'s RoundRobin repartition, which fires
     # only when the scan can't saturate the cores (true at test SF, a
     # no-op at 100 TB where the scan has plenty of splits).
-    df = QUERIES["text_quality_filter"](spark, SF_DIR)
+    df = ALL_QUERIES["text_quality_filter"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert shuffle_count(df) <= 1
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan

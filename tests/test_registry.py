@@ -17,12 +17,15 @@ from __future__ import annotations
 
 import hashlib
 
-# sha256 over "\n".join(sorted(names)) — round 11
-# (+similarity_knn_probe_indexed; the folding consolidation moves rows
-# OUT of the driver registry into FOLDED_QUERIES — see test_folded below
-# and ARCHITECTURE.md "Cap-capacity policy").
-NAMES_SHA256 = "d4ac283a643af91e834546741001c0f97741346d08911973fef40db6e046698a"
-N_QUERIES = 193
+# sha256 over "\n".join(sorted(names)) — round 11:
+# +similarity_knn_probe_indexed; 13 twice-certified near-redundant rows
+# folded OUT of the driver registry into FOLDED_QUERIES (cap-capacity
+# policy, ARCHITECTURE.md) — still oracle-gated by pytest every run,
+# no longer consuming driver-cap rotation slots.
+NAMES_SHA256 = "4f8ad814c262d6886e95c79eccf5a2e7f6712bc740c5742d8beb9da2111e4671"
+N_QUERIES = 180
+FOLDED_SHA256 = "6917225a70f421746cf8b91577e714685cef6d8dc4799aab259b98cddb4a7f09"
+N_FOLDED = 13
 
 
 def _names_hash(names) -> str:
@@ -46,6 +49,53 @@ def test_every_query_is_oracle_backed():
     assert not missing, f"queries without a DuckDB oracle: {missing}"
     orphaned = sorted(set(ORACLES) - set(QUERIES))
     assert not orphaned, f"oracles without a query: {orphaned}"
+
+
+def test_folded_rows_frozen_and_disjoint():
+    """The folded set is a deliberate, frozen list: every folded row is
+    oracle-backed, disjoint from the driver registry, and stays covered
+    by the pytest oracle gate (test_oracle_queries iterates ALL_ORACLES)."""
+    from pyarrow_ops_spark.entry_queries import (
+        FOLDED_ORACLES,
+        FOLDED_QUERIES,
+        QUERIES,
+    )
+
+    got = _names_hash(FOLDED_QUERIES)
+    assert len(FOLDED_QUERIES) == N_FOLDED and got == FOLDED_SHA256, (
+        f"folded surface changed: {len(FOLDED_QUERIES)} names, hash {got} — "
+        f"if deliberate, update N_FOLDED/FOLDED_SHA256"
+    )
+    assert not set(FOLDED_QUERIES) & set(QUERIES)
+    assert set(FOLDED_ORACLES) == set(FOLDED_QUERIES)
+
+
+def test_folded_rows_were_certified_twice_before_folding():
+    """Fold eligibility (cap-capacity policy): a row may leave the driver
+    registry only after >=2 driver-green certs on disk — folding is a
+    certification graduation, never an escape hatch for a red row."""
+    import glob
+    import json
+    import os
+    import re
+
+    from pyarrow_ops_spark.entry_queries import FOLDED_QUERIES, _repo_root
+
+    greens: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
+        if re.search(r"r(\d+)\.json$", path) is None:
+            continue
+        for name, rec in json.load(open(path)).items():
+            ok = (
+                rec.get("err") is None
+                and rec.get("rows_match") is True
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+            )
+            if ok:
+                greens[name] = greens.get(name, 0) + 1
+    under = sorted(n for n in FOLDED_QUERIES if greens.get(n, 0) < 2)
+    assert not under, f"folded rows with < 2 driver-green certs: {under}"
 
 
 def test_driver_cap_prefix_matches_derived_order():
