@@ -122,8 +122,11 @@ BENCH_QUERIES = [
     "similarity_knn_label_probe",
     "dedup_split_leakage",
     "dedup_decontaminate_near",
-    # round-11 addition: IVF-shortlist kNN probe (the corpus-scale shape)
+    # round-11 additions: IVF-shortlist kNN probe (the corpus-scale
+    # shape), hybrid BM25+cosine RRF retrieval, two-sample KS drift
     "similarity_knn_probe_indexed",
+    "search_hybrid_rrf",
+    "stats_ks_drift",
 ]
 
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))

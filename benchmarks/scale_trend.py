@@ -182,6 +182,13 @@ DEFAULT_QUERIES = [
     "similarity_knn_label_probe",
     "dedup_split_leakage",
     "dedup_decontaminate_near",
+    # round-11: IVF-shortlist kNN probe (partition-pruned cell joins are
+    # exactly the shape a 10x check should watch), hybrid RRF retrieval
+    # (two ranker scans + bounded fusion), KS drift (union scan + one
+    # bins-bounded aggregate)
+    "similarity_knn_probe_indexed",
+    "search_hybrid_rrf",
+    "stats_ks_drift",
 ]
 
 

@@ -78,6 +78,9 @@ _CHANGED_PATH_CLAIMS: list[str] = [
     # r11 changes
     "similarity_knn_label_probe",  # r11: zero-norm filter both engines
     "dedup_cdc_chunks",        # r11: min/max chunk bounds (oracle mirrored)
+    "search_bm25_indexed",     # r11: bm25_topk split into bm25_scores +
+                               # top-k wrapper (pure code motion, shared
+                               # formula) for the rrf_fuse hybrid ranker
 ]
 
 

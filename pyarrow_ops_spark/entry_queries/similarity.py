@@ -324,7 +324,11 @@ def _recall_bound_row(
 
 
 
-@query(
+@folded_query(
+    # Folded r11 (cap-capacity policy, ARCHITECTURE.md): certified r6+r7;
+    # survivor similarity_topk_ivf_indexed runs the SAME IVF engine path
+    # through the persisted index, and the recall floor is pinned in
+    # tests/test_ann_recall.py. Still oracle-gated by pytest every run.
     "similarity_topk_ivf",
     """
     SELECT CAST(5 AS BIGINT) AS n_queries, CAST(5 AS INT) AS k,
@@ -348,7 +352,10 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
+@folded_query(
+    # Folded r11 (cap-capacity policy): certified r6+r7; survivor
+    # similarity_topk_lsh_exact certifies the same LSH engine exactly
+    # (all-probe config), recall floor pinned in tests/test_ann_recall.py.
     "similarity_topk_lsh",
     """
     SELECT CAST(5 AS BIGINT) AS n_queries, CAST(5 AS INT) AS k,

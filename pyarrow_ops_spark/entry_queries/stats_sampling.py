@@ -751,3 +751,58 @@ def q_stats_robust_z_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", "n_chars", F.round("rz", 4).alias("rz")
     )
+
+
+@query(
+    "stats_ks_drift",
+    """
+    WITH u AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, 0 AS s FROM orders
+        WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS s FROM orders
+        WHERE o_orderstatus = 'O'
+    ),
+    st AS (SELECT min(v) AS mn, max(v) AS mx,
+                  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS na,
+                  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nb
+           FROM u),
+    b AS (SELECT CASE WHEN mx = mn THEN 0
+                      ELSE least(255, CAST(floor((v - mn) * 256 / (mx - mn))
+                                           AS BIGINT))
+                 END AS bin, s
+          FROM u CROSS JOIN st),
+    c AS (SELECT bin,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+          FROM b GROUP BY bin),
+    g AS (SELECT bin,
+                 sum(ca) OVER (ORDER BY bin) AS cuma,
+                 sum(cb) OVER (ORDER BY bin) AS cumb
+          FROM c)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(bin AS INT) AS ks_bin,
+           round(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb),
+                 6) AS ks_d
+    FROM g CROSS JOIN st
+    ORDER BY ks_d DESC, ks_bin LIMIT 1
+    """,
+)
+def q_stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift statistic between fulfilled ('F') and open
+    ('O') orders' totalprice distributions, on 256 equal-width bins —
+    the distribution monitor a training-data ingestion pipeline runs on
+    every new snapshot. Both engines evaluate the identical
+    left-associated double binning expression, so bin assignment is
+    bit-congruent; the gap is ranked rounded-6 with a bin tiebreak. The
+    CDF window orders at most 256 rows (bounded by construction, never
+    by the data)."""
+    from pyarrow_ops_spark.functions.stats import ks_drift
+
+    orders = load_table(spark, "orders", sf_dir)
+    return ks_drift(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") == "O"),
+        "o_totalprice",
+        bins=256,
+    )

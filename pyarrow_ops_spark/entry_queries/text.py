@@ -856,3 +856,75 @@ def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return bigram_pmi_topk(docs, k=20, min_count=5)
+
+
+@query(
+    "search_hybrid_rrf",
+    """
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base),
+    tf AS (
+        SELECT doc_id, dl, t, count(*) AS tf FROM (
+            SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM base
+        ) WHERE t IN ('data', 'model', 'quality', 'training')
+        GROUP BY doc_id, dl, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    bm AS (
+        SELECT tf.doc_id,
+               round(sum( ln(1.0 + (stats.n - dfreq.df + 0.5)
+                                   / (dfreq.df + 0.5))
+                          * (tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (1 - 0.75
+                                            + 0.75 * tf.dl / stats.avgdl)) ),
+                     4) AS rs
+        FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    bmr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY rs DESC, doc_id) AS r
+            FROM bm),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 3),
+    cs AS (SELECT e.vec_id AS doc_id,
+                  round(list_cosine_similarity(e.v, qv), 4) AS rs
+           FROM e CROSS JOIN q WHERE e.vec_id != 3),
+    csr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY rs DESC, doc_id) AS r
+            FROM cs),
+    contrib AS (
+        SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS c
+        FROM bmr WHERE r <= 50
+        UNION ALL
+        SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS c
+        FROM csr WHERE r <= 50
+    )
+    SELECT doc_id, round(sum(c), 6) AS rrf FROM contrib
+    GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking over documents fused with
+    an embedding cosine ranking (query = vec_id 3) by reciprocal-rank
+    fusion (c=60, top_n=50 per ranker, fused top-10) — the standard
+    two-tower shortlist merge of a retrieval/decontamination pipeline.
+    Every cut and rank on BOTH engines is taken on the rounded score
+    with an id tiebreak, and each doc receives at most two double
+    additions (order-insensitive), so the fused hash is engine-stable.
+    The per-ranker cuts are TakeOrderedAndProject; the fusion touches
+    2 x 50 rows."""
+    from pyarrow_ops_spark.functions.search import bm25_scores, rrf_fuse
+    from pyarrow_ops_spark.functions.similarity import cosine_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    bm = bm25_scores(docs, "model training data quality")
+    cos = cosine_topk(emb, emb.filter(F.col("vec_id") == 3), k=50).select(
+        F.col("vec_id").alias("doc_id"), F.col("sim").alias("score")
+    )
+    return rrf_fuse([bm, cos], k=10)

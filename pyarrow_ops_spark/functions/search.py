@@ -36,29 +36,31 @@ def _tokens(col: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 0)
 
 
-def bm25_topk(
+def bm25_scores(
     df: DataFrame,
     query: Sequence[str] | str,
-    k: int = 10,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Okapi BM25 top-k retrieval over a document table, index-free.
+    """Okapi BM25 scores for every query-matching document, index-free.
 
-    Returns ``(id_col, score)`` for the ``k`` best-matching documents,
-    ties broken by id. ``query`` is a list of terms or a string run
-    through the same tokenizer as the corpus.
+    Returns ``(id_col, score)`` for each document containing at least one
+    query term (non-matching documents are absent, not zero-scored).
+    ``query`` is a list of terms or a string run through the same
+    tokenizer as the corpus. ``bm25_topk`` wraps this with the top-k cut;
+    rank-fusion callers (``rrf_fuse``) take the scored relation directly
+    so the cut happens on the fusion's deterministic rounded-score order.
 
     Plan shape: one map-only pass computes each doc's token array and
     length; query-term matches (an ``F.filter`` on the array BEFORE
     explode, so non-matching tokens never become rows) aggregate to
     per-(doc, term) term frequencies; document frequencies per term and
-    corpus stats (N, avgdl) are tiny aggregates broadcast back; the final
-    top-k is a TakeOrderedAndProject. No cartesian, no collect, no
-    full-corpus explode — the only corpus-sized work is the scan itself.
+    corpus stats (N, avgdl) are tiny aggregates broadcast back. No
+    cartesian, no collect, no full-corpus explode — the only corpus-sized
+    work is the scan itself.
     """
     if isinstance(query, str):
         import re
@@ -121,7 +123,77 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.sum("__s").alias("score"))
     )
+    return scored
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: Sequence[str] | str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (``bm25_scores`` + TakeOrderedAndProject
+    cut, ties broken by id)."""
+    scored = bm25_scores(
+        df, query, id_col=id_col, text_col=text_col, k1=k1, b=b
+    )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 10,
+    c: int = 60,
+    top_n: int = 50,
+) -> DataFrame:
+    """Reciprocal-rank fusion of scored rankings — the standard hybrid-
+    retrieval merge (keyword BM25 + embedding cosine): each ranking
+    contributes ``1/(c + rank)`` for its top ``top_n`` ids, summed per id,
+    top ``k`` fused ids returned as ``(id_col, rrf)``.
+
+    Determinism across engines: every per-ranking cut and rank is taken
+    on ``(round(score, 4) DESC, id ASC)`` — never on raw doubles, whose
+    last ulp can differ between engines — and the fused score is rounded
+    to 6 before the final (rrf DESC, id ASC) top-k. With two rankings
+    each id receives at most two IEEE-double additions, which are
+    order-insensitive, so the fused hash is engine-stable.
+
+    Plan shape (100 TB): each ranking's top-``top_n`` cut is a
+    TakeOrderedAndProject over the ranker's scored relation (distributed
+    partial top-k per partition, merged on the driver); the row_number
+    window then orders at most ``top_n`` rows, so the single-partition
+    window is bounded by construction. The fusion itself touches
+    ``len(rankings) × top_n`` rows.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from pyspark.sql import Window as W
+
+    contribs = []
+    for r in rankings:
+        rounded = r.select(
+            F.col(id_col), F.round(F.col(score_col), 4).alias("__rs")
+        )
+        top = rounded.orderBy(F.col("__rs").desc(), F.col(id_col)).limit(top_n)
+        w = W.orderBy(F.col("__rs").desc(), F.col(id_col))
+        contribs.append(
+            top.withColumn("__rank", F.row_number().over(w)).select(
+                id_col,
+                (F.lit(1.0) / (F.lit(c) + F.col("__rank"))).alias("__c"),
+            )
+        )
+    u = contribs[0]
+    for extra in contribs[1:]:
+        u = u.unionAll(extra)
+    fused = u.groupBy(id_col).agg(F.round(F.sum("__c"), 6).alias("rrf"))
+    return fused.orderBy(F.col("rrf").desc(), F.col(id_col)).limit(k)
 
 
 def tfidf_topk(

@@ -305,3 +305,87 @@ def histogram_equidepth(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 256,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the ``col``
+    distributions of two slices, computed on ``bins`` equal-width bins —
+    the train-vs-incoming-batch distribution monitor of an ingestion
+    pipeline ("did this crawl snapshot's doc-length distribution move?").
+
+    Output is ONE row ``(n_a, n_b, ks_bin, ks_d)``: the slice sizes, the
+    bin index where the empirical-CDF gap peaks, and the gap itself
+    (rounded to 6, ties broken by bin asc — deterministic across
+    engines). Binning makes the statistic a lower bound on the exact KS
+    D with error <= max per-bin mass; 256 bins is plenty for drift
+    alerting.
+
+    Plan shape (100 TB): one union scan -> a single-row min/max/count
+    aggregate broadcast back -> map-only bin assignment -> one
+    ``bins``-bounded groupBy. The running-sum window that turns bin
+    counts into CDFs orders a relation of at most ``bins`` rows, so the
+    single-partition window is bounded by construction, never by the
+    data. Bins empty in BOTH slices are absent from the counts relation;
+    the CDF is constant across them, so the max gap is unaffected.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    u = df_a.select(
+        F.col(col).cast("double").alias("__v"), F.lit(0).alias("__s")
+    ).unionAll(
+        df_b.select(F.col(col).cast("double").alias("__v"), F.lit(1).alias("__s"))
+    ).filter(F.col("__v").isNotNull())
+    st = u.agg(
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__nb"),
+    )
+    # bin = least(bins-1, floor((v - mn) * bins / (mx - mn))): the DuckDB
+    # oracle evaluates the SAME left-associated double expression, so the
+    # assignment is bit-identical across engines (IEEE 754 is exact about
+    # each op); a degenerate mn == mx slice collapses to bin 0
+    binned = u.crossJoin(F.broadcast(st)).select(
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("__v") - F.col("__mn"))
+                    * bins
+                    / (F.col("__mx") - F.col("__mn"))
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+        "__s",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__cb"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "bin",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+    )
+    gaps = cum.crossJoin(F.broadcast(st)).select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.col("bin").alias("ks_bin"),
+        F.round(
+            F.abs(
+                F.col("__cuma").cast("double") / F.col("__na")
+                - F.col("__cumb").cast("double") / F.col("__nb")
+            ),
+            6,
+        ).alias("ks_d"),
+    )
+    return gaps.orderBy(F.col("ks_d").desc(), F.col("ks_bin")).limit(1)

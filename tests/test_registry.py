@@ -18,14 +18,17 @@ from __future__ import annotations
 import hashlib
 
 # sha256 over "\n".join(sorted(names)) — round 11:
-# +similarity_knn_probe_indexed; 13 twice-certified near-redundant rows
-# folded OUT of the driver registry into FOLDED_QUERIES (cap-capacity
-# policy, ARCHITECTURE.md) — still oracle-gated by pytest every run,
-# no longer consuming driver-cap rotation slots.
-NAMES_SHA256 = "4f8ad814c262d6886e95c79eccf5a2e7f6712bc740c5742d8beb9da2111e4671"
+# +similarity_knn_probe_indexed, +search_hybrid_rrf (BM25 + cosine RRF
+# hybrid retrieval), +stats_ks_drift (two-sample KS drift monitor);
+# 15 twice-certified near-redundant rows folded OUT of the driver
+# registry into FOLDED_QUERIES (cap-capacity policy, ARCHITECTURE.md —
+# r11 adds similarity_topk_ivf/_lsh, survivors _ivf_indexed/_lsh_exact)
+# — still oracle-gated by pytest every run, no longer consuming
+# driver-cap rotation slots. Net registry growth this round: 0.
+NAMES_SHA256 = "d3ac8811b53df322ea0190f8f86165729dfce60cd42f742c614c3f1e4ea3f8b0"
 N_QUERIES = 180
-FOLDED_SHA256 = "6917225a70f421746cf8b91577e714685cef6d8dc4799aab259b98cddb4a7f09"
-N_FOLDED = 13
+FOLDED_SHA256 = "398498b49e92ff3f67829caec7a4362a59792bcd12490b774677c23acee37a0f"
+N_FOLDED = 15
 
 
 def _names_hash(names) -> str:

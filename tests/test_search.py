@@ -232,3 +232,54 @@ class TestIndexedBM25:
 
         with pytest.raises(ValueError):
             bm25_topk_indexed(spark, str(tmp_path), "!!!")
+
+
+class TestRrfFuse:
+    def _rank(self, spark, pairs):
+        return spark.createDataFrame(pairs, ["doc_id", "score"])
+
+    def test_fusion_math_exact(self, spark):
+        from pyarrow_ops_spark.functions.search import rrf_fuse
+
+        r1 = self._rank(spark, [(1, 3.0), (2, 2.0), (3, 1.0)])
+        r2 = self._rank(spark, [(3, 9.0), (1, 8.0), (4, 7.0)])
+        out = {r["doc_id"]: r["rrf"] for r in rrf_fuse([r1, r2], k=10, c=60).collect()}
+        # ranks: r1 -> 1:1, 2:2, 3:3 ; r2 -> 3:1, 1:2, 4:3
+        assert out[1] == round(1 / 61 + 1 / 62, 6)
+        assert out[3] == round(1 / 63 + 1 / 61, 6)
+        assert out[2] == round(1 / 62, 6)
+        assert out[4] == round(1 / 63, 6)
+
+    def test_top_n_cut_on_rounded_score(self, spark):
+        from pyarrow_ops_spark.functions.search import rrf_fuse
+
+        # 5 docs, top_n=3: ids ranked by (round(score,4) desc, id asc) —
+        # the two raw-score ties at 1.00001/1.00004 round to the SAME
+        # 1.0, so the cut falls to the id tiebreak, doc 4 in, doc 5 out
+        r = self._rank(
+            spark,
+            [(1, 2.0), (2, 1.5), (3, 1.2), (4, 1.00004), (5, 1.00001)],
+        )
+        out = {row["doc_id"] for row in rrf_fuse([r], k=10, top_n=3).collect()}
+        assert out == {1, 2, 3}
+        out4 = {row["doc_id"] for row in rrf_fuse([r], k=10, top_n=4).collect()}
+        assert out4 == {1, 2, 3, 4}
+
+    def test_single_ranker_identity_order(self, spark):
+        from pyarrow_ops_spark.functions.search import rrf_fuse
+
+        r = self._rank(spark, [(i, float(100 - i)) for i in range(20)])
+        rows = rrf_fuse([r], k=5).collect()
+        assert [x["doc_id"] for x in rows] == [0, 1, 2, 3, 4]
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+
+    def test_hybrid_entry_plan_has_no_unbounded_window(self, spark):
+        """The fusion's row_number windows must consume LIMIT top_n
+        relations (TakeOrderedAndProject feeds each window), so the
+        single-partition window is bounded by construction."""
+        from pyarrow_ops_spark.entry_queries import ALL_QUERIES
+        from tests.conftest import SF_DIR
+
+        plan = ALL_QUERIES["search_hybrid_rrf"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan

@@ -5,7 +5,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from pyarrow_ops_spark.functions.stats import outlier_filter, quantile_rank, zscore
+from pyarrow_ops_spark.functions.stats import (
+    ks_drift,
+    outlier_filter,
+    quantile_rank,
+    zscore,
+)
 
 
 def test_zscore_global(spark):
@@ -211,3 +216,47 @@ def test_histogram_equidepth_awkward_column_name(spark):
     out = histogram_equidepth(df, "total price-usd", n_buckets=4).collect()
     assert sum(r.n_rows for r in out) == 20
     assert len(out) == 4
+
+
+def test_ks_drift_identical_and_disjoint(spark):
+    a = spark.createDataFrame([(float(v),) for v in range(100)], ["v"])
+    same = ks_drift(a, a, "v").collect()[0]
+    # identical slices: every cumulative fraction matches exactly
+    assert same["ks_d"] == 0.0 and same["n_a"] == 100 and same["n_b"] == 100
+    b = spark.createDataFrame([(float(v) + 1000.0,) for v in range(100)], ["v"])
+    far = ks_drift(a, b, "v").collect()[0]
+    # disjoint supports: the CDF gap reaches 1 at the boundary
+    assert far["ks_d"] == 1.0
+
+
+def test_ks_drift_degenerate_constant_column(spark):
+    a = spark.createDataFrame([(5.0,), (5.0,)], ["v"])
+    b = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], ["v"])
+    row = ks_drift(a, b, "v").collect()[0]
+    # mn == mx collapses to bin 0 where both CDFs hit 1 together
+    assert row["ks_bin"] == 0 and row["ks_d"] == 0.0
+    with pytest.raises(ValueError):
+        ks_drift(a, b, "v", bins=1)
+
+
+def test_ks_drift_matches_scipy_style_exact(spark):
+    # a shifted distribution: exact two-sample KS on the raw values is
+    # max gap over pooled points; the 256-bin statistic must lower-bound
+    # it and sit within one bin's mass of it
+    av = [float(v) for v in range(50)]
+    bv = [float(v) + 10.0 for v in range(50)]
+    a = spark.createDataFrame([(v,) for v in av], ["v"])
+    b = spark.createDataFrame([(v,) for v in bv], ["v"])
+    got = ks_drift(a, b, "v").collect()[0]["ks_d"]
+    import bisect
+
+    pooled = sorted(set(av + bv))
+    exact = max(
+        abs(
+            bisect.bisect_right(sorted(av), x) / len(av)
+            - bisect.bisect_right(sorted(bv), x) / len(bv)
+        )
+        for x in pooled
+    )
+    assert got <= exact + 1e-9
+    assert got >= exact - (1.0 / 50) - 1e-9  # within one sample point's mass
