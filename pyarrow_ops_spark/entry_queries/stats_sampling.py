@@ -763,13 +763,11 @@ def q_stats_robust_z_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS s FROM orders
         WHERE o_orderstatus = 'O'
     ),
-    st AS (SELECT min(v) AS mn, max(v) AS mx,
-                  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS na,
-                  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nb
-           FROM u),
+    st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
     b AS (SELECT CASE WHEN mx = mn THEN 0
-                      ELSE least(255, CAST(floor((v - mn) * 256 / (mx - mn))
-                                           AS BIGINT))
+                      ELSE greatest(0, least(255,
+                               CAST(floor((v - mn) * 256 / (mx - mn))
+                                    AS BIGINT)))
                  END AS bin, s
           FROM u CROSS JOIN st),
     c AS (SELECT bin,
@@ -778,13 +776,15 @@ def q_stats_robust_z_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM b GROUP BY bin),
     g AS (SELECT bin,
                  sum(ca) OVER (ORDER BY bin) AS cuma,
-                 sum(cb) OVER (ORDER BY bin) AS cumb
+                 sum(cb) OVER (ORDER BY bin) AS cumb,
+                 sum(ca) OVER () AS na,
+                 sum(cb) OVER () AS nb
           FROM c)
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            CAST(bin AS INT) AS ks_bin,
            round(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb),
                  6) AS ks_d
-    FROM g CROSS JOIN st
+    FROM g
     ORDER BY ks_d DESC, ks_bin LIMIT 1
     """,
 )
@@ -796,7 +796,10 @@ def q_stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-associated double binning expression, so bin assignment is
     bit-congruent; the gap is ranked rounded-6 with a bin tiebreak. The
     CDF window orders at most 256 rows (bounded by construction, never
-    by the data)."""
+    by the data); slice sizes come from full-frame sums over the same
+    bounded relation, so each slice is scanned exactly twice (min/max
+    pass + binning pass — the floor for data-derived bounds; fixed
+    lo/hi drops it to one)."""
     from pyarrow_ops_spark.functions.stats import ks_drift
 
     orders = load_table(spark, "orders", sf_dir)

@@ -312,6 +312,8 @@ def ks_drift(
     df_b: DataFrame,
     col: str,
     bins: int = 256,
+    lo: float | None = None,
+    hi: float | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift statistic between the ``col``
     distributions of two slices, computed on ``bins`` equal-width bins —
@@ -325,40 +327,57 @@ def ks_drift(
     D with error <= max per-bin mass; 256 bins is plenty for drift
     alerting.
 
-    Plan shape (100 TB): one union scan -> a single-row min/max/count
-    aggregate broadcast back -> map-only bin assignment -> one
-    ``bins``-bounded groupBy. The running-sum window that turns bin
-    counts into CDFs orders a relation of at most ``bins`` rows, so the
-    single-partition window is bounded by construction, never by the
-    data. Bins empty in BOTH slices are absent from the counts relation;
-    the CDF is constant across them, so the max gap is unaffected.
+    Plan shape (100 TB): one union pass computes the pooled min/max as a
+    single-row aggregate broadcast back, a second union pass does the
+    map-only bin assignment into one ``bins``-bounded groupBy — two scans
+    per slice, the floor for data-derived bounds. Pass fixed ``lo``/``hi``
+    (production drift monitors pin bin edges to the reference/training
+    distribution) and the stats pass disappears entirely: ONE scan per
+    slice. Slice sizes come from full-frame sums over the bounded counts
+    relation, never a second stats pass. The running-sum window that
+    turns bin counts into CDFs orders a relation of at most ``bins``
+    rows, so the single-partition window is bounded by construction,
+    never by the data. Bins empty in BOTH slices are absent from the
+    counts relation; the CDF is constant across them, so the max gap is
+    unaffected. Values outside a fixed [lo, hi] clamp into the edge bins
+    (floor + least keeps them in range), preserving CDF mass.
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
     u = df_a.select(
         F.col(col).cast("double").alias("__v"), F.lit(0).alias("__s")
     ).unionAll(
         df_b.select(F.col(col).cast("double").alias("__v"), F.lit(1).alias("__s"))
     ).filter(F.col("__v").isNotNull())
-    st = u.agg(
-        F.min("__v").alias("__mn"),
-        F.max("__v").alias("__mx"),
-        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__na"),
-        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__nb"),
-    )
-    # bin = least(bins-1, floor((v - mn) * bins / (mx - mn))): the DuckDB
-    # oracle evaluates the SAME left-associated double expression, so the
-    # assignment is bit-identical across engines (IEEE 754 is exact about
-    # each op); a degenerate mn == mx slice collapses to bin 0
+    if lo is None:
+        st = u.agg(
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+        )
+    else:
+        st = u.sparkSession.range(1).select(
+            F.lit(float(lo)).alias("__mn"), F.lit(float(hi)).alias("__mx")
+        )
+    # bin = greatest(0, least(bins-1, floor((v - mn) * bins / (mx - mn)))):
+    # the DuckDB oracle evaluates the SAME left-associated double
+    # expression, so the assignment is bit-identical across engines (IEEE
+    # 754 is exact about each op); a degenerate mn == mx slice collapses
+    # to bin 0; with fixed lo/hi the clamps fold out-of-range values into
+    # the edge bins
     binned = u.crossJoin(F.broadcast(st)).select(
         F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
         .otherwise(
-            F.least(
-                F.lit(bins - 1),
-                F.floor(
-                    (F.col("__v") - F.col("__mn"))
-                    * bins
-                    / (F.col("__mx") - F.col("__mn"))
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("__v") - F.col("__mn"))
+                        * bins
+                        / (F.col("__mx") - F.col("__mn"))
+                    ),
                 ),
             )
         )
@@ -371,12 +390,17 @@ def ks_drift(
         F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__cb"),
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = counts.select(
         "bin",
         F.sum("__ca").over(w).alias("__cuma"),
         F.sum("__cb").over(w).alias("__cumb"),
+        F.sum("__ca").over(wfull).alias("__na"),
+        F.sum("__cb").over(wfull).alias("__nb"),
     )
-    gaps = cum.crossJoin(F.broadcast(st)).select(
+    gaps = cum.select(
         F.col("__na").cast("long").alias("n_a"),
         F.col("__nb").cast("long").alias("n_b"),
         F.col("bin").alias("ks_bin"),
