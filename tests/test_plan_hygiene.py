@@ -454,3 +454,55 @@ def test_knn_probe_indexed_has_no_cartesian(spark, tmp_path):
     import re
 
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cluster", plan)
+
+
+def test_ks_drift_scan_floor_and_pushdown(spark):
+    """stats_ks_drift: the slice filters reach the parquet scan and the
+    plan holds the two-scans-per-slice floor (min/max pass + binning
+    pass; slice sizes come from the bounded counts relation, never a
+    third stats pass). Fixed lo/hi bounds drop to one scan per slice."""
+    from pyarrow_ops_spark.entry_queries import ALL_QUERIES
+    from pyarrow_ops_spark.functions.stats import ks_drift
+    from pyarrow_ops_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    plan = (
+        ALL_QUERIES["stats_ks_drift"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 4
+    assert "o_orderstatus" in plan.split("FileScan")[1]  # filter pushed
+    assert "CartesianProduct" not in plan
+
+    o = load_table(spark, "orders", SF_DIR)
+    fixed = ks_drift(
+        o.filter(F.col("o_orderstatus") == "F"),
+        o.filter(F.col("o_orderstatus") == "O"),
+        "o_totalprice",
+        lo=0.0,
+        hi=1e6,
+    )
+    fplan = fixed._jdf.queryExecution().executedPlan().toString()
+    assert fplan.count("FileScan parquet") == 2
+
+
+def test_hybrid_rrf_no_cartesian_bounded_windows(spark):
+    """search_hybrid_rrf: per-ranker cuts are TakeOrderedAndProject (the
+    distributed top-k), no cartesian (the cosine ranker's query side is a
+    broadcast), and each row_number window consumes a LIMIT relation so
+    the single-partition windows are bounded by construction."""
+    from pyarrow_ops_spark.entry_queries import ALL_QUERIES
+
+    plan = (
+        ALL_QUERIES["search_hybrid_rrf"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 3
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line and "Build" in line, line
