@@ -314,6 +314,7 @@ def ks_drift(
     bins: int = 256,
     lo: float | None = None,
     hi: float | None = None,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift statistic between the ``col``
     distributions of two slices, computed on ``bins`` equal-width bins —
@@ -341,21 +342,34 @@ def ks_drift(
     counts relation; the CDF is constant across them, so the max gap is
     unaffected. Values outside a fixed [lo, hi] clamp into the edge bins
     (floor + least keeps them in range), preserving CDF mass.
+
+    Pass ``by`` (e.g. ``["source"]``) for a PER-GROUP drift report: one
+    row per group, bins computed over each group's own min/max (fixed
+    lo/hi stay global). The per-group stats relation is |groups| rows
+    broadcast back (null-safe keys, same idiom as ``zscore``); every
+    window partitions on the group so its frame stays <= ``bins`` rows.
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
     if (lo is None) != (hi is None):
         raise ValueError("pass both lo and hi, or neither")
+    by = list(by)
     u = df_a.select(
-        F.col(col).cast("double").alias("__v"), F.lit(0).alias("__s")
+        *[F.col(c) for c in by],
+        F.col(col).cast("double").alias("__v"),
+        F.lit(0).alias("__s"),
     ).unionAll(
-        df_b.select(F.col(col).cast("double").alias("__v"), F.lit(1).alias("__s"))
+        df_b.select(
+            *[F.col(c) for c in by],
+            F.col(col).cast("double").alias("__v"),
+            F.lit(1).alias("__s"),
+        )
     ).filter(F.col("__v").isNotNull())
     if lo is None:
-        st = u.agg(
-            F.min("__v").alias("__mn"),
-            F.max("__v").alias("__mx"),
-        )
+        aggs = [F.min("__v").alias("__mn"), F.max("__v").alias("__mx")]
+        st = u.groupBy(*by).agg(*aggs) if by else u.agg(*aggs)
+    elif by:
+        st = None  # fixed global bounds: no stats relation needed
     else:
         st = u.sparkSession.range(1).select(
             F.lit(float(lo)).alias("__mn"), F.lit(float(hi)).alias("__mx")
@@ -366,7 +380,23 @@ def ks_drift(
     # 754 is exact about each op); a degenerate mn == mx slice collapses
     # to bin 0; with fixed lo/hi the clamps fold out-of-range values into
     # the edge bins
-    binned = u.crossJoin(F.broadcast(st)).select(
+    if st is None:
+        with_bounds = u.withColumn("__mn", F.lit(float(lo))).withColumn(
+            "__mx", F.lit(float(hi))
+        )
+    elif by:
+        # null-safe group-key broadcast join, same idiom as zscore
+        s = st
+        cond = None
+        for c in by:
+            s = s.withColumnRenamed(c, f"__g_{c}")
+            this = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = this if cond is None else (cond & this)
+        with_bounds = u.join(F.broadcast(s), on=cond)
+    else:
+        with_bounds = u.crossJoin(F.broadcast(st))
+    binned = with_bounds.select(
+        *[F.col(c) for c in by],
         F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
         .otherwise(
             F.greatest(
@@ -385,15 +415,17 @@ def ks_drift(
         .alias("bin"),
         "__s",
     )
-    counts = binned.groupBy("bin").agg(
+    counts = binned.groupBy(*by, "bin").agg(
         F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__ca"),
         F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__cb"),
     )
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wfull = Window.orderBy("bin").rowsBetween(
+    part = Window.partitionBy(*by) if by else Window
+    w = part.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = part.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = counts.select(
+        *[F.col(c) for c in by],
         "bin",
         F.sum("__ca").over(w).alias("__cuma"),
         F.sum("__cb").over(w).alias("__cumb"),
@@ -401,6 +433,7 @@ def ks_drift(
         F.sum("__cb").over(wfull).alias("__nb"),
     )
     gaps = cum.select(
+        *[F.col(c) for c in by],
         F.col("__na").cast("long").alias("n_a"),
         F.col("__nb").cast("long").alias("n_b"),
         F.col("bin").alias("ks_bin"),
@@ -412,4 +445,94 @@ def ks_drift(
             6,
         ).alias("ks_d"),
     )
+    if by:
+        pick = Window.partitionBy(*by).orderBy(
+            F.col("ks_d").desc(), F.col("ks_bin")
+        )
+        return (
+            gaps.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return gaps.orderBy(F.col("ks_d").desc(), F.col("ks_bin")).limit(1)
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 8,
+) -> DataFrame:
+    """Population Stability Index between a reference slice ``df_a`` and a
+    comparison slice ``df_b`` — the standard ML-monitoring drift score
+    (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 major shift). Bins are
+    EQUI-DEPTH on the reference (exact interpolated percentiles), the
+    production convention: each reference bin holds ~1/bins of mass, so
+    the score reacts to where the comparison's mass actually moved.
+
+    Output: one row per occupied bin ``(bin, c_a, c_b, psi_bin)`` with
+    ``psi_bin = (p_a - p_b) * ln(p_a / p_b)`` rounded to 6; total PSI is
+    the sum. Proportions take the standard continuity clamp
+    ``p = greatest(c, 0.5) / n`` so an empty bin contributes a finite,
+    deterministic penalty instead of ±inf.
+
+    Engine congruence: default ``bins=8`` keeps the percentile fractions
+    (i/8) exact binary doubles, so the interpolated cut arithmetic is
+    bit-identical across engines (same argument as the certified
+    equi-depth histogram row); assignment is the same <=-CASE chain, and
+    the psi expression is one shared double formula rounded before
+    comparison.
+
+    Plan shape (100 TB): one percentile aggregate over the reference
+    (sketch-mergeable partials; swap in approx_percentile at extreme
+    scale for the same plan) broadcast back as a single row, map-only bin
+    assignment on one union scan, one <=bins-group aggregate carrying
+    (c_a, c_b) partials, then a bins-bounded full-frame window for the
+    slice totals. No corpus shuffle, no collect.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    fracs = [i / bins for i in range(1, bins)]
+    quoted = "`" + col.replace("`", "``") + "`"
+    cuts = df_a.filter(F.col(col).isNotNull()).agg(
+        F.expr(
+            f"percentile({quoted}, array({', '.join(str(f) for f in fracs)}))"
+        ).alias("__cuts")
+    )
+    u = df_a.select(
+        F.col(col).cast("double").alias("__v"), F.lit(0).alias("__s")
+    ).unionAll(
+        df_b.select(F.col(col).cast("double").alias("__v"), F.lit(1).alias("__s"))
+    ).filter(F.col("__v").isNotNull())
+    assigned = u.crossJoin(F.broadcast(cuts))
+    bucket = F.lit(bins - 1)
+    for i in range(bins - 2, -1, -1):
+        bucket = F.when(
+            F.col("__v") <= F.col("__cuts").getItem(i), F.lit(i)
+        ).otherwise(bucket)
+    counts = (
+        assigned.select(bucket.cast("int").alias("bin"), "__s")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    wfull = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_totals = counts.select(
+        "bin",
+        "__ca",
+        "__cb",
+        F.sum("__ca").over(wfull).alias("__na"),
+        F.sum("__cb").over(wfull).alias("__nb"),
+    )
+    pa = F.greatest(F.col("__ca").cast("double"), F.lit(0.5)) / F.col("__na")
+    pb = F.greatest(F.col("__cb").cast("double"), F.lit(0.5)) / F.col("__nb")
+    return with_totals.select(
+        "bin",
+        F.col("__ca").cast("long").alias("c_a"),
+        F.col("__cb").cast("long").alias("c_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_bin"),
+    ).orderBy("bin")

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from pyarrow_ops_spark.functions.stats import (
     ks_drift,
+    psi_drift,
     outlier_filter,
     quantile_rank,
     zscore,
@@ -260,3 +261,179 @@ def test_ks_drift_matches_scipy_style_exact(spark):
     )
     assert got <= exact + 1e-9
     assert got >= exact - (1.0 / 50) - 1e-9  # within one sample point's mass
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    a = spark.createDataFrame([(float(v),) for v in range(1000)], ["v"])
+    rows = psi_drift(a, a, "v").collect()
+    # identical slices: every bin's proportions match -> each psi_bin == 0
+    assert len(rows) == 8
+    assert all(r["psi_bin"] == 0.0 for r in rows)
+    assert sum(r["c_a"] for r in rows) == 1000
+    b = spark.createDataFrame([(float(v) + 600.0,) for v in range(1000)], ["v"])
+    shifted = psi_drift(a, b, "v").collect()
+    total = sum(r["psi_bin"] for r in shifted)
+    # a 60% shift is a "major" drift: PSI far above the 0.25 alert bar
+    assert total > 0.25
+    with pytest.raises(ValueError):
+        psi_drift(a, b, "v", bins=1)
+
+
+def test_psi_drift_empty_bin_is_finite(spark):
+    a = spark.createDataFrame([(float(v),) for v in range(80)], ["v"])
+    # b entirely in a's top bin: 7 of a's bins are empty on the b side
+    b = spark.createDataFrame([(79.0,)] * 40, ["v"])
+    rows = psi_drift(a, b, "v").collect()
+    assert all(r["psi_bin"] is not None for r in rows)
+    import math
+
+    assert all(math.isfinite(r["psi_bin"]) for r in rows)
+
+
+def test_psi_drift_matches_duckdb_formula(spark, duck):
+    """Engine congruence against the exact SQL mirror (the future oracle):
+    equi-depth cuts on the reference via quantile_cont (same linear
+    interpolation as Spark's percentile; i/8 fractions exact binary),
+    <=-CASE assignment, greatest(c, 0.5)/n continuity clamp, one shared
+    rounded psi expression."""
+    from pyarrow_ops_spark.sources.tables import load_table
+    from tests.conftest import ORACLE_SF_DIR, rows_to_set
+
+    orders = load_table(spark, "orders", ORACLE_SF_DIR)
+    got = psi_drift(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") == "O"),
+        "o_totalprice",
+    )
+    sql = """
+    WITH c AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+                   AS cuts
+        FROM o_orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+    ),
+    u AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, 0 AS s FROM o_orders
+        WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS s FROM o_orders
+        WHERE o_orderstatus = 'O'
+    ),
+    assigned AS (
+        SELECT CASE WHEN v <= cuts[1] THEN 0
+                    WHEN v <= cuts[2] THEN 1
+                    WHEN v <= cuts[3] THEN 2
+                    WHEN v <= cuts[4] THEN 3
+                    WHEN v <= cuts[5] THEN 4
+                    WHEN v <= cuts[6] THEN 5
+                    WHEN v <= cuts[7] THEN 6
+                    ELSE 7 END AS bin, s
+        FROM u CROSS JOIN c WHERE v IS NOT NULL
+    ),
+    cnt AS (
+        SELECT bin,
+               sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+        FROM assigned GROUP BY bin
+    ),
+    tot AS (
+        SELECT bin, ca, cb,
+               sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        FROM cnt
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(ca AS BIGINT) AS c_a, CAST(cb AS BIGINT) AS c_b,
+           round( (greatest(CAST(ca AS DOUBLE), 0.5) / na
+                   - greatest(CAST(cb AS DOUBLE), 0.5) / nb)
+                  * ln( (greatest(CAST(ca AS DOUBLE), 0.5) / na)
+                        / (greatest(CAST(cb AS DOUBLE), 0.5) / nb) ), 6)
+               AS psi_bin
+    FROM tot ORDER BY bin
+    """
+    scols = list(got.columns)
+    srows = [tuple(r) for r in got.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert rows_to_set(scols, srows) == rows_to_set(dcols, drows)
+
+
+def test_ks_drift_by_group(spark):
+    rows = (
+        [("s1", float(v)) for v in range(100)]            # s1 slice-a
+        + [("s2", float(v)) for v in range(100)]          # s2 slice-a
+    )
+    a = spark.createDataFrame(rows, ["g", "v"])
+    b = spark.createDataFrame(
+        [("s1", float(v)) for v in range(100)]            # s1 identical
+        + [("s2", float(v) + 1000.0) for v in range(100)],  # s2 disjoint
+        ["g", "v"],
+    )
+    out = {r["g"]: r for r in ks_drift(a, b, "v", by=["g"]).collect()}
+    assert out["s1"]["ks_d"] == 0.0
+    assert out["s2"]["ks_d"] == 1.0
+    assert out["s1"]["n_a"] == 100 and out["s1"]["n_b"] == 100
+
+
+def test_ks_drift_by_matches_duckdb_formula(spark, duck):
+    """Per-group congruence against the exact SQL mirror (the future
+    per-source oracle): group-wise min/max bounds, partitioned CDF
+    windows, per-group argmax by (rounded gap desc, bin)."""
+    from pyarrow_ops_spark.sources.tables import load_table
+    from tests.conftest import ORACLE_SF_DIR, rows_to_set
+
+    docs = load_table(spark, "documents", ORACLE_SF_DIR)
+    got = ks_drift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+        bins=64,
+        by=["source"],
+    )
+    sql = """
+    WITH u AS (
+        SELECT source, CAST(n_chars AS DOUBLE) AS v, 0 AS s FROM o_documents
+        WHERE lang = 'en'
+        UNION ALL
+        SELECT source, CAST(n_chars AS DOUBLE) AS v, 1 AS s FROM o_documents
+        WHERE lang != 'en'
+    ),
+    st AS (SELECT source, min(v) AS mn, max(v) AS mx FROM u GROUP BY source),
+    b AS (SELECT u.source,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE greatest(0, least(63,
+                               CAST(floor((v - mn) * 64 / (mx - mn))
+                                    AS BIGINT)))
+                 END AS bin, s
+          FROM u JOIN st ON u.source = st.source),
+    c AS (SELECT source, bin,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+          FROM b GROUP BY source, bin),
+    g AS (SELECT source, bin,
+                 sum(ca) OVER (PARTITION BY source ORDER BY bin) AS cuma,
+                 sum(cb) OVER (PARTITION BY source ORDER BY bin) AS cumb,
+                 sum(ca) OVER (PARTITION BY source) AS na,
+                 sum(cb) OVER (PARTITION BY source) AS nb
+          FROM c),
+    d AS (SELECT source,
+                 CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                 CAST(bin AS INT) AS ks_bin,
+                 round(abs(CAST(cuma AS DOUBLE) / na
+                           - CAST(cumb AS DOUBLE) / nb), 6) AS ks_d,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY round(abs(CAST(cuma AS DOUBLE) / na
+                                              - CAST(cumb AS DOUBLE) / nb), 6)
+                                             DESC, bin) AS rn
+          FROM g)
+    SELECT source, n_a, n_b, ks_bin, ks_d FROM d WHERE rn = 1
+    """
+    scols = list(got.columns)
+    srows = [tuple(r) for r in got.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert rows_to_set(scols, srows) == rows_to_set(dcols, drows)
