@@ -462,6 +462,7 @@ def psi_drift(
     df_b: DataFrame,
     col: str,
     bins: int = 8,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Population Stability Index between a reference slice ``df_a`` and a
     comparison slice ``df_b`` — the standard ML-monitoring drift score
@@ -488,40 +489,66 @@ def psi_drift(
     scale for the same plan) broadcast back as a single row, map-only bin
     assignment on one union scan, one <=bins-group aggregate carrying
     (c_a, c_b) partials, then a bins-bounded full-frame window for the
-    slice totals. No corpus shuffle, no collect.
+    slice totals. No corpus shuffle, no collect. With ``by`` the cuts
+    relation is |groups| rows (group-wise percentiles) joined back
+    null-safe, and the totals window partitions on the group — frames
+    stay <= ``bins`` rows per group.
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
+    by = list(by)
     fracs = [i / bins for i in range(1, bins)]
     quoted = "`" + col.replace("`", "``") + "`"
-    cuts = df_a.filter(F.col(col).isNotNull()).agg(
-        F.expr(
-            f"percentile({quoted}, array({', '.join(str(f) for f in fracs)}))"
-        ).alias("__cuts")
-    )
+    cut_agg = F.expr(
+        f"percentile({quoted}, array({', '.join(str(f) for f in fracs)}))"
+    ).alias("__cuts")
+    ref = df_a.filter(F.col(col).isNotNull())
+    cuts = ref.groupBy(*by).agg(cut_agg) if by else ref.agg(cut_agg)
     u = df_a.select(
-        F.col(col).cast("double").alias("__v"), F.lit(0).alias("__s")
+        *[F.col(c) for c in by],
+        F.col(col).cast("double").alias("__v"),
+        F.lit(0).alias("__s"),
     ).unionAll(
-        df_b.select(F.col(col).cast("double").alias("__v"), F.lit(1).alias("__s"))
+        df_b.select(
+            *[F.col(c) for c in by],
+            F.col(col).cast("double").alias("__v"),
+            F.lit(1).alias("__s"),
+        )
     ).filter(F.col("__v").isNotNull())
-    assigned = u.crossJoin(F.broadcast(cuts))
+    if by:
+        # null-safe group-key broadcast join, same idiom as zscore; groups
+        # present only in df_b have no reference cuts and are dropped (a
+        # PSI against an absent reference is undefined)
+        s_ = cuts
+        cond = None
+        for c in by:
+            s_ = s_.withColumnRenamed(c, f"__g_{c}")
+            this = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = this if cond is None else (cond & this)
+        assigned = u.join(F.broadcast(s_), on=cond)
+    else:
+        assigned = u.crossJoin(F.broadcast(cuts))
     bucket = F.lit(bins - 1)
     for i in range(bins - 2, -1, -1):
         bucket = F.when(
             F.col("__v") <= F.col("__cuts").getItem(i), F.lit(i)
         ).otherwise(bucket)
     counts = (
-        assigned.select(bucket.cast("int").alias("bin"), "__s")
-        .groupBy("bin")
+        assigned.select(
+            *[F.col(c) for c in by], bucket.cast("int").alias("bin"), "__s"
+        )
+        .groupBy(*by, "bin")
         .agg(
             F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__ca"),
             F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__cb"),
         )
     )
-    wfull = Window.orderBy("bin").rowsBetween(
+    part = Window.partitionBy(*by) if by else Window
+    wfull = part.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     with_totals = counts.select(
+        *[F.col(c) for c in by],
         "bin",
         "__ca",
         "__cb",
@@ -531,8 +558,9 @@ def psi_drift(
     pa = F.greatest(F.col("__ca").cast("double"), F.lit(0.5)) / F.col("__na")
     pb = F.greatest(F.col("__cb").cast("double"), F.lit(0.5)) / F.col("__nb")
     return with_totals.select(
+        *[F.col(c) for c in by],
         "bin",
         F.col("__ca").cast("long").alias("c_a"),
         F.col("__cb").cast("long").alias("c_b"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_bin"),
-    ).orderBy("bin")
+    ).orderBy(*by, "bin")

@@ -437,3 +437,24 @@ def test_ks_drift_by_matches_duckdb_formula(spark, duck):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert rows_to_set(scols, srows) == rows_to_set(dcols, drows)
+
+
+def test_psi_drift_by_group(spark):
+    a = spark.createDataFrame(
+        [("s1", float(v)) for v in range(200)]
+        + [("s2", float(v)) for v in range(200)],
+        ["g", "v"],
+    )
+    b = spark.createDataFrame(
+        [("s1", float(v)) for v in range(200)]              # identical
+        + [("s2", float(v) + 150.0) for v in range(200)]    # shifted
+        + [("s3", 1.0)],                                     # no reference
+        ["g", "v"],
+    )
+    rows = psi_drift(a, b, "v", by=["g"]).collect()
+    groups = {r["g"] for r in rows}
+    assert groups == {"s1", "s2"}  # s3 has no reference cuts -> dropped
+    s1_total = sum(r["psi_bin"] for r in rows if r["g"] == "s1")
+    s2_total = sum(r["psi_bin"] for r in rows if r["g"] == "s2")
+    assert s1_total == 0.0
+    assert s2_total > 0.25
