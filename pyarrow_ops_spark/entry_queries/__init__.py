@@ -69,19 +69,21 @@ _PERIOD = 4
 # driver re-cert is the norm even when pytest swept them green. Reset this
 # list each round; mandatory stale rows always outrank it.
 _CHANGED_PATH_CLAIMS: list[str] = [
-    # r10 carries (verdict ask #2: these changed in r10 but were squeezed
-    # out of the r10 cap by the five new rows — re-cert them in r11)
-    "pipeline_llm_curation",   # r10: planted-id offset derived from max(doc_id)
-    "dedup_keep_drop",         # r10: auto-scaled wide-start initial partitions
-    "dedup_minhash_lsh",       # r10+r11: per-call BucketStats plumbing
-    "dedup_winnow_clusters",   # r10+r11: oracle congruence; stats plumbing
-    # r11 changes
-    "similarity_knn_label_probe",  # r11: zero-norm filter both engines
-    "dedup_cdc_chunks",        # r11: min/max chunk bounds (oracle mirrored)
-    "search_bm25_indexed",     # r11: bm25_topk split into bm25_scores +
-                               # top-k wrapper (pure code motion, shared
-                               # formula) for the rrf_fuse hybrid ranker
+    # r12 changes (the two new drift rows — stats_psi_drift,
+    # stats_ks_drift_by_source — are never-certified and therefore
+    # MANDATORY automatically; no claim needed)
+    "stats_ks_drift",      # r12: one-sided-slice filter in ks_drift +
+                           # IS NOT NULL mirrored into the oracle arms
+    "search_hybrid_rrf",   # r12: rrf_fuse contributions computed as exact
+                           # DECIMAL so >2-ranker fusion is engine-stable
 ]
+# r11 claim erratum (r11 ADVICE #1): the bm25_topk->bm25_scores split
+# claim named search_bm25_indexed, but bm25_topk_indexed never calls
+# bm25_scores — the row whose code actually changed was the FOLDED
+# search_bm25_topk (pytest-gated via ALL_ORACLES, which is the coverage
+# a folded row gets by policy). The r11 driver slot re-certified an
+# unchanged path; harmless but recorded here so the claim history is
+# honest.
 
 
 def _repo_root() -> str:

@@ -758,10 +758,10 @@ def q_stats_robust_z_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH u AS (
         SELECT CAST(o_totalprice AS DOUBLE) AS v, 0 AS s FROM orders
-        WHERE o_orderstatus = 'F'
+        WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
         UNION ALL
         SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS s FROM orders
-        WHERE o_orderstatus = 'O'
+        WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
     ),
     st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
     b AS (SELECT CASE WHEN mx = mn THEN 0
@@ -785,6 +785,7 @@ def q_stats_robust_z_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb),
                  6) AS ks_d
     FROM g
+    WHERE na > 0 AND nb > 0
     ORDER BY ks_d DESC, ks_bin LIMIT 1
     """,
 )
@@ -808,4 +809,143 @@ def q_stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderstatus") == "O"),
         "o_totalprice",
         bins=256,
+    )
+
+
+@query(
+    "stats_psi_drift",
+    """
+    WITH c AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+                   AS cuts
+        FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+    ),
+    u AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, 0 AS s FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+        UNION ALL
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS s FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+    ),
+    assigned AS (
+        SELECT CASE WHEN v <= cuts[1] THEN 0
+                    WHEN v <= cuts[2] THEN 1
+                    WHEN v <= cuts[3] THEN 2
+                    WHEN v <= cuts[4] THEN 3
+                    WHEN v <= cuts[5] THEN 4
+                    WHEN v <= cuts[6] THEN 5
+                    WHEN v <= cuts[7] THEN 6
+                    ELSE 7 END AS bin, s
+        FROM u CROSS JOIN c
+    ),
+    cnt AS (
+        SELECT bin,
+               sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+        FROM assigned GROUP BY bin
+    ),
+    tot AS (
+        SELECT bin, ca, cb,
+               sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        FROM cnt
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(ca AS BIGINT) AS c_a, CAST(cb AS BIGINT) AS c_b,
+           round( (greatest(CAST(ca AS DOUBLE), 0.5) / na
+                   - greatest(CAST(cb AS DOUBLE), 0.5) / nb)
+                  * ln( (greatest(CAST(ca AS DOUBLE), 0.5) / na)
+                        / (greatest(CAST(cb AS DOUBLE), 0.5) / nb) ), 6)
+               AS psi_bin
+    FROM tot WHERE na > 0 AND nb > 0 ORDER BY bin
+    """,
+)
+def q_stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between fulfilled ('F', the reference)
+    and open ('O') orders' totalprice distributions on 8 equi-depth
+    reference bins — the standard ML-monitoring drift score (> 0.25 =
+    major shift). Engine congruence leans on three pinned facts: i/8
+    percentile fractions are exact binary doubles, so DuckDB's
+    quantile_cont and Spark's percentile interpolate identical cuts (the
+    certified equi-depth-histogram argument); bin assignment is the same
+    <=-CASE chain in both engines; and the psi expression is ONE shared
+    double formula with the greatest(c, 0.5)/n continuity clamp, rounded
+    to 6 before comparison. Plan: one percentile aggregate over the
+    reference broadcast back as a single row, map-only assignment on one
+    union scan, one <=8-group aggregate, then an 8-row full-frame window
+    for slice totals — no corpus shuffle, no collect (see
+    functions/stats.py:psi_drift for the 100 TB notes)."""
+    from pyarrow_ops_spark.functions.stats import psi_drift
+
+    orders = load_table(spark, "orders", sf_dir)
+    return psi_drift(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") == "O"),
+        "o_totalprice",
+        bins=8,
+    )
+
+
+@query(
+    "stats_ks_drift_by_source",
+    """
+    WITH u AS (
+        SELECT source, CAST(n_chars AS DOUBLE) AS v, 0 AS s FROM documents
+        WHERE lang = 'en' AND n_chars IS NOT NULL
+        UNION ALL
+        SELECT source, CAST(n_chars AS DOUBLE) AS v, 1 AS s FROM documents
+        WHERE lang != 'en' AND n_chars IS NOT NULL
+    ),
+    st AS (SELECT source, min(v) AS mn, max(v) AS mx FROM u GROUP BY source),
+    b AS (SELECT u.source,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE greatest(0, least(63,
+                               CAST(floor((v - mn) * 64 / (mx - mn))
+                                    AS BIGINT)))
+                 END AS bin, s
+          FROM u JOIN st ON u.source = st.source),
+    c AS (SELECT source, bin,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+          FROM b GROUP BY source, bin),
+    g AS (SELECT source, bin,
+                 sum(ca) OVER (PARTITION BY source ORDER BY bin) AS cuma,
+                 sum(cb) OVER (PARTITION BY source ORDER BY bin) AS cumb,
+                 sum(ca) OVER (PARTITION BY source) AS na,
+                 sum(cb) OVER (PARTITION BY source) AS nb
+          FROM c),
+    d AS (SELECT source,
+                 CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                 CAST(bin AS INT) AS ks_bin,
+                 round(abs(CAST(cuma AS DOUBLE) / na
+                           - CAST(cumb AS DOUBLE) / nb), 6) AS ks_d,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY round(abs(CAST(cuma AS DOUBLE) / na
+                                              - CAST(cumb AS DOUBLE) / nb), 6)
+                                             DESC, bin) AS rn
+          FROM g WHERE na > 0 AND nb > 0)
+    SELECT source, n_a, n_b, ks_bin, ks_d FROM d WHERE rn = 1
+    """,
+)
+def q_stats_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP two-sample KS drift: for every document source, how far
+    has the length distribution of non-English docs drifted from the
+    English reference? One row per source — the per-slice variant a
+    crawl-ingestion monitor runs so a single drifted source can't hide
+    inside the global statistic. Per-group min/max bounds come from ONE
+    |sources|-row aggregate broadcast back null-safe; every window
+    (CDF running sum, slice totals, gap argmax) partitions on source so
+    frames stay <= 64 rows; sources present in only one slice are
+    dropped (no two-sample statistic exists). Both engines evaluate the
+    identical left-associated double binning expression — bit-congruent
+    assignment — and rank the gap rounded-6 with a bin tiebreak."""
+    from pyarrow_ops_spark.functions.stats import ks_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ks_drift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+        bins=64,
+        by=["source"],
     )

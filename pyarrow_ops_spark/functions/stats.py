@@ -348,6 +348,13 @@ def ks_drift(
     lo/hi stay global). The per-group stats relation is |groups| rows
     broadcast back (null-safe keys, same idiom as ``zscore``); every
     window partitions on the group so its frame stays <= ``bins`` rows.
+
+    One-sided slices/groups are DROPPED, not reported: a group present in
+    only one slice has no two-sample statistic (its empirical CDF gap is
+    cum/0), so rows with ``n_a = 0`` or ``n_b = 0`` are filtered out
+    before the argmax — an empty input slice yields an empty result, and
+    a group missing from either slice is absent from the report (check
+    slice membership with a plain anti-join if you need that alert).
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
@@ -431,7 +438,7 @@ def ks_drift(
         F.sum("__cb").over(w).alias("__cumb"),
         F.sum("__ca").over(wfull).alias("__na"),
         F.sum("__cb").over(wfull).alias("__nb"),
-    )
+    ).filter((F.col("__na") > 0) & (F.col("__nb") > 0))
     gaps = cum.select(
         *[F.col(c) for c in by],
         F.col("__na").cast("long").alias("n_a"),
@@ -471,11 +478,24 @@ def psi_drift(
     production convention: each reference bin holds ~1/bins of mass, so
     the score reacts to where the comparison's mass actually moved.
 
-    Output: one row per occupied bin ``(bin, c_a, c_b, psi_bin)`` with
+    Output: one row per OCCUPIED bin ``(bin, c_a, c_b, psi_bin)`` with
     ``psi_bin = (p_a - p_b) * ln(p_a / p_b)`` rounded to 6; total PSI is
     the sum. Proportions take the standard continuity clamp
-    ``p = greatest(c, 0.5) / n`` so an empty bin contributes a finite,
-    deterministic penalty instead of ±inf.
+    ``p = greatest(c, 0.5) / n`` so a bin empty in ONE slice contributes
+    a finite, deterministic penalty instead of ±inf. Occupied-bins-only
+    is a deliberate semantics choice: a bin empty in BOTH slices is
+    absent from the output, so its clamp-only term
+    ``(0.5/n_a - 0.5/n_b) * ln(n_b/n_a)`` (nonzero when the slice sizes
+    differ) is NOT part of the total — with equi-depth reference cuts a
+    both-empty bin requires duplicate-heavy cut collapse, and scoring
+    mass that exists in neither slice adds noise, not signal. The DuckDB
+    oracle mirrors the same occupied-bins rule, so engines agree.
+
+    One-sided inputs are DROPPED, not reported: a comparison slice (or,
+    with ``by``, a group) with zero rows has no proportions to compare
+    (``p_b`` would be 0.5/0), so groups with ``n_b = 0`` are filtered out
+    — symmetric to the b-only drop below (groups absent from the
+    reference have no cuts and no PSI).
 
     Engine congruence: default ``bins=8`` keeps the percentile fractions
     (i/8) exact binary doubles, so the interpolated cut arithmetic is
@@ -554,7 +574,7 @@ def psi_drift(
         "__cb",
         F.sum("__ca").over(wfull).alias("__na"),
         F.sum("__cb").over(wfull).alias("__nb"),
-    )
+    ).filter((F.col("__na") > 0) & (F.col("__nb") > 0))
     pa = F.greatest(F.col("__ca").cast("double"), F.lit(0.5)) / F.col("__na")
     pb = F.greatest(F.col("__cb").cast("double"), F.lit(0.5)) / F.col("__nb")
     return with_totals.select(

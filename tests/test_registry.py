@@ -17,16 +17,15 @@ from __future__ import annotations
 
 import hashlib
 
-# sha256 over "\n".join(sorted(names)) — round 11:
-# +similarity_knn_probe_indexed, +search_hybrid_rrf (BM25 + cosine RRF
-# hybrid retrieval), +stats_ks_drift (two-sample KS drift monitor);
-# 15 twice-certified near-redundant rows folded OUT of the driver
-# registry into FOLDED_QUERIES (cap-capacity policy, ARCHITECTURE.md —
-# r11 adds similarity_topk_ivf/_lsh, survivors _ivf_indexed/_lsh_exact)
-# — still oracle-gated by pytest every run, no longer consuming
-# driver-cap rotation slots. Net registry growth this round: 0.
-NAMES_SHA256 = "d3ac8811b53df322ea0190f8f86165729dfce60cd42f742c614c3f1e4ea3f8b0"
-N_QUERIES = 180
+# sha256 over "\n".join(sorted(names)) — round 12:
+# +stats_psi_drift (PSI drift monitor, equi-depth reference cuts,
+# continuity clamp) and +stats_ks_drift_by_source (per-group KS drift) —
+# both engines landed in r11 with pytest DuckDB-congruence mirrors; r12
+# promotes them to driver-certified registry rows. Net registry growth
+# this round: +2 (inside the <=3/round cap-capacity budget; folded set
+# unchanged at 15).
+NAMES_SHA256 = "2abb180e3133b951bb8616360d1f4545446527512b00f54936b338fa294b5ce3"
+N_QUERIES = 182
 FOLDED_SHA256 = "398498b49e92ff3f67829caec7a4362a59792bcd12490b774677c23acee37a0f"
 N_FOLDED = 15
 

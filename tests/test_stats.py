@@ -314,10 +314,10 @@ def test_psi_drift_matches_duckdb_formula(spark, duck):
     ),
     u AS (
         SELECT CAST(o_totalprice AS DOUBLE) AS v, 0 AS s FROM o_orders
-        WHERE o_orderstatus = 'F'
+        WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
         UNION ALL
         SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS s FROM o_orders
-        WHERE o_orderstatus = 'O'
+        WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
     ),
     assigned AS (
         SELECT CASE WHEN v <= cuts[1] THEN 0
@@ -394,10 +394,10 @@ def test_ks_drift_by_matches_duckdb_formula(spark, duck):
     sql = """
     WITH u AS (
         SELECT source, CAST(n_chars AS DOUBLE) AS v, 0 AS s FROM o_documents
-        WHERE lang = 'en'
+        WHERE lang = 'en' AND n_chars IS NOT NULL
         UNION ALL
         SELECT source, CAST(n_chars AS DOUBLE) AS v, 1 AS s FROM o_documents
-        WHERE lang != 'en'
+        WHERE lang != 'en' AND n_chars IS NOT NULL
     ),
     st AS (SELECT source, min(v) AS mn, max(v) AS mx FROM u GROUP BY source),
     b AS (SELECT u.source,
@@ -426,7 +426,7 @@ def test_ks_drift_by_matches_duckdb_formula(spark, duck):
                                     ORDER BY round(abs(CAST(cuma AS DOUBLE) / na
                                               - CAST(cumb AS DOUBLE) / nb), 6)
                                              DESC, bin) AS rn
-          FROM g)
+          FROM g WHERE na > 0 AND nb > 0)
     SELECT source, n_a, n_b, ks_bin, ks_d FROM d WHERE rn = 1
     """
     scols = list(got.columns)
@@ -458,3 +458,52 @@ def test_psi_drift_by_group(spark):
     s2_total = sum(r["psi_bin"] for r in rows if r["g"] == "s2")
     assert s1_total == 0.0
     assert s2_total > 0.25
+
+
+def test_ks_drift_one_sided_groups_dropped(spark):
+    # r11 ADVICE: a group present in only one slice used to surface a NaN
+    # ks_d row (cum/0 -> NaN, and NaN sorts above all doubles in Spark's
+    # desc order) — one-sided groups are now dropped before the argmax
+    a = spark.createDataFrame(
+        [("both", float(v)) for v in range(50)]
+        + [("a_only", float(v)) for v in range(50)],
+        ["g", "v"],
+    )
+    b = spark.createDataFrame(
+        [("both", float(v) + 5.0) for v in range(50)]
+        + [("b_only", float(v)) for v in range(50)],
+        ["g", "v"],
+    )
+    rows = ks_drift(a, b, "v", by=["g"]).collect()
+    assert {r["g"] for r in rows} == {"both"}
+    import math
+
+    assert all(math.isfinite(r["ks_d"]) for r in rows)
+
+
+def test_ks_drift_empty_slice_yields_empty(spark):
+    a = spark.createDataFrame([(float(v),) for v in range(20)], ["v"])
+    empty = spark.createDataFrame([], "v double")
+    assert ks_drift(a, empty, "v").count() == 0
+    assert ks_drift(empty, a, "v").count() == 0
+
+
+def test_psi_drift_b_only_empty_dropped(spark):
+    # r11 ADVICE: a by-group with reference rows but ZERO comparison rows
+    # used to emit pb = Inf -> NaN/-Inf psi_bin rows; now dropped,
+    # symmetric to the no-reference-cuts drop for b-only groups
+    a = spark.createDataFrame(
+        [("both", float(v)) for v in range(80)]
+        + [("a_only", float(v)) for v in range(80)],
+        ["g", "v"],
+    )
+    b = spark.createDataFrame([("both", float(v)) for v in range(80)], ["g", "v"])
+    rows = psi_drift(a, b, "v", by=["g"]).collect()
+    assert {r["g"] for r in rows} == {"both"}
+    import math
+
+    assert all(math.isfinite(r["psi_bin"]) for r in rows)
+    # and a globally empty comparison slice yields an empty result
+    empty = spark.createDataFrame([], "v double")
+    a_plain = spark.createDataFrame([(float(v),) for v in range(80)], ["v"])
+    assert psi_drift(a_plain, empty, "v").count() == 0
