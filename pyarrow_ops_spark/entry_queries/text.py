@@ -898,13 +898,14 @@ def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (ORDER BY rs DESC, doc_id) AS r
             FROM cs),
     contrib AS (
-        SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS c
+        SELECT doc_id, CAST(floor(1000000000000.0 / (60 + r)) AS BIGINT) AS c
         FROM bmr WHERE r <= 50
         UNION ALL
-        SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS c
+        SELECT doc_id, CAST(floor(1000000000000.0 / (60 + r)) AS BIGINT) AS c
         FROM csr WHERE r <= 50
     )
-    SELECT doc_id, round(sum(c), 6) AS rrf FROM contrib
+    SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / 1000000000000.0, 6) AS rrf
+    FROM contrib
     GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10
     """,
 )
@@ -914,8 +915,9 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion (c=60, top_n=50 per ranker, fused top-10) — the standard
     two-tower shortlist merge of a retrieval/decontamination pipeline.
     Every cut and rank on BOTH engines is taken on the rounded score
-    with an id tiebreak, and each doc receives at most two double
-    additions (order-insensitive), so the fused hash is engine-stable.
+    with an id tiebreak, and each contribution is the exact integer
+    floor(10^12/(c+rank)) summed in BIGINT — order-insensitive for any
+    ranker count, so the fused hash is engine-stable.
     The per-ranker cuts are TakeOrderedAndProject; the fusion touches
     2 x 50 rows."""
     from pyarrow_ops_spark.functions.search import bm25_scores, rrf_fuse

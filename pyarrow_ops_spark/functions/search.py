@@ -160,10 +160,17 @@ def rrf_fuse(
 
     Determinism across engines: every per-ranking cut and rank is taken
     on ``(round(score, 4) DESC, id ASC)`` — never on raw doubles, whose
-    last ulp can differ between engines — and the fused score is rounded
-    to 6 before the final (rrf DESC, id ASC) top-k. With two rankings
-    each id receives at most two IEEE-double additions, which are
-    order-insensitive, so the fused hash is engine-stable.
+    last ulp can differ between engines — and each contribution is the
+    exact integer ``floor(10^12 / (c + rank))`` ("picounit" reciprocal):
+    ``10^12 / (c + rank)`` is ONE IEEE division of exactly-representable
+    doubles (correctly rounded, bit-identical on any engine), and the
+    per-id sum is then BIGINT arithmetic — exact and order-insensitive
+    for ANY number of rankings, not just two (a plain double sum of 3+
+    contributions depends on engine execution order in the last ulp).
+    The fused score surfaces as ``sum / 10^12`` rounded to 6 before the
+    final (rrf DESC, id ASC) top-k; the 1e-12-per-term quantization is
+    five orders below the rounding grain. Headroom: contributions are
+    <= 10^12/(c+1), so BIGINT overflow needs ~5.6e8 rankings at c=60.
 
     Plan shape (100 TB): each ranking's top-``top_n`` cut is a
     TakeOrderedAndProject over the ranker's scored relation (distributed
@@ -186,13 +193,17 @@ def rrf_fuse(
         contribs.append(
             top.withColumn("__rank", F.row_number().over(w)).select(
                 id_col,
-                (F.lit(1.0) / (F.lit(c) + F.col("__rank"))).alias("__c"),
+                F.floor(F.lit(1e12) / (F.lit(c) + F.col("__rank")))
+                .cast("long")
+                .alias("__c"),
             )
         )
     u = contribs[0]
     for extra in contribs[1:]:
         u = u.unionAll(extra)
-    fused = u.groupBy(id_col).agg(F.round(F.sum("__c"), 6).alias("rrf"))
+    fused = u.groupBy(id_col).agg(
+        F.round(F.sum("__c").cast("double") / F.lit(1e12), 6).alias("rrf")
+    )
     return fused.orderBy(F.col("rrf").desc(), F.col(id_col)).limit(k)
 
 

@@ -283,3 +283,49 @@ class TestRrfFuse:
 
         plan = ALL_QUERIES["search_hybrid_rrf"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_fuse_three_rankers_matches_duckdb(spark, duck):
+    """3+ rankers used to rely on engine addition order in the last ulp;
+    contributions are now exact BIGINT floor(1e12/(c+rank)) so the fused
+    hash is engine-stable for any ranker count — proven here against a
+    DuckDB mirror of the full fusion on three synthetic rankings."""
+    from pyarrow_ops_spark.functions.search import rrf_fuse
+    from tests.conftest import rows_to_set
+
+    base = spark.range(100).select(F.col("id").cast("long").alias("doc_id"))
+    rankers = [
+        base.select("doc_id", ((F.col("doc_id") * 37) % 101).cast("double").alias("score")),
+        base.select("doc_id", ((F.col("doc_id") * 53 + 7) % 97).cast("double").alias("score")),
+        base.select("doc_id", ((F.col("doc_id") * 29 + 11) % 89).cast("double").alias("score")),
+    ]
+    got = rrf_fuse(rankers, k=15, c=60, top_n=50)
+    sql = """
+    WITH ids AS (SELECT range AS doc_id FROM range(100)),
+    r1 AS (SELECT doc_id, CAST((doc_id * 37) % 101 AS DOUBLE) AS s FROM ids),
+    r2 AS (SELECT doc_id, CAST((doc_id * 53 + 7) % 97 AS DOUBLE) AS s FROM ids),
+    r3 AS (SELECT doc_id, CAST((doc_id * 29 + 11) % 89 AS DOUBLE) AS s FROM ids),
+    k1 AS (SELECT doc_id, row_number() OVER (ORDER BY round(s, 4) DESC, doc_id) AS r FROM r1),
+    k2 AS (SELECT doc_id, row_number() OVER (ORDER BY round(s, 4) DESC, doc_id) AS r FROM r2),
+    k3 AS (SELECT doc_id, row_number() OVER (ORDER BY round(s, 4) DESC, doc_id) AS r FROM r3),
+    contrib AS (
+        SELECT doc_id, CAST(floor(1000000000000.0 / (60 + r)) AS BIGINT) AS c
+        FROM k1 WHERE r <= 50
+        UNION ALL
+        SELECT doc_id, CAST(floor(1000000000000.0 / (60 + r)) AS BIGINT) AS c
+        FROM k2 WHERE r <= 50
+        UNION ALL
+        SELECT doc_id, CAST(floor(1000000000000.0 / (60 + r)) AS BIGINT) AS c
+        FROM k3 WHERE r <= 50
+    )
+    SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / 1000000000000.0, 6) AS rrf
+    FROM contrib GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 15
+    """
+    scols = list(got.columns)
+    srows = [tuple(r) for r in got.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) == 15
+    assert rows_to_set(scols, srows) == rows_to_set(dcols, drows)
