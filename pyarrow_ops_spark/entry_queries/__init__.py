@@ -135,15 +135,24 @@ def derive_cap_order(
     claims: list[str] | None = None,
     cap: int = _CAP,
     period: int = _PERIOD,
+    spot: str | None = None,
 ) -> list[str]:
     """Derive the driver-cap ordering: mandatory stale rows first
     (oldest-green-first, never-certified treated as round 0), then
-    changed-path claims, then remaining rows oldest-green-first. Pure so
-    the staleness test can re-run it against synthetic futures."""
+    changed-path claims, then the folded spot-recert row (if any), then
+    remaining rows oldest-green-first. Pure so the staleness test can
+    re-run it against synthetic futures.
+
+    ``spot`` is the one folded row re-entering the driver registry this
+    round (cap-capacity policy: "folded != forgotten"). It is EXCLUDED
+    from the mandatory computation — folded rows are exempt from the
+    staleness window by policy (pytest + builder sweeps gate them every
+    run), so an ancient folded cert must never outrank a genuinely stale
+    registry row; it only takes a free slot after mandatory + claims."""
     claims = claims or []
     floor = latest_round + 2 - period  # window after the upcoming round
     by_age = sorted(names, key=lambda n: (last_green.get(n, 0), n))
-    mandatory = [n for n in by_age if last_green.get(n, 0) < floor]
+    mandatory = [n for n in by_age if last_green.get(n, 0) < floor and n != spot]
     # If mandatory overflows the cap (e.g. a driver round came back with
     # many transient reds), DEGRADE, never raise: scheduling the oldest
     # `cap` rows is still the optimal move, and raising here would brick
@@ -155,6 +164,8 @@ def derive_cap_order(
     for n in claims:
         if n in names and n not in order and len(order) < cap:
             order.append(n)
+    if spot is not None and spot in names and spot not in order and len(order) < cap:
+        order.append(spot)
     for n in by_age:
         if len(order) >= cap:
             break
@@ -167,12 +178,40 @@ def derive_cap_order(
     return order
 
 
+# The folded row re-entering the driver registry this round (None on a
+# fresh checkout). Cap-capacity policy, "folded != forgotten": folding
+# removes a row from the rotation, so its DRIVER cert would otherwise age
+# indefinitely (pytest + builder sweeps still gate it every run). One
+# folded row per round — the one with the OLDEST driver cert, name
+# tiebreak — takes a free cap slot, bounding folded driver-cert vintage
+# to a ~|folded|-round cycle at ~2% of cap budget.
+SPOT_RECERT_ROW: str | None = None
+
+
+def pick_spot_recert(
+    folded_names: list[str], last_green: dict[str, int]
+) -> str | None:
+    """Deterministically pick the folded row due for a driver spot-recert:
+    oldest driver cert first, name as tiebreak. Pure for the tests."""
+    if not folded_names:
+        return None
+    return min(folded_names, key=lambda n: (last_green.get(n, 0), n))
+
+
 def _reorder_registry() -> None:
-    global QUERIES
+    global QUERIES, ORACLES, SPOT_RECERT_ROW
     last, latest = _last_green_by_row(_repo_root())
     if latest == 0:
         return  # no correctness files (fresh checkout) — keep natural order
-    order = derive_cap_order(list(QUERIES), last, latest, _CHANGED_PATH_CLAIMS)
+    spot = pick_spot_recert(list(FOLDED_QUERIES), last)
+    if spot is not None:
+        QUERIES = {**QUERIES, spot: FOLDED_QUERIES[spot]}
+        if spot in FOLDED_ORACLES:
+            ORACLES = {**ORACLES, spot: FOLDED_ORACLES[spot]}
+        SPOT_RECERT_ROW = spot
+    order = derive_cap_order(
+        list(QUERIES), last, latest, _CHANGED_PATH_CLAIMS, spot=spot
+    )
     QUERIES = {n: QUERIES[n] for n in order}
 
 

@@ -192,9 +192,11 @@ def test_capacity_policy_feasible_through_r14():
         stale = [n for n in synth if n not in cap_rows and green.get(n, 0) < floor]
         assert not stale, f"synthetic round {rnd + 1}: stale rows {stale}"
         mandatory = [n for n in synth if green.get(n, 0) < floor]
-        assert len(mandatory) + GROWTH_BUDGET <= CAP, (
+        # +1: one free slot per round is reserved for the folded
+        # spot-recert row (cap-capacity policy, "folded != forgotten")
+        assert len(mandatory) + GROWTH_BUDGET + 1 <= CAP, (
             f"synthetic round {rnd + 1}: mandatory load {len(mandatory)} "
-            f"leaves < {GROWTH_BUDGET} free slots"
+            f"leaves < {GROWTH_BUDGET} free slots + 1 spot-recert slot"
         )
         rnd += 1
         for n in cap_rows:

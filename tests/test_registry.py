@@ -35,13 +35,40 @@ def _names_hash(names) -> str:
 
 
 def test_registry_name_set_frozen():
-    from pyarrow_ops_spark.entry_queries import QUERIES
+    # the driver-facing dict carries the 182 frozen rows PLUS the one
+    # rotating folded spot-recert row (cap-capacity policy, "folded !=
+    # forgotten") — the freeze applies to the surface minus that row
+    from pyarrow_ops_spark.entry_queries import QUERIES, SPOT_RECERT_ROW
 
-    got = _names_hash(QUERIES)
-    assert len(QUERIES) == N_QUERIES and got == NAMES_SHA256, (
-        f"registry surface changed: {len(QUERIES)} names, hash {got} — if "
+    names = set(QUERIES) - ({SPOT_RECERT_ROW} if SPOT_RECERT_ROW else set())
+    got = _names_hash(names)
+    assert len(names) == N_QUERIES and got == NAMES_SHA256, (
+        f"registry surface changed: {len(names)} names, hash {got} — if "
         f"deliberate, update N_QUERIES/NAMES_SHA256 in this test"
     )
+
+
+def test_spot_recert_row_is_the_oldest_folded_cert():
+    """One folded row per round re-enters the driver registry in a free
+    cap slot so folded driver certs stay bounded (~|folded|-round cycle).
+    Pin: the selected row is the folded row with the OLDEST driver cert
+    (name tiebreak), it is oracle-backed, and it sits inside the cap."""
+    from pyarrow_ops_spark.entry_queries import (
+        FOLDED_QUERIES,
+        ORACLES,
+        QUERIES,
+        SPOT_RECERT_ROW,
+        pick_spot_recert,
+    )
+    from tests.test_cert_staleness import _last_green_by_row
+
+    last, _ = _last_green_by_row()
+    expected = pick_spot_recert(list(FOLDED_QUERIES), last)
+    assert SPOT_RECERT_ROW == expected
+    assert SPOT_RECERT_ROW in FOLDED_QUERIES
+    assert SPOT_RECERT_ROW in ORACLES
+    cap_rows = list(QUERIES)[:50]
+    assert SPOT_RECERT_ROW in cap_rows
 
 
 def test_every_query_is_oracle_backed():
@@ -63,12 +90,16 @@ def test_folded_rows_frozen_and_disjoint():
         QUERIES,
     )
 
+    from pyarrow_ops_spark.entry_queries import SPOT_RECERT_ROW
+
     got = _names_hash(FOLDED_QUERIES)
     assert len(FOLDED_QUERIES) == N_FOLDED and got == FOLDED_SHA256, (
         f"folded surface changed: {len(FOLDED_QUERIES)} names, hash {got} — "
         f"if deliberate, update N_FOLDED/FOLDED_SHA256"
     )
-    assert not set(FOLDED_QUERIES) & set(QUERIES)
+    # the only overlap allowed is the rotating spot-recert row
+    overlap = set(FOLDED_QUERIES) & set(QUERIES)
+    assert overlap == ({SPOT_RECERT_ROW} if SPOT_RECERT_ROW else set())
     assert set(FOLDED_ORACLES) == set(FOLDED_QUERIES)
 
 
@@ -109,12 +140,15 @@ def test_driver_cap_prefix_matches_derived_order():
         _repo_root,
         derive_cap_order,
         QUERIES,
+        SPOT_RECERT_ROW,
     )
 
     last, latest = _last_green_by_row(_repo_root())
     assert latest > 0
     names = list(QUERIES)
-    expected = derive_cap_order(sorted(names), last, latest, _CHANGED_PATH_CLAIMS)
+    expected = derive_cap_order(
+        sorted(names), last, latest, _CHANGED_PATH_CLAIMS, spot=SPOT_RECERT_ROW
+    )
     assert names[:50] == expected[:50]
     assert len(set(names[:50])) == 50
     # claims must reference real registry rows (typos would silently no-op)
