@@ -949,3 +949,61 @@ def q_stats_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         bins=64,
         by=["source"],
     )
+
+
+@query(
+    "stats_chi2_drift",
+    """
+    WITH u AS (
+        SELECT CAST(lang AS VARCHAR) AS cat, 0 AS s FROM documents
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+        UNION ALL
+        SELECT CAST(lang AS VARCHAR) AS cat, 1 AS s FROM documents
+        WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+    ),
+    c AS (SELECT cat,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+          FROM u GROUP BY cat),
+    t AS (SELECT cat, ca, cb,
+                 sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+          FROM c),
+    f AS (SELECT * FROM t WHERE na > 0 AND nb > 0),
+    x AS (SELECT na, nb,
+                 CAST(floor(
+                   ( ((ca - (CAST(na AS DOUBLE) * (ca + cb)) / (na + nb))
+                      * (ca - (CAST(na AS DOUBLE) * (ca + cb)) / (na + nb)))
+                     / ((CAST(na AS DOUBLE) * (ca + cb)) / (na + nb))
+                   + ((cb - (CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb))
+                      * (cb - (CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb)))
+                     / ((CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb))
+                   ) * 1000000000.0) AS BIGINT) AS ci
+          FROM f)
+    SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(count(*) AS BIGINT) AS n_categories,
+           round(CAST(sum(ci) AS DOUBLE) / 1000000000.0, 6) AS chi2
+    FROM x
+    """,
+)
+def q_stats_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared homogeneity drift of the language mix between even-id
+    and odd-id document snapshots — the CATEGORICAL drift monitor
+    completing the KS (numeric, equal-width) / PSI (numeric, equi-depth)
+    family: "did this crawl batch's language/source/label distribution
+    move?". Each category's chi2 term is one shared left-associated
+    double formula evaluated identically on both engines, then scaled to
+    exact BIGINT floor(term * 1e9) and summed order-insensitively (the
+    rrf_fuse trick — a plain double sum over categories is engine-order-
+    dependent in the last ulp). Plan: one union scan into a
+    |categories|-bounded groupBy (map-side combine carries category
+    counts, not rows), bounded full-frame windows for slice totals,
+    map-only chi2 expression, one final one-row aggregate — no corpus
+    shuffle, no collect (functions/stats.py:chi2_drift)."""
+    from pyarrow_ops_spark.functions.stats import chi2_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chi2_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )

@@ -584,3 +584,90 @@ def psi_drift(
         F.col("__cb").cast("long").alias("c_b"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_bin"),
     ).orderBy(*by, "bin")
+
+
+def chi2_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Chi-squared homogeneity drift statistic between the CATEGORICAL
+    ``col`` distributions of two slices — the categorical sibling of
+    ``ks_drift``/``psi_drift`` (those want numeric columns; this is the
+    monitor for language mix, source mix, label mix, file-type mix).
+
+    Output is ONE row ``(n_a, n_b, n_categories, chi2)`` per group (or a
+    single row without ``by``): slice sizes, the number of categories
+    occupied by either slice, and the two-sample chi-squared statistic
+    ``sum_c (o_ac - e_ac)^2/e_ac + (o_bc - e_bc)^2/e_bc`` with expected
+    counts ``e_xc = n_x * (o_ac + o_bc) / (n_a + n_b)`` (always > 0 on
+    occupied categories, so no continuity clamp is needed). Degrees of
+    freedom for a significance test = ``n_categories - 1``.
+
+    Engine congruence: each category's term is ONE shared left-associated
+    double formula (bit-identical across engines), then scaled to an
+    exact integer ``floor(term * 10^9)`` and summed in BIGINT — exact and
+    order-insensitive, the same trick as ``rrf_fuse`` (a plain double sum
+    over categories would depend on engine execution order in the last
+    ulp). The surfaced ``chi2`` is ``sum / 10^9`` rounded to 6; the
+    1e-9-per-category quantization is three orders below the rounding
+    grain even at thousands of categories.
+
+    Plan shape (100 TB): one union scan into a groupBy bounded by
+    |groups| x |categories| (map-side combine shrinks the shuffle to
+    category cardinality, not row count), full-frame windows over that
+    bounded relation for slice totals, a map-only chi2 expression, and a
+    final <=|groups|-row aggregate. No corpus shuffle, no collect. NULL
+    categories are dropped (same rule as the numeric monitors); groups
+    present in only one slice are dropped (no two-sample statistic).
+    """
+    by = list(by)
+    u = df_a.select(
+        *[F.col(c) for c in by],
+        F.col(col).cast("string").alias("__cat"),
+        F.lit(0).alias("__s"),
+    ).unionAll(
+        df_b.select(
+            *[F.col(c) for c in by],
+            F.col(col).cast("string").alias("__cat"),
+            F.lit(1).alias("__s"),
+        )
+    ).filter(F.col("__cat").isNotNull())
+    counts = u.groupBy(*by, "__cat").agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__cb"),
+    )
+    part = Window.partitionBy(*by) if by else Window
+    wfull = part.orderBy("__cat").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_totals = counts.select(
+        *[F.col(c) for c in by],
+        "__ca",
+        "__cb",
+        F.sum("__ca").over(wfull).alias("__na"),
+        F.sum("__cb").over(wfull).alias("__nb"),
+    ).filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+    # one shared double formula, mirrored verbatim in the DuckDB oracle:
+    # e_x = (CAST(n_x AS DOUBLE) * (ca + cb)) / (na + nb);
+    # term = ((ca - e_a) * (ca - e_a)) / e_a + ((cb - e_b) * (cb - e_b)) / e_b
+    tot = F.col("__ca") + F.col("__cb")
+    grand = F.col("__na") + F.col("__nb")
+    ea = F.col("__na").cast("double") * tot / grand
+    eb = F.col("__nb").cast("double") * tot / grand
+    term = ((F.col("__ca") - ea) * (F.col("__ca") - ea)) / ea + (
+        (F.col("__cb") - eb) * (F.col("__cb") - eb)
+    ) / eb
+    scaled = with_totals.select(
+        *[F.col(c) for c in by],
+        "__na",
+        "__nb",
+        F.floor(term * F.lit(1e9)).cast("long").alias("__ci"),
+    )
+    return scaled.groupBy(*by).agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.round(F.sum("__ci").cast("double") / F.lit(1e9), 6).alias("chi2"),
+    )

@@ -19,13 +19,15 @@ import hashlib
 
 # sha256 over "\n".join(sorted(names)) — round 12:
 # +stats_psi_drift (PSI drift monitor, equi-depth reference cuts,
-# continuity clamp) and +stats_ks_drift_by_source (per-group KS drift) —
+# continuity clamp), +stats_ks_drift_by_source (per-group KS drift) —
 # both engines landed in r11 with pytest DuckDB-congruence mirrors; r12
-# promotes them to driver-certified registry rows. Net registry growth
-# this round: +2 (inside the <=3/round cap-capacity budget; folded set
+# promotes them to driver-certified registry rows — and +stats_chi2_drift
+# (chi-squared homogeneity monitor for CATEGORICAL columns, exact
+# BIGINT-scaled term sum), completing the drift family. Net registry
+# growth this round: +3 (exactly the cap-capacity budget; folded set
 # unchanged at 15).
-NAMES_SHA256 = "2abb180e3133b951bb8616360d1f4545446527512b00f54936b338fa294b5ce3"
-N_QUERIES = 182
+NAMES_SHA256 = "2fc8c79b3cba8f7811cc42e52864f0d1f919332d8bcd2950c866f3c35adeae69"
+N_QUERIES = 183
 FOLDED_SHA256 = "398498b49e92ff3f67829caec7a4362a59792bcd12490b774677c23acee37a0f"
 N_FOLDED = 15
 

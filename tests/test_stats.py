@@ -507,3 +507,111 @@ def test_psi_drift_b_only_empty_dropped(spark):
     empty = spark.createDataFrame([], "v double")
     a_plain = spark.createDataFrame([(float(v),) for v in range(80)], ["v"])
     assert psi_drift(a_plain, empty, "v").count() == 0
+
+
+def test_chi2_drift_identical_and_shifted(spark):
+    from pyarrow_ops_spark.functions.stats import chi2_drift
+
+    rows = [(["en", "de", "fr"][v % 3],) for v in range(300)]
+    a = spark.createDataFrame(rows, ["lang"])
+    same = chi2_drift(a, a, "lang").collect()[0]
+    assert same["chi2"] == 0.0
+    assert same["n_a"] == same["n_b"] == 300
+    assert same["n_categories"] == 3
+    # b collapses entirely onto one category: massive drift
+    b = spark.createDataFrame([("en",)] * 300, ["lang"])
+    shifted = chi2_drift(a, b, "lang").collect()[0]
+    assert shifted["chi2"] > 100.0
+    assert shifted["n_categories"] == 3  # de/fr occupied by slice a
+
+
+def test_chi2_drift_nulls_dropped_and_one_sided_groups(spark):
+    from pyarrow_ops_spark.functions.stats import chi2_drift
+
+    a = spark.createDataFrame(
+        [("g1", "en"), ("g1", "de"), ("g1", None), ("g2", "en")],
+        "g string, lang string",
+    )
+    b = spark.createDataFrame(
+        [("g1", "en"), ("g1", "de"), ("g3", "fr")], "g string, lang string"
+    )
+    rows = {r["g"]: r for r in chi2_drift(a, b, "lang", by=["g"]).collect()}
+    # g2 (a-only) and g3 (b-only) dropped; null category not counted
+    assert set(rows) == {"g1"}
+    assert rows["g1"]["n_a"] == 2 and rows["g1"]["n_b"] == 2
+    assert rows["g1"]["chi2"] == 0.0
+
+
+def test_chi2_drift_matches_scipy_formula(spark):
+    """Cross-check the statistic against the straight textbook formula
+    computed in Python on the same contingency table."""
+    from pyarrow_ops_spark.functions.stats import chi2_drift
+
+    ca = {"en": 50, "de": 30, "fr": 20}
+    cb = {"en": 30, "de": 30, "fr": 40}
+    a = spark.createDataFrame([(k,) for k, n in ca.items() for _ in range(n)], ["lang"])
+    b = spark.createDataFrame([(k,) for k, n in cb.items() for _ in range(n)], ["lang"])
+    got = chi2_drift(a, b, "lang").collect()[0]
+    na, nb = sum(ca.values()), sum(cb.values())
+    expect = 0.0
+    for k in ca:
+        tot = ca[k] + cb[k]
+        ea, eb = na * tot / (na + nb), nb * tot / (na + nb)
+        expect += (ca[k] - ea) ** 2 / ea + (cb[k] - eb) ** 2 / eb
+    assert got["chi2"] == pytest.approx(expect, abs=1e-5)
+
+
+def test_chi2_drift_matches_duckdb_formula(spark, duck):
+    """Engine congruence of the registry oracle pattern: per-group chi2
+    over the documents source mix, exact BIGINT-scaled term sum."""
+    from pyarrow_ops_spark.functions.stats import chi2_drift
+    from pyarrow_ops_spark.sources.tables import load_table
+    from tests.conftest import ORACLE_SF_DIR, rows_to_set
+
+    docs = load_table(spark, "documents", ORACLE_SF_DIR)
+    got = chi2_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "source",
+        by=["lang"],
+    )
+    sql = """
+    WITH u AS (
+        SELECT lang, CAST(source AS VARCHAR) AS cat, 0 AS s FROM o_documents
+        WHERE doc_id % 2 = 0 AND source IS NOT NULL
+        UNION ALL
+        SELECT lang, CAST(source AS VARCHAR) AS cat, 1 AS s FROM o_documents
+        WHERE doc_id % 2 = 1 AND source IS NOT NULL
+    ),
+    c AS (SELECT lang, cat,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+          FROM u GROUP BY lang, cat),
+    t AS (SELECT lang, cat, ca, cb,
+                 sum(ca) OVER (PARTITION BY lang) AS na,
+                 sum(cb) OVER (PARTITION BY lang) AS nb
+          FROM c),
+    f AS (SELECT * FROM t WHERE na > 0 AND nb > 0),
+    x AS (SELECT lang, na, nb,
+                 CAST(floor(
+                   ( ((ca - (CAST(na AS DOUBLE) * (ca + cb)) / (na + nb))
+                      * (ca - (CAST(na AS DOUBLE) * (ca + cb)) / (na + nb)))
+                     / ((CAST(na AS DOUBLE) * (ca + cb)) / (na + nb))
+                   + ((cb - (CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb))
+                      * (cb - (CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb)))
+                     / ((CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb))
+                   ) * 1000000000.0) AS BIGINT) AS ci
+          FROM f)
+    SELECT lang, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(count(*) AS BIGINT) AS n_categories,
+           round(CAST(sum(ci) AS DOUBLE) / 1000000000.0, 6) AS chi2
+    FROM x GROUP BY lang
+    """
+    scols = list(got.columns)
+    srows = [tuple(r) for r in got.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert rows_to_set(scols, srows) == rows_to_set(dcols, drows)
