@@ -671,3 +671,73 @@ def chi2_drift(
         F.count(F.lit(1)).cast("long").alias("n_categories"),
         F.round(F.sum("__ci").cast("double") / F.lit(1e9), 6).alias("chi2"),
     )
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str,
+    norm_bins: int = 64,
+) -> DataFrame:
+    """Embedding-space drift report between two corpus slices — the
+    monitor an embedding-backed pipeline runs when the encoder, the
+    corpus mix, or an upstream preprocessing step changes: ONE row
+    ``(n_a, n_b, centroid_cos, norm_ks_bin, norm_ks_d)`` where
+    ``centroid_cos`` is the cosine similarity of the two slices' mean
+    vectors (1.0 = same direction; drops as the population direction
+    moves) and ``norm_ks_*`` is the :func:`ks_drift` statistic over the
+    per-vector L2 norms (catches magnitude/scale drift that direction
+    alone misses, e.g. a normalization bug).
+
+    Plan shape (100 TB): centroids via posexplode + partial-avg hash
+    aggregate — map-side combine collapses the rows x dim fan-out to
+    2 x dim partial sums per task, so the shuffle is ~constant in corpus
+    size; the dim-bounded centroid relations reduce to ONE row through a
+    dim-row aggregate; norms are a map-only higher-order ``aggregate``
+    riding the same scans ks_drift makes anyway. No corpus shuffle, no
+    collect, no cartesian beyond broadcast one-row joins.
+    """
+    u = df_a.select(F.col(vec_col).alias("__v"), F.lit(0).alias("__s")).unionAll(
+        df_b.select(F.col(vec_col).alias("__v"), F.lit(1).alias("__s"))
+    ).filter(F.col("__v").isNotNull())
+    cent = (
+        u.select("__s", F.posexplode("__v").alias("__pos", "__x"))
+        .groupBy("__s", "__pos")
+        .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+    )
+    a = cent.filter(F.col("__s") == 0).select("__pos", F.col("__m").alias("__ma"))
+    b = cent.filter(F.col("__s") == 1).select("__pos", F.col("__m").alias("__mb"))
+    cos = (
+        a.join(b, on="__pos")
+        .agg(
+            F.sum(F.col("__ma") * F.col("__mb")).alias("__dot"),
+            F.sum(F.col("__ma") * F.col("__ma")).alias("__na2"),
+            F.sum(F.col("__mb") * F.col("__mb")).alias("__nb2"),
+        )
+        .select(
+            F.round(
+                F.col("__dot") / F.sqrt(F.col("__na2") * F.col("__nb2")), 4
+            ).alias("centroid_cos")
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "__v",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    ks = ks_drift(
+        df_a.select(F.col(vec_col).alias("__v")).filter(F.col("__v").isNotNull()).select(norm.alias("__n")),
+        df_b.select(F.col(vec_col).alias("__v")).filter(F.col("__v").isNotNull()).select(norm.alias("__n")),
+        "__n",
+        bins=norm_bins,
+    ).select(
+        "n_a",
+        "n_b",
+        F.col("ks_bin").alias("norm_ks_bin"),
+        F.col("ks_d").alias("norm_ks_d"),
+    )
+    return ks.crossJoin(F.broadcast(cos)).select(
+        "n_a", "n_b", "centroid_cos", "norm_ks_bin", "norm_ks_d"
+    )

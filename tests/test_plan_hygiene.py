@@ -506,3 +506,41 @@ def test_hybrid_rrf_no_cartesian_bounded_windows(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line and "Build" in line, line
+
+
+def test_psi_drift_scan_floor_and_pushdown(spark):
+    """stats_psi_drift: slice filters reach the scan, and the plan holds
+    the one-percentile-pass + one-binning-pass floor (reference scanned
+    twice — cuts + union arm — comparison once); the cuts relation joins
+    back broadcast, never a cartesian."""
+    from pyarrow_ops_spark.entry_queries import ALL_QUERIES
+
+    plan = (
+        ALL_QUERIES["stats_psi_drift"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 3
+    assert "o_orderstatus" in plan.split("FileScan")[1]  # filter pushed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_chi2_drift_bounded_shuffle_and_pushdown(spark):
+    """stats_chi2_drift: one scan per slice, category counts come from a
+    map-side-combinable HashAggregate (partial_sum before the exchange),
+    and the full-frame totals window runs over the bounded counts
+    relation — no corpus-keyed exchange after the category aggregate."""
+    from pyarrow_ops_spark.entry_queries import ALL_QUERIES
+
+    plan = (
+        ALL_QUERIES["stats_chi2_drift"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 2
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # map-side combine on category counts
+    assert "Window" in plan

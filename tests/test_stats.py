@@ -615,3 +615,41 @@ def test_chi2_drift_matches_duckdb_formula(spark, duck):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert rows_to_set(scols, srows) == rows_to_set(dcols, drows)
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    from pyarrow_ops_spark.functions.stats import embedding_drift
+
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(200)]
+    a = spark.createDataFrame([(v,) for v in vecs], ["emb"])
+    same = embedding_drift(a, a, "emb").collect()[0]
+    assert same["centroid_cos"] == 1.0
+    assert same["norm_ks_d"] == 0.0
+    assert same["n_a"] == same["n_b"] == 200
+    # scale every vector 3x AND flip sign of the first coordinate:
+    # norms shift (KS fires), centroid direction moves (cos < 1)
+    shifted = [[-3.0 * v[0]] + [3.0 * x for x in v[1:]] for v in vecs]
+    b = spark.createDataFrame([(v,) for v in shifted], ["emb"])
+    moved = embedding_drift(a, b, "emb").collect()[0]
+    assert moved["norm_ks_d"] > 0.9  # 3x norm scale = near-total separation
+    assert moved["centroid_cos"] < 1.0
+
+
+def test_embedding_drift_matches_numpy(spark):
+    from pyarrow_ops_spark.functions.stats import embedding_drift
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    va = rng.randn(150, 6)
+    vb = rng.randn(150, 6) + 0.5
+    a = spark.createDataFrame([(list(map(float, v)),) for v in va], ["emb"])
+    b = spark.createDataFrame([(list(map(float, v)),) for v in vb], ["emb"])
+    got = embedding_drift(a, b, "emb").collect()[0]
+    ca, cb = va.mean(axis=0), vb.mean(axis=0)
+    cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+    assert got["centroid_cos"] == pytest.approx(cos, abs=1e-3)
+    assert 0.0 <= got["norm_ks_d"] <= 1.0
