@@ -127,6 +127,11 @@ BENCH_QUERIES = [
     "similarity_knn_probe_indexed",
     "search_hybrid_rrf",
     "stats_ks_drift",
+    # round-12 additions: the drift-monitor family completion — PSI
+    # (equi-depth numeric), per-group KS, chi-squared (categorical)
+    "stats_psi_drift",
+    "stats_ks_drift_by_source",
+    "stats_chi2_drift",
 ]
 
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))

@@ -68,9 +68,10 @@ def _top3_from_bench_full(repo: str) -> list[str]:
 def _run_child(tree: str, names: list[str]) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = tree
+    # always HEAD's copy of this script (a boundary commit may predate it);
+    # cwd + PYTHONPATH pin which tree's PACKAGE the child imports
     proc = subprocess.run(
-        [sys.executable, os.path.join(tree, "benchmarks", "bench_ab.py"),
-         "--child", SF_DIR, *names],
+        [sys.executable, os.path.abspath(__file__), "--child", SF_DIR, *names],
         cwd=tree, env=env, capture_output=True, text=True, timeout=3600,
     )
     for line in proc.stdout.splitlines():

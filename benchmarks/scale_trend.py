@@ -189,6 +189,12 @@ DEFAULT_QUERIES = [
     "similarity_knn_probe_indexed",
     "search_hybrid_rrf",
     "stats_ks_drift",
+    # round-12: the drift-family completion — PSI (percentile agg +
+    # bounded bin windows), per-group KS (grouped bounds broadcast +
+    # partitioned bounded windows), chi2 (category-bounded groupBy)
+    "stats_psi_drift",
+    "stats_ks_drift_by_source",
+    "stats_chi2_drift",
 ]
 
 
