@@ -383,3 +383,70 @@ def test_minhash_band_rows_set_semantics(spark, arrs):
     assert s1 == s2
     expected_ids = {i for i, a in base if a}
     assert {i for i, _ in s1} == expected_ids
+
+
+# --- drift-monitor family invariants (round 12) ------------------------------
+
+DRIFT_VALS = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=15
+)
+
+
+def _vdf(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=DRIFT_VALS, b=DRIFT_VALS)
+def test_ks_drift_bounded_and_zero_on_identity(spark, a, b):
+    from pyarrow_ops_spark.functions.stats import ks_drift
+
+    same = ks_drift(_vdf(spark, a), _vdf(spark, a), "v", bins=16).collect()
+    assert len(same) == 1 and same[0]["ks_d"] == 0.0
+    row = ks_drift(_vdf(spark, a), _vdf(spark, b), "v", bins=16).collect()[0]
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=DRIFT_VALS, b=DRIFT_VALS)
+def test_psi_drift_terms_nonnegative_zero_on_identity(spark, a, b):
+    # (p_a - p_b) * ln(p_a / p_b) has matching signs in both factors, so
+    # every bin term is >= 0 for ANY pair of slices; identity -> all 0
+    from pyarrow_ops_spark.functions.stats import psi_drift
+
+    same = psi_drift(_vdf(spark, a), _vdf(spark, a), "v", bins=4).collect()
+    assert same and all(r["psi_bin"] == 0.0 for r in same)
+    rows = psi_drift(_vdf(spark, a), _vdf(spark, b), "v", bins=4).collect()
+    assert rows and all(r["psi_bin"] >= 0.0 for r in rows)
+    assert sum(r["c_a"] for r in rows) == len(a)
+    assert sum(r["c_b"] for r in rows) == len(b)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=DRIFT_VALS, b=DRIFT_VALS)
+def test_chi2_drift_nonnegative_zero_on_identity(spark, a, b):
+    from pyarrow_ops_spark.functions.stats import chi2_drift
+
+    # map ints onto a handful of category labels
+    cat = lambda v: f"c{abs(v) % 4}"  # noqa: E731
+    adf = spark.createDataFrame([(cat(v),) for v in a], "lang string")
+    bdf = spark.createDataFrame([(cat(v),) for v in b], "lang string")
+    same = chi2_drift(adf, adf, "lang").collect()[0]
+    assert same["chi2"] == 0.0
+    row = chi2_drift(adf, bdf, "lang").collect()[0]
+    assert row["chi2"] >= 0.0
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert 1 <= row["n_categories"] <= 4
