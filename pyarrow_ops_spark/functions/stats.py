@@ -741,3 +741,147 @@ def embedding_drift(
     return ks.crossJoin(F.broadcast(cos)).select(
         "n_a", "n_b", "centroid_cos", "norm_ks_bin", "norm_ks_d"
     )
+
+
+def emd_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 256,
+    lo: float | None = None,
+    hi: float | None = None,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Earth mover's (Wasserstein-1) drift distance between the ``col``
+    distributions of two slices, on the same ``bins`` equal-width binning
+    as :func:`ks_drift` — KS answers "how far apart do the CDFs GET",
+    EMD answers "how much mass moved HOW far" (a small shift of all mass
+    and a large shift of a little mass can tie on KS; EMD separates
+    them). W1 = integral of |CDF_a - CDF_b|; binned here, error <= one
+    bin's width per unit mass.
+
+    Output: one row per group ``(n_a, n_b, emd, emd_norm)`` where
+    ``emd`` is in the column's units and ``emd_norm = emd / (mx - mn)``
+    is scale-free in [0, 1] (0 when the slice range is degenerate).
+
+    Engine congruence: the CDF gap persists unchanged across bins that
+    are empty in BOTH slices (absent from the counts relation), so each
+    occupied bin contributes ``|gap| * (next_occupied_bin - bin) *
+    width`` via a lead() over the bounded counts relation — the final
+    occupied bin's gap is exactly 0 (both CDFs reach 1) and is excluded.
+    Each term is one shared left-associated double product, scaled to
+    exact BIGINT ``floor(term * 10^9)`` and summed order-insensitively
+    (the rrf_fuse trick), surfaced as ``sum / 10^9`` rounded to 6.
+
+    Plan shape (100 TB): identical to :func:`ks_drift` — one bounds pass
+    (skipped under fixed ``lo``/``hi``), one map-only binning pass into a
+    ``bins``-bounded groupBy, then lead/sum windows over <= ``bins`` rows
+    per group. One-sided groups/slices are dropped, same rule as the
+    rest of the drift family.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    by = list(by)
+    u = df_a.select(
+        *[F.col(c) for c in by],
+        F.col(col).cast("double").alias("__v"),
+        F.lit(0).alias("__s"),
+    ).unionAll(
+        df_b.select(
+            *[F.col(c) for c in by],
+            F.col(col).cast("double").alias("__v"),
+            F.lit(1).alias("__s"),
+        )
+    ).filter(F.col("__v").isNotNull())
+    if lo is None:
+        aggs = [F.min("__v").alias("__mn"), F.max("__v").alias("__mx")]
+        st = u.groupBy(*by).agg(*aggs) if by else u.agg(*aggs)
+        if by:
+            s = st
+            cond = None
+            for c in by:
+                s = s.withColumnRenamed(c, f"__g_{c}")
+                this = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+                cond = this if cond is None else (cond & this)
+            with_bounds = u.join(F.broadcast(s), on=cond)
+        else:
+            with_bounds = u.crossJoin(F.broadcast(st))
+    else:
+        with_bounds = u.withColumn("__mn", F.lit(float(lo))).withColumn(
+            "__mx", F.lit(float(hi))
+        )
+    binned = with_bounds.select(
+        *[F.col(c) for c in by],
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("__v") - F.col("__mn"))
+                        * bins
+                        / (F.col("__mx") - F.col("__mn"))
+                    ),
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+        ((F.col("__mx") - F.col("__mn")) / bins).alias("__w"),
+        "__s",
+    )
+    counts = binned.groupBy(*by, "bin").agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__cb"),
+        F.max("__w").alias("__w"),
+    )
+    part = Window.partitionBy(*by) if by else Window
+    worder = part.orderBy("bin")
+    w = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = worder.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        *[F.col(c) for c in by],
+        "bin",
+        "__w",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        F.sum("__ca").over(wfull).alias("__na"),
+        F.sum("__cb").over(wfull).alias("__nb"),
+        # last occupied bin: no successor -> span 0 -> term 0 (its CDF gap
+        # is exactly 0 anyway); keeping the row (instead of filtering it)
+        # means a single-bin degenerate distribution still emits emd = 0
+        F.coalesce(F.lead("bin").over(worder), F.col("bin")).alias("__nxt"),
+    ).filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+    # term = |cuma/na - cumb/nb| * (nxt - bin) * w, one shared product
+    term = (
+        F.abs(
+            F.col("__cuma").cast("double") / F.col("__na")
+            - F.col("__cumb").cast("double") / F.col("__nb")
+        )
+        * (F.col("__nxt") - F.col("bin"))
+        * F.col("__w")
+    )
+    scaled = cum.select(
+        *[F.col(c) for c in by],
+        "__na",
+        "__nb",
+        (F.col("__w") * bins).alias("__range"),
+        F.floor(term * F.lit(1e9)).cast("long").alias("__ti"),
+    )
+    emd = F.sum("__ti").cast("double") / F.lit(1e9)
+    return scaled.groupBy(*by).agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.round(emd, 6).alias("emd"),
+        F.round(
+            F.when(F.max("__range") > 0, emd / F.max("__range")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("emd_norm"),
+    )

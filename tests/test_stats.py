@@ -653,3 +653,129 @@ def test_embedding_drift_matches_numpy(spark):
     cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
     assert got["centroid_cos"] == pytest.approx(cos, abs=1e-3)
     assert 0.0 <= got["norm_ks_d"] <= 1.0
+
+
+def test_emd_drift_identity_shift_and_degenerate(spark):
+    from pyarrow_ops_spark.functions.stats import emd_drift
+
+    a = spark.createDataFrame([(float(v),) for v in range(100)], ["v"])
+    same = emd_drift(a, a, "v").collect()[0]
+    assert same["emd"] == 0.0 and same["emd_norm"] == 0.0
+    # shift by exactly 10 with FIXED bounds wide enough to hold both:
+    # W1 of a pure translation is the shift size; binned reading within
+    # one bin width (range 110 / 64 bins ~ 1.72)
+    b = spark.createDataFrame([(float(v) + 10.0,) for v in range(100)], ["v"])
+    got = emd_drift(a, b, "v", bins=64, lo=0.0, hi=110.0).collect()[0]
+    assert abs(got["emd"] - 10.0) <= 110.0 / 64 + 1e-6
+    assert got["n_a"] == got["n_b"] == 100
+    # degenerate single-value slices still emit a zero row
+    c = spark.createDataFrame([(5.0,)] * 10, ["v"])
+    deg = emd_drift(c, c, "v").collect()[0]
+    assert deg["emd"] == 0.0 and deg["emd_norm"] == 0.0
+
+
+def test_emd_drift_matches_numpy_integral(spark):
+    """Binned W1 equals the numpy trapz-free rectangle integral of
+    |CDF_a - CDF_b| computed on the same binning."""
+    import numpy as np
+
+    from pyarrow_ops_spark.functions.stats import emd_drift
+
+    rng = np.random.RandomState(11)
+    va = np.round(rng.uniform(0, 100, 400), 3)
+    vb = np.round(rng.uniform(20, 140, 300), 3)
+    a = spark.createDataFrame([(float(v),) for v in va], ["v"])
+    b = spark.createDataFrame([(float(v),) for v in vb], ["v"])
+    bins = 128
+    got = emd_drift(a, b, "v", bins=bins).collect()[0]
+    mn, mx = min(va.min(), vb.min()), max(va.max(), vb.max())
+    w = (mx - mn) / bins
+    idx = lambda v: np.minimum(  # noqa: E731
+        bins - 1, np.maximum(0, np.floor((v - mn) * bins / (mx - mn)))
+    ).astype(int)
+    ca = np.bincount(idx(va), minlength=bins)
+    cb = np.bincount(idx(vb), minlength=bins)
+    gaps = np.abs(np.cumsum(ca) / len(va) - np.cumsum(cb) / len(vb))
+    expect = float(gaps[:-1].sum() * w)  # each gap persists one bin width
+    assert got["emd"] == pytest.approx(expect, abs=1e-4)
+
+
+def test_emd_drift_by_group_and_one_sided(spark):
+    from pyarrow_ops_spark.functions.stats import emd_drift
+
+    a = spark.createDataFrame(
+        [("g1", float(v)) for v in range(50)]
+        + [("g2", float(v)) for v in range(50)]
+        + [("only_a", 1.0)],
+        "g string, v double",
+    )
+    b = spark.createDataFrame(
+        [("g1", float(v)) for v in range(50)]          # identical
+        + [("g2", float(v) + 25.0) for v in range(50)],  # shifted
+        "g string, v double",
+    )
+    rows = {r["g"]: r for r in emd_drift(a, b, "v", by=["g"]).collect()}
+    assert set(rows) == {"g1", "g2"}
+    assert rows["g1"]["emd"] == 0.0
+    assert rows["g2"]["emd"] > 10.0
+
+
+def test_emd_drift_matches_duckdb_formula(spark, duck):
+    """Engine congruence of the binned-W1 formula (the future oracle):
+    same binning expression, lead() spans over occupied bins, BIGINT-
+    scaled term sum."""
+    from pyarrow_ops_spark.functions.stats import emd_drift
+    from pyarrow_ops_spark.sources.tables import load_table
+    from tests.conftest import ORACLE_SF_DIR, rows_to_set
+
+    orders = load_table(spark, "orders", ORACLE_SF_DIR)
+    got = emd_drift(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") == "O"),
+        "o_totalprice",
+        bins=64,
+    )
+    sql = """
+    WITH u AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, 0 AS s FROM o_orders
+        WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+        UNION ALL
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS s FROM o_orders
+        WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+    ),
+    st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+    b AS (SELECT CASE WHEN mx = mn THEN 0
+                      ELSE greatest(0, least(63,
+                               CAST(floor((v - mn) * 64 / (mx - mn))
+                                    AS BIGINT)))
+                 END AS bin, (mx - mn) / 64 AS w, s
+          FROM u CROSS JOIN st),
+    c AS (SELECT bin, max(w) AS w,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+          FROM b GROUP BY bin),
+    g AS (SELECT bin, w,
+                 sum(ca) OVER (ORDER BY bin) AS cuma,
+                 sum(cb) OVER (ORDER BY bin) AS cumb,
+                 sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+                 coalesce(lead(bin) OVER (ORDER BY bin), bin) AS nxt
+          FROM c),
+    x AS (SELECT na, nb, w * 64 AS rng,
+                 CAST(floor(abs(CAST(cuma AS DOUBLE) / na
+                                - CAST(cumb AS DOUBLE) / nb)
+                            * (nxt - bin) * w * 1000000000.0) AS BIGINT) AS ti
+          FROM g WHERE na > 0 AND nb > 0)
+    SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           round(CAST(sum(ti) AS DOUBLE) / 1000000000.0, 6) AS emd,
+           round(CASE WHEN max(rng) > 0
+                      THEN (CAST(sum(ti) AS DOUBLE) / 1000000000.0) / max(rng)
+                      ELSE 0.0 END, 6) AS emd_norm
+    FROM x
+    """
+    scols = list(got.columns)
+    srows = [tuple(r) for r in got.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert rows_to_set(scols, srows) == rows_to_set(dcols, drows)
