@@ -670,7 +670,10 @@ def chi2_drift(
         F.max("__nb").cast("long").alias("n_b"),
         F.count(F.lit(1)).cast("long").alias("n_categories"),
         F.round(F.sum("__ci").cast("double") / F.lit(1e9), 6).alias("chi2"),
-    )
+        # global mode aggregates an EMPTY relation to one all-null row when
+        # an input slice had no rows — drop it (one-sided inputs yield an
+        # empty result, matching ks/psi)
+    ).filter(F.col("n_a").isNotNull())
 
 
 def embedding_drift(
@@ -884,4 +887,77 @@ def emd_drift(
             ),
             6,
         ).alias("emd_norm"),
-    )
+        # same empty-global-aggregate drop as chi2_drift: one-sided inputs
+        # yield an empty result, not an all-null row
+    ).filter(F.col("n_a").isNotNull())
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    numeric: Sequence[str] = (),
+    categorical: Sequence[str] = (),
+    bins: int = 64,
+    psi_bins: int = 8,
+) -> DataFrame:
+    """One-call drift report between two table snapshots — the entry
+    point an ingestion pipeline actually schedules per batch: every
+    ``numeric`` column gets the three numeric monitors (KS max-gap, PSI
+    total, normalized EMD) and every ``categorical`` column gets the
+    chi-squared mix statistic, all in ONE long-format result:
+
+        (column, metric, n_a, n_b, value)
+
+    with ``metric`` in {'ks_d', 'psi', 'emd_norm', 'chi2'}. Thresholds
+    are the monitors' standard ones (PSI > 0.25 major shift; KS/EMD are
+    scale-free in [0, 1]; chi2 against a chi2(n_categories-1) quantile).
+
+    Plan shape: each per-column monitor keeps its own certified plan
+    (see :func:`ks_drift` / :func:`psi_drift` / :func:`emd_drift` /
+    :func:`chi2_drift` — bounded aggregates and windows, no corpus
+    shuffle) and reduces to a ONE-ROW relation before the report unions
+    them, so the union is |columns x metrics| rows regardless of data
+    size. Scans are per-monitor, not shared: a report over C numeric
+    columns costs ~3C bounded-aggregate passes per slice — fine for the
+    once-per-snapshot cadence this is built for; for a hot path, run the
+    single monitor you page on. One-sided inputs yield an empty report
+    (same drop rule as every family member).
+    """
+    numeric = list(numeric)
+    categorical = list(categorical)
+    if not numeric and not categorical:
+        raise ValueError("pass at least one numeric or categorical column")
+    parts: list[DataFrame] = []
+
+    def _shape(df: DataFrame, col: str, metric: str, value_col) -> DataFrame:
+        return df.select(
+            F.lit(col).alias("column"),
+            F.lit(metric).alias("metric"),
+            F.col("n_a"),
+            F.col("n_b"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+
+    for col in numeric:
+        parts.append(_shape(ks_drift(df_a, df_b, col, bins=bins), col, "ks_d", "ks_d"))
+        psi_total = (
+            psi_drift(df_a, df_b, col, bins=psi_bins)
+            .agg(
+                F.sum(F.col("c_a")).cast("long").alias("n_a"),
+                F.sum(F.col("c_b")).cast("long").alias("n_b"),
+                F.round(F.sum("psi_bin"), 6).alias("psi"),
+            )
+            # an empty per-bin relation (one-sided input) must yield no
+            # report row, not a null-valued one
+            .filter(F.col("psi").isNotNull())
+        )
+        parts.append(_shape(psi_total, col, "psi", "psi"))
+        parts.append(
+            _shape(emd_drift(df_a, df_b, col, bins=bins), col, "emd_norm", "emd_norm")
+        )
+    for col in categorical:
+        parts.append(_shape(chi2_drift(df_a, df_b, col), col, "chi2", "chi2"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

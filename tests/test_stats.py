@@ -779,3 +779,36 @@ def test_emd_drift_matches_duckdb_formula(spark, duck):
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols)
     assert rows_to_set(scols, srows) == rows_to_set(dcols, drows)
+
+
+def test_drift_report_long_format(spark):
+    from pyarrow_ops_spark.functions.stats import drift_report
+
+    a = spark.createDataFrame(
+        [(float(v), ["en", "de"][v % 2]) for v in range(200)], "n double, lang string"
+    )
+    b = spark.createDataFrame(
+        [(float(v) + 100.0, "en") for v in range(200)], "n double, lang string"
+    )
+    rows = drift_report(a, b, numeric=["n"], categorical=["lang"]).collect()
+    got = {(r["column"], r["metric"]): r for r in rows}
+    assert set(got) == {("n", "ks_d"), ("n", "psi"), ("n", "emd_norm"), ("lang", "chi2")}
+    # a 50% translation: every monitor fires
+    assert got[("n", "ks_d")]["value"] > 0.3
+    assert got[("n", "psi")]["value"] > 0.25
+    assert got[("n", "emd_norm")]["value"] > 0.2
+    assert got[("lang", "chi2")]["value"] > 50.0
+    assert all(r["n_a"] == 200 and r["n_b"] == 200 for r in rows)
+    # identity: every metric reads 0
+    same = drift_report(a, a, numeric=["n"], categorical=["lang"]).collect()
+    assert all(r["value"] == 0.0 for r in same)
+    with pytest.raises(ValueError):
+        drift_report(a, b)
+
+
+def test_drift_report_one_sided_is_empty(spark):
+    from pyarrow_ops_spark.functions.stats import drift_report
+
+    a = spark.createDataFrame([(float(v), "en") for v in range(20)], "n double, lang string")
+    empty = spark.createDataFrame([], "n double, lang string")
+    assert drift_report(a, empty, numeric=["n"], categorical=["lang"]).count() == 0
