@@ -99,7 +99,17 @@ from pyarrow_ops_spark.operators.diff import diff_tables, diff_summary, upsert, 
 from pyarrow_ops_spark.operators.events import funnel_steps, retention_cohorts
 from pyarrow_ops_spark.functions.graph import pagerank
 from pyarrow_ops_spark.sources.arrow_ipc import read_arrow_ipc, register_arrow_ipc
-from pyarrow_ops_spark.functions.stats import zscore, outlier_filter, quantile_rank
+from pyarrow_ops_spark.functions.stats import (
+    zscore,
+    outlier_filter,
+    quantile_rank,
+    ks_drift,
+    psi_drift,
+    chi2_drift,
+    emd_drift,
+    embedding_drift,
+    drift_report,
+)
 from pyarrow_ops_spark.functions.similarity import (
     lsh_threshold_join,
     quantize_embeddings,
@@ -229,6 +239,12 @@ __all__ = [
     "zscore",
     "outlier_filter",
     "quantile_rank",
+    "ks_drift",
+    "psi_drift",
+    "chi2_drift",
+    "emd_drift",
+    "embedding_drift",
+    "drift_report",
     "mix_sources",
     "mixture_weights",
     "quality_filter",
