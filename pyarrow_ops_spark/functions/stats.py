@@ -470,6 +470,8 @@ def psi_drift(
     col: str,
     bins: int = 8,
     by: Sequence[str] = (),
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Population Stability Index between a reference slice ``df_a`` and a
     comparison slice ``df_b`` — the standard ML-monitoring drift score
@@ -505,8 +507,9 @@ def psi_drift(
     comparison.
 
     Plan shape (100 TB): one percentile aggregate over the reference
-    (sketch-mergeable partials; swap in approx_percentile at extreme
-    scale for the same plan) broadcast back as a single row, map-only bin
+    (sketch-mergeable partials; ``approx=True`` swaps in
+    ``approx_percentile(..., accuracy)`` for a memory-bounded cut pass at
+    extreme scale, same plan) broadcast back as a single row, map-only bin
     assignment on one union scan, one <=bins-group aggregate carrying
     (c_a, c_b) partials, then a bins-bounded full-frame window for the
     slice totals. No corpus shuffle, no collect. With ``by`` the cuts
@@ -519,9 +522,22 @@ def psi_drift(
     by = list(by)
     fracs = [i / bins for i in range(1, bins)]
     quoted = "`" + col.replace("`", "``") + "`"
-    cut_agg = F.expr(
-        f"percentile({quoted}, array({', '.join(str(f) for f in fracs)}))"
-    ).alias("__cuts")
+    # approx=True swaps the exact interpolated percentile for the
+    # KLL/GK-style approx_percentile sketch — SAME plan shape (one
+    # partial+final aggregate broadcast back), but the cut pass stays
+    # memory-bounded on any reference size; cuts move by at most
+    # 1/accuracy of rank, which only re-labels values within a hair of a
+    # bin edge (PSI is threshold-read, not hash-read, at that point —
+    # approx mode is for production scale, certification uses exact)
+    if approx:
+        cut_agg = F.expr(
+            f"approx_percentile({quoted}, "
+            f"array({', '.join(str(f) for f in fracs)}), {accuracy})"
+        ).alias("__cuts")
+    else:
+        cut_agg = F.expr(
+            f"percentile({quoted}, array({', '.join(str(f) for f in fracs)}))"
+        ).alias("__cuts")
     ref = df_a.filter(F.col(col).isNotNull())
     cuts = ref.groupBy(*by).agg(cut_agg) if by else ref.agg(cut_agg)
     u = df_a.select(

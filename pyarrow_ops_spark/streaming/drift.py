@@ -1,0 +1,159 @@
+"""Streaming drift alerting: every micro-batch's column distribution is
+compared against a FIXED reference profile and the one-row KS statistic
+appended to a monitor sink — the continuous form of
+``functions.stats.ks_drift`` ("page when a crawl snapshot's doc-length
+distribution moves"), composed from two separately-certified pieces: the
+batch drift family and the Structured-Streaming IPC bridge.
+
+Scale/state story: production drift monitors pin bin edges to the
+reference/training distribution (fixed ``lo``/``hi`` — REQUIRED here), so
+the reference reduces ONCE to its binned counts: a <= ``bins``-row
+relation computed at monitor start and persisted. Per micro-batch the
+stream pays exactly one map-only binning pass over ITS OWN rows plus a
+join against the bounded profile — the reference corpus is never
+rescanned, no matter how long the stream runs, and monitor state is
+O(bins), not O(stream). The per-batch statistic is identical to
+``ks_drift(reference, batch, col, bins, lo, hi)`` (pytest-pinned
+equivalence), so alert thresholds transfer between batch backfills and
+the live monitor.
+
+The reference has no streaming (SURVEY §2.2); this is extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bin_col(col: str, bins: int, lo: float, hi: float):
+    """The SAME left-associated binning expression as ks_drift's fixed-
+    bounds mode: out-of-range values clamp into the edge bins."""
+    v = F.col(col).cast("double")
+    return (
+        F.when(F.lit(float(hi)) == F.lit(float(lo)), F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (v - F.lit(float(lo)))
+                        * bins
+                        / (F.lit(float(hi)) - F.lit(float(lo)))
+                    ),
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bin")
+    )
+
+
+def reference_bin_profile(
+    df: DataFrame, col: str, bins: int, lo: float, hi: float
+) -> DataFrame:
+    """One pass over the reference -> its fixed-bounds bin counts
+    ``(bin, ref_n)``: the <= ``bins``-row relation the monitor joins
+    every micro-batch against instead of rescanning the reference."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(_bin_col(col, bins, lo, hi))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("ref_n"))
+    )
+
+
+def ks_against_profile(
+    profile: DataFrame, batch_df: DataFrame, col: str, bins: int, lo: float, hi: float
+) -> DataFrame:
+    """One-row ``(n_a, n_b, ks_bin, ks_d)`` between the profiled
+    reference (side a) and ``batch_df`` (side b) — numerically identical
+    to ``ks_drift(reference, batch, col, bins, lo, hi)`` (the cum/gap
+    stage replayed over pre-aggregated reference counts; pytest pins the
+    equivalence). Empty batches yield an empty result (one-sided rule)."""
+    bc = (
+        batch_df.filter(F.col(col).isNotNull())
+        .select(_bin_col(col, bins, lo, hi))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("bat_n"))
+    )
+    counts = (
+        profile.withColumnRenamed("ref_n", "__ca")
+        .join(bc.withColumnRenamed("bat_n", "__cb"), on="bin", how="full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "bin",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        F.sum("__ca").over(wfull).alias("__na"),
+        F.sum("__cb").over(wfull).alias("__nb"),
+    ).filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+    gaps = cum.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.col("bin").alias("ks_bin"),
+        F.round(
+            F.abs(
+                F.col("__cuma").cast("double") / F.col("__na")
+                - F.col("__cumb").cast("double") / F.col("__nb")
+            ),
+            6,
+        ).alias("ks_d"),
+    )
+    return gaps.orderBy(F.col("ks_d").desc(), F.col("ks_bin")).limit(1)
+
+
+def stream_drift_monitor(
+    stream_df: DataFrame,
+    reference_df: DataFrame,
+    col: str,
+    sink_path: str,
+    checkpoint: str,
+    bins: int = 64,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> None:
+    """Run ``stream_df`` (availableNow) through per-micro-batch KS drift
+    against ``reference_df``; each batch appends one parquet row
+    ``(batch_id, n_a, n_b, ks_bin, ks_d)`` to ``sink_path``. Fixed
+    ``lo``/``hi`` bounds are REQUIRED (production drift monitors pin bin
+    edges to the reference distribution; data-derived bounds would change
+    meaning batch to batch and force a reference rescan). Batches with no
+    non-null values append nothing (the family's one-sided rule). Replay
+    semantics: foreachBatch is at-least-once, so a crash can re-append a
+    batch's row — consumers should read the LATEST row per batch_id
+    (max-ts or any-of; the statistic is deterministic, so replays carry
+    identical values)."""
+    if lo is None or hi is None:
+        raise ValueError("stream_drift_monitor requires fixed lo/hi bounds")
+    profile = reference_bin_profile(reference_df, col, bins, lo, hi).persist()
+    profile.count()  # materialize once; <= bins rows
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        stat = ks_against_profile(profile, batch_df, col, bins, lo, hi)
+        stat.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "n_a",
+            "n_b",
+            "ks_bin",
+            "ks_d",
+        ).write.mode("append").parquet(sink_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    profile.unpersist()

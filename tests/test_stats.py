@@ -812,3 +812,19 @@ def test_drift_report_one_sided_is_empty(spark):
     a = spark.createDataFrame([(float(v), "en") for v in range(20)], "n double, lang string")
     empty = spark.createDataFrame([], "n double, lang string")
     assert drift_report(a, empty, numeric=["n"], categorical=["lang"]).count() == 0
+
+
+def test_psi_drift_approx_mode(spark):
+    """approx=True uses the approx_percentile sketch for the reference
+    cuts — same plan, memory-bounded at scale. At default accuracy on
+    small data the sketch is exact-rank, so the score must agree with
+    exact mode to well under the 0.1 'stable' threshold."""
+    from pyarrow_ops_spark.functions.stats import psi_drift
+
+    a = spark.createDataFrame([(float(v),) for v in range(2000)], ["v"])
+    b = spark.createDataFrame([(float(v) + 400.0,) for v in range(2000)], ["v"])
+    exact = sum(r["psi_bin"] for r in psi_drift(a, b, "v").collect())
+    approx = sum(r["psi_bin"] for r in psi_drift(a, b, "v", approx=True).collect())
+    assert approx == pytest.approx(exact, abs=0.02)
+    same = psi_drift(a, a, "v", approx=True).collect()
+    assert all(r["psi_bin"] == 0.0 for r in same)

@@ -459,3 +459,81 @@ def test_stream_dedup_enroll_replay_after_partial_batch_suppresses(
     ).first().d
     got = {r.fp for r in spark.read.parquet(sink).collect()}
     assert got == {digest("epsilon")}  # delta suppressed, never re-emitted
+
+
+def test_stream_drift_monitor_matches_batch_ks(spark, tmp_path):
+    """Streaming drift alerting (streaming/drift.py): each micro-batch's
+    KS row must EQUAL ks_drift(reference, batch) with the same fixed
+    bounds — alert thresholds transfer between batch backfills and the
+    live monitor — and an all-null batch appends nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyarrow_ops_spark.functions.stats import ks_drift
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.drift import stream_drift_monitor
+
+    register_arrow_ipc(spark)
+    drop = str(tmp_path / "drop")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop)
+
+    ref_rows = [(float(v),) for v in range(200)]
+    reference = spark.createDataFrame(ref_rows, "v double")
+    LO, HI = 0.0, 300.0
+
+    batches = [
+        [(float(v),) for v in range(200)],            # identical -> ks ~ 0
+        [(float(v) + 100.0,) for v in range(200)],    # shifted -> ks fires
+        [(None,)],                                    # all-null -> no row
+    ]
+
+    def write_file(rows, i):
+        df = spark.createDataFrame(rows, "v double")
+        stage = tempfile.mkdtemp()
+        try:
+            df.coalesce(1).write.format("arrowipc").mode("append").save(stage)
+            f = [x for x in os.listdir(stage) if x.endswith(".arrow")][0]
+            shutil.move(
+                os.path.join(stage, f), os.path.join(drop, f"part-{i:05d}.arrow")
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def run():
+        stream = (
+            spark.readStream.format("arrowipc")
+            .schema("v double")
+            .option("path", drop)
+            .load()
+        )
+        stream_drift_monitor(
+            stream, reference, "v", sink, ckpt, bins=64, lo=LO, hi=HI
+        )
+
+    # drain one file per availableNow run so batch boundaries are exact
+    for i, rows in enumerate(batches):
+        write_file(rows, i)
+        run()
+
+    got = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the all-null batch appended nothing
+    assert len(got) == 2
+    for bid, rows in ((min(got), batches[0]), (max(got), batches[1])):
+        batch_df = spark.createDataFrame(rows, "v double")
+        expect = ks_drift(reference, batch_df, "v", bins=64, lo=LO, hi=HI).collect()[0]
+        r = got[bid]
+        assert (r["n_a"], r["n_b"], r["ks_bin"], r["ks_d"]) == (
+            expect["n_a"], expect["n_b"], expect["ks_bin"], expect["ks_d"]
+        ), bid
+    assert got[min(got)]["ks_d"] == 0.0
+    assert got[max(got)]["ks_d"] > 0.4
+    with pytest.raises(ValueError):
+        stream_drift_monitor(None, reference, "v", sink, ckpt)
