@@ -157,3 +157,135 @@ def stream_drift_monitor(
     )
     q.awaitTermination()
     profile.unpersist()
+
+
+def reference_psi_profile(
+    df: DataFrame, col: str, bins: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """One pass over the reference -> its PSI profile: the equi-depth cut
+    array (one-row relation, exact interpolated percentiles — the same
+    convention as ``functions.stats.psi_drift``) and the reference's own
+    per-bin counts ``(bin, ref_n)``. Both are <= ``bins``-row relations;
+    the monitor joins every micro-batch against them instead of
+    rescanning the reference."""
+    fracs = [i / bins for i in range(1, bins)]
+    quoted = "`" + col.replace("`", "``") + "`"
+    ref = df.filter(F.col(col).isNotNull())
+    cuts = ref.agg(
+        F.expr(
+            f"percentile({quoted}, array({', '.join(str(f) for f in fracs)}))"
+        ).alias("__cuts")
+    )
+    assigned = ref.select(F.col(col).cast("double").alias("__v")).crossJoin(
+        F.broadcast(cuts)
+    )
+    bucket = F.lit(bins - 1)
+    for i in range(bins - 2, -1, -1):
+        bucket = F.when(
+            F.col("__v") <= F.col("__cuts").getItem(i), F.lit(i)
+        ).otherwise(bucket)
+    counts = (
+        assigned.select(bucket.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("ref_n"))
+    )
+    return cuts, counts
+
+
+def psi_against_profile(
+    cuts: DataFrame,
+    ref_counts: DataFrame,
+    batch_df: DataFrame,
+    col: str,
+    bins: int = 8,
+) -> DataFrame:
+    """One-row ``(n_a, n_b, psi)`` between the profiled reference (side a)
+    and ``batch_df`` (side b): the same <=-CASE assignment, occupied-bins
+    rule (full-outer join of the two bounded count relations), and
+    ``greatest(c, 0.5)/n`` continuity clamp as ``psi_drift`` — the total
+    is pytest-pinned to match ``sum(psi_bin)`` from the batch monitor.
+    Per-bin terms are BIGINT-scaled (``floor(term * 1e9)``) before the
+    sum, so the total is engine-order-insensitive. Empty batches yield an
+    empty result (one-sided rule)."""
+    b = batch_df.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("__v")
+    ).crossJoin(F.broadcast(cuts))
+    bucket = F.lit(bins - 1)
+    for i in range(bins - 2, -1, -1):
+        bucket = F.when(
+            F.col("__v") <= F.col("__cuts").getItem(i), F.lit(i)
+        ).otherwise(bucket)
+    bc = (
+        b.select(bucket.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("bat_n"))
+    )
+    counts = (
+        ref_counts.withColumnRenamed("ref_n", "__ca")
+        .join(bc.withColumnRenamed("bat_n", "__cb"), on="bin", how="full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        )
+    )
+    wfull = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = counts.select(
+        "__ca",
+        "__cb",
+        F.sum("__ca").over(wfull).alias("__na"),
+        F.sum("__cb").over(wfull).alias("__nb"),
+    ).filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+    pa = F.greatest(F.col("__ca").cast("double"), F.lit(0.5)) / F.col("__na")
+    pb = F.greatest(F.col("__cb").cast("double"), F.lit(0.5)) / F.col("__nb")
+    scaled = tot.select(
+        "__na",
+        "__nb",
+        F.floor((pa - pb) * F.log(pa / pb) * F.lit(1e9)).cast("long").alias("__ti"),
+    )
+    return scaled.groupBy().agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.round(F.sum("__ti").cast("double") / F.lit(1e9), 6).alias("psi"),
+    ).filter(F.col("n_a").isNotNull())
+
+
+def stream_psi_monitor(
+    stream_df: DataFrame,
+    reference_df: DataFrame,
+    col: str,
+    sink_path: str,
+    checkpoint: str,
+    bins: int = 8,
+) -> None:
+    """Per-micro-batch PSI against a fixed reference: the reference
+    reduces ONCE to its equi-depth cuts + per-bin counts (both <= ``bins``
+    rows, persisted); each batch pays one map-only assignment pass over
+    its own rows and appends one parquet row
+    ``(batch_id, n_a, n_b, psi)`` to ``sink_path`` (PSI > 0.25 = major
+    shift, the standard alert bar). Same replay semantics as
+    ``stream_drift_monitor``: at-least-once appends of a deterministic
+    row. Batches with no non-null values append nothing."""
+    cuts, ref_counts = reference_psi_profile(reference_df, col, bins)
+    cuts = cuts.persist()
+    ref_counts = ref_counts.persist()
+    cuts.count()
+    ref_counts.count()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        stat = psi_against_profile(cuts, ref_counts, batch_df, col, bins)
+        stat.select(
+            F.lit(batch_id).cast("long").alias("batch_id"), "n_a", "n_b", "psi"
+        ).write.mode("append").parquet(sink_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cuts.unpersist()
+    ref_counts.unpersist()

@@ -537,3 +537,62 @@ def test_stream_drift_monitor_matches_batch_ks(spark, tmp_path):
     assert got[max(got)]["ks_d"] > 0.4
     with pytest.raises(ValueError):
         stream_drift_monitor(None, reference, "v", sink, ckpt)
+
+
+def test_stream_psi_monitor_matches_batch_psi(spark, tmp_path):
+    """Streaming PSI (streaming/drift.py): each micro-batch's psi total
+    must match sum(psi_bin) from batch psi_drift(reference, batch) — the
+    profile-once monitor and the batch backfill read the same score."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyarrow_ops_spark.functions.stats import psi_drift
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.drift import stream_psi_monitor
+
+    register_arrow_ipc(spark)
+    drop = str(tmp_path / "drop")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop)
+
+    reference = spark.createDataFrame([(float(v),) for v in range(400)], "v double")
+    batches = [
+        [(float(v),) for v in range(400)],            # identical -> psi ~ 0
+        [(float(v) + 250.0,) for v in range(400)],    # shifted -> psi fires
+    ]
+
+    def write_file(rows, i):
+        df = spark.createDataFrame(rows, "v double")
+        stage = tempfile.mkdtemp()
+        try:
+            df.coalesce(1).write.format("arrowipc").mode("append").save(stage)
+            f = [x for x in os.listdir(stage) if x.endswith(".arrow")][0]
+            shutil.move(
+                os.path.join(stage, f), os.path.join(drop, f"part-{i:05d}.arrow")
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    for i, rows in enumerate(batches):
+        write_file(rows, i)
+        stream = (
+            spark.readStream.format("arrowipc")
+            .schema("v double")
+            .option("path", drop)
+            .load()
+        )
+        stream_psi_monitor(stream, reference, "v", sink, ckpt, bins=8)
+
+    got = {r["batch_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert len(got) == 2
+    for bid, rows in ((min(got), batches[0]), (max(got), batches[1])):
+        batch_df = spark.createDataFrame(rows, "v double")
+        expect = sum(
+            r["psi_bin"] for r in psi_drift(reference, batch_df, "v", bins=8).collect()
+        )
+        assert got[bid]["psi"] == pytest.approx(expect, abs=1e-5), bid
+        assert got[bid]["n_a"] == 400 and got[bid]["n_b"] == 400
+    assert got[min(got)]["psi"] == pytest.approx(0.0, abs=1e-6)
+    assert got[max(got)]["psi"] > 0.25
