@@ -120,6 +120,15 @@ def _build_case(rng: random.Random):
     for col, allowed in rng.sample(agg_pool, rng.randrange(1, 3)):
         aggs[col] = rng.choice(allowed)
 
+    # a HAVING-style post-agg filter on one of the agg outputs (the
+    # filter-after-aggregate seam), half the time: count >= k is always
+    # integer-exact in both engines
+    having = None
+    if rng.random() < 0.5:
+        hcol = rng.choice([c for c, n in aggs.items() if n == "count"] or list(aggs))
+        if aggs[hcol] == "count":
+            having = (hcol, ">=", rng.randrange(1, 20))
+
     where = " AND ".join(_sql_pred(*p) for p in preds)
     select = ", ".join(keys) + ", " + ", ".join(
         _SQL_AGG[name].format(c=col) + f" AS {col}" for col, name in aggs.items()
@@ -128,13 +137,15 @@ def _build_case(rng: random.Random):
         f"SELECT {select} FROM {from_sql} WHERE {where} "
         f"GROUP BY {', '.join(keys)}"
     )
-    return shape, preds, keys, aggs, sql
+    if having is not None:
+        sql += f" HAVING {_SQL_AGG[aggs[having[0]]].format(c=having[0])} >= {having[2]}"
+    return shape, preds, keys, aggs, having, sql
 
 
 @pytest.mark.parametrize("seed", range(25))
 def test_fuzzed_pipeline_matches_duckdb(spark, duck, seed):
     rng = random.Random(seed)
-    shape, preds, keys, aggs, sql = _build_case(rng)
+    shape, preds, keys, aggs, having, sql = _build_case(rng)
 
     if shape == "orders":
         base = load_table(spark, "orders", ORACLE_SF_DIR)
@@ -148,6 +159,8 @@ def test_fuzzed_pipeline_matches_duckdb(spark, duck, seed):
         base = join(orders, li, on=["o_orderkey"])
 
     got = groupby(filters(base, preds), keys).agg(aggs)
+    if having is not None:
+        got = filters(got, having)  # filter-after-aggregate == HAVING
     scols = list(got.columns)
     srows = [tuple(r) for r in got.collect()]
     res = duck.execute(sql)
