@@ -226,7 +226,7 @@ def register_views(
 # Generic sources/sinks (the reference has none — SURVEY §2.2)
 # ---------------------------------------------------------------------------
 
-_FORMATS = ("parquet", "csv", "json", "orc")
+_FORMATS = ("parquet", "csv", "json", "orc", "text")
 
 
 def read_source(
@@ -238,7 +238,14 @@ def read_source(
 ) -> DataFrame:
     """Read a file source. CSV defaults to header+inferSchema only when no
     explicit schema is given — at scale ALWAYS pass a schema: inference
-    runs an extra full scan of the data before the real job."""
+    runs an extra full scan of the data before the real job.
+
+    ``format='text'`` is the raw-corpus path: one row per line in a
+    ``value`` string column (pass ``wholetext='true'`` for one row per
+    FILE — the file-per-document crawl layout; pair with
+    ``read_binary_files`` when you also need paths/sizes). Line splitting
+    happens at arbitrary byte offsets per HDFS-style split, so text scans
+    parallelize like any other file source."""
     if format not in _FORMATS:
         raise ValueError(f"unsupported source format {format!r}; one of {_FORMATS}")
     reader = spark.read.format(format)

@@ -167,3 +167,23 @@ def test_autoscale_initial_partitions_ratchet(spark, tmp_path, monkeypatch):
         assert int(spark.conf.get(_INITIAL_PARTITIONS_CONF)) == 256
     finally:
         spark.conf.set(_INITIAL_PARTITIONS_CONF, before)
+
+
+def test_text_roundtrip_and_wholetext(spark, tmp_path):
+    """format='text': the raw-corpus path — one row per LINE on the way
+    in/out (sink requires a single string column), and wholetext='true'
+    reads one row per FILE (file-per-document crawl layout)."""
+    docs = spark.createDataFrame(
+        [("alpha line",), ("beta line",), ("gamma line",)], "value string"
+    )
+    path = str(tmp_path / "corpus_txt")
+    write_sink(docs, path, format="text")
+    back = read_source(spark, path, format="text")
+    assert back.columns == ["value"]
+    assert {r.value for r in back.collect()} == {
+        "alpha line", "beta line", "gamma line"
+    }
+    whole = read_source(spark, path, format="text", wholetext="true")
+    rows = [r.value for r in whole.collect()]
+    # one row per part-file; every line is inside exactly one of them
+    assert sum(v.count("line") for v in rows) == 3
