@@ -217,3 +217,33 @@ def upsert_history(
         .unionByName(untouched_current.select(*ordered))
         .unionByName(new_open.select(*ordered))
     )
+
+
+def schema_drift(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    """Schema-level drift between two table snapshots — the check that
+    runs BEFORE any data-level monitor ("did the upstream team add a
+    column, drop one, or change a type?"): one row per differing column,
+    ``(column, change, type_a, type_b)`` with ``change`` in
+    {'added', 'removed', 'type_changed'} ('added' = present only in
+    ``df_b``, the newer snapshot). Identical schemas yield an empty
+    result.
+
+    Purely METADATA: schemas come from the catalog/parquet footers, so
+    this never scans a row of either table — it is exactly as cheap at
+    100 TB as at 100 rows. Returned as a DataFrame so it composes with
+    the rest of the drift family (union into a monitor sink, join
+    against an allowlist)."""
+    ta = {f.name: f.dataType.simpleString() for f in df_a.schema.fields}
+    tb = {f.name: f.dataType.simpleString() for f in df_b.schema.fields}
+    rows = []
+    for name in sorted(set(ta) | set(tb)):
+        if name not in tb:
+            rows.append((name, "removed", ta[name], None))
+        elif name not in ta:
+            rows.append((name, "added", None, tb[name]))
+        elif ta[name] != tb[name]:
+            rows.append((name, "type_changed", ta[name], tb[name]))
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, change string, type_a string, type_b string"
+    )

@@ -215,3 +215,18 @@ class TestNullKeys:
         assert len(closed) == 1 and closed[0].valid_to == "2024-01-01"
         kept = out.filter(F.col("k") == 1).collect()
         assert len(kept) == 1 and kept[0].val == "v1"
+
+
+def test_schema_drift_detects_add_remove_retype(spark):
+    from pyarrow_ops_spark.operators.diff import schema_drift
+
+    a = spark.createDataFrame([(1, "x", 1.0)], "id long, name string, v double")
+    b = spark.createDataFrame([(1, "x", 2, "new")], "id long, name string, v int, extra string")
+    got = {r["column"]: r for r in schema_drift(a, b).collect()}
+    assert set(got) == {"v", "extra"}
+    assert got["v"]["change"] == "type_changed"
+    assert (got["v"]["type_a"], got["v"]["type_b"]) == ("double", "int")
+    assert got["extra"]["change"] == "added" and got["extra"]["type_a"] is None
+    rev = {r["column"]: r for r in schema_drift(b, a).collect()}
+    assert rev["extra"]["change"] == "removed"
+    assert schema_drift(a, a).count() == 0
