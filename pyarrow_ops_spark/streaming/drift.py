@@ -115,13 +115,14 @@ def ks_against_profile(
 
 def stream_drift_monitor(
     stream_df: DataFrame,
-    reference_df: DataFrame,
+    reference_df: DataFrame | None,
     col: str,
     sink_path: str,
     checkpoint: str,
     bins: int = 64,
     lo: float | None = None,
     hi: float | None = None,
+    profile: DataFrame | None = None,
 ) -> None:
     """Run ``stream_df`` (availableNow) through per-micro-batch KS drift
     against ``reference_df``; each batch appends one parquet row
@@ -133,10 +134,22 @@ def stream_drift_monitor(
     semantics: foreachBatch is at-least-once, so a crash can re-append a
     batch's row — consumers should read the LATEST row per batch_id
     (max-ts or any-of; the statistic is deterministic, so replays carry
-    identical values)."""
+    identical values).
+
+    Pass ``profile`` (a persisted ``reference_bin_profile`` result read
+    back from parquet) to make the monitor RESTART-STABLE: a monitor that
+    recomputes its profile from ``reference_df`` on every start silently
+    shifts its alert baseline if the reference dataset moved between
+    runs; a saved profile pins the baseline to the exact distribution the
+    thresholds were tuned on. ``bins``/``lo``/``hi`` must be the values
+    the profile was built with (they define its bin space)."""
     if lo is None or hi is None:
         raise ValueError("stream_drift_monitor requires fixed lo/hi bounds")
-    profile = reference_bin_profile(reference_df, col, bins, lo, hi).persist()
+    if profile is None:
+        if reference_df is None:
+            raise ValueError("pass reference_df or a saved profile")
+        profile = reference_bin_profile(reference_df, col, bins, lo, hi)
+    profile = profile.persist()
     profile.count()  # materialize once; <= bins rows
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -254,11 +267,12 @@ def psi_against_profile(
 
 def stream_psi_monitor(
     stream_df: DataFrame,
-    reference_df: DataFrame,
+    reference_df: DataFrame | None,
     col: str,
     sink_path: str,
     checkpoint: str,
     bins: int = 8,
+    profile: tuple[DataFrame, DataFrame] | None = None,
 ) -> None:
     """Per-micro-batch PSI against a fixed reference: the reference
     reduces ONCE to its equi-depth cuts + per-bin counts (both <= ``bins``
@@ -267,8 +281,15 @@ def stream_psi_monitor(
     ``(batch_id, n_a, n_b, psi)`` to ``sink_path`` (PSI > 0.25 = major
     shift, the standard alert bar). Same replay semantics as
     ``stream_drift_monitor``: at-least-once appends of a deterministic
-    row. Batches with no non-null values append nothing."""
-    cuts, ref_counts = reference_psi_profile(reference_df, col, bins)
+    row. Batches with no non-null values append nothing. Pass ``profile``
+    (a saved ``reference_psi_profile`` pair read back from parquet) for a
+    restart-stable baseline — same reasoning as ``stream_drift_monitor``."""
+    if profile is not None:
+        cuts, ref_counts = profile
+    else:
+        if reference_df is None:
+            raise ValueError("pass reference_df or a saved profile")
+        cuts, ref_counts = reference_psi_profile(reference_df, col, bins)
     cuts = cuts.persist()
     ref_counts = ref_counts.persist()
     cuts.count()

@@ -596,3 +596,59 @@ def test_stream_psi_monitor_matches_batch_psi(spark, tmp_path):
         assert got[bid]["n_a"] == 400 and got[bid]["n_b"] == 400
     assert got[min(got)]["psi"] == pytest.approx(0.0, abs=1e-6)
     assert got[max(got)]["psi"] > 0.25
+
+
+def test_stream_drift_monitor_saved_profile_restart_stable(spark, tmp_path):
+    """A persisted reference profile pins the alert baseline across
+    restarts: the monitor run from the parquet-roundtripped profile must
+    emit the identical row the live-reference run emits — even after the
+    reference dataset itself 'moves'."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.drift import (
+        reference_bin_profile,
+        stream_drift_monitor,
+    )
+
+    register_arrow_ipc(spark)
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    reference = spark.createDataFrame([(float(v),) for v in range(100)], "v double")
+    LO, HI = 0.0, 200.0
+    prof_path = str(tmp_path / "profile")
+    reference_bin_profile(reference, "v", 32, LO, HI).write.parquet(prof_path)
+
+    df = spark.createDataFrame([(float(v) + 50.0,) for v in range(100)], "v double")
+    stage = tempfile.mkdtemp()
+    df.coalesce(1).write.format("arrowipc").mode("append").save(stage)
+    f = [x for x in os.listdir(stage) if x.endswith(".arrow")][0]
+    shutil.move(os.path.join(stage, f), os.path.join(drop, "part-00000.arrow"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    def run(sink, ckpt, **kw):
+        stream = (
+            spark.readStream.format("arrowipc")
+            .schema("v double")
+            .option("path", drop)
+            .load()
+        )
+        stream_drift_monitor(
+            stream, kw.pop("reference_df", None), "v",
+            str(tmp_path / sink), str(tmp_path / ckpt),
+            bins=32, lo=LO, hi=HI, **kw,
+        )
+
+    run("sink_live", "ckpt_live", reference_df=reference)
+    saved = spark.read.parquet(prof_path)
+    run("sink_saved", "ckpt_saved", profile=saved)
+    live = spark.read.parquet(str(tmp_path / "sink_live")).collect()[0]
+    froz = spark.read.parquet(str(tmp_path / "sink_saved")).collect()[0]
+    assert (live["n_a"], live["n_b"], live["ks_bin"], live["ks_d"]) == (
+        froz["n_a"], froz["n_b"], froz["ks_bin"], froz["ks_d"]
+    )
+    assert live["ks_d"] > 0.2
+    with pytest.raises(ValueError):
+        stream_drift_monitor(None, None, "v", "x", "y", lo=0.0, hi=1.0)
