@@ -162,14 +162,16 @@ def stream_drift_monitor(
             "ks_d",
         ).write.mode("append").parquet(sink_path)
 
-    q = (
-        stream_df.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    profile.unpersist()
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        profile.unpersist()
 
 
 def reference_psi_profile(
@@ -301,12 +303,14 @@ def stream_psi_monitor(
             F.lit(batch_id).cast("long").alias("batch_id"), "n_a", "n_b", "psi"
         ).write.mode("append").parquet(sink_path)
 
-    q = (
-        stream_df.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    cuts.unpersist()
-    ref_counts.unpersist()
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        cuts.unpersist()
+        ref_counts.unpersist()
