@@ -69,21 +69,26 @@ _PERIOD = 4
 # driver re-cert is the norm even when pytest swept them green. Reset this
 # list each round; mandatory stale rows always outrank it.
 _CHANGED_PATH_CLAIMS: list[str] = [
-    # r12 changes (the two new drift rows — stats_psi_drift,
-    # stats_ks_drift_by_source — are never-certified and therefore
+    # r13 changes (the two new drift rows — stats_emd_drift,
+    # stats_embedding_drift — are never-certified and therefore
     # MANDATORY automatically; no claim needed)
-    "stats_ks_drift",      # r12: one-sided-slice filter in ks_drift +
-                           # IS NOT NULL mirrored into the oracle arms
-    "search_hybrid_rrf",   # r12: rrf_fuse contributions computed as exact
-                           # DECIMAL so >2-ranker fusion is engine-stable
+    "stats_chi2_drift",         # r13: slice totals rewritten from an
+                                # unpartitioned full-frame window to a
+                                # bounded aggregate broadcast back (values
+                                # unchanged — exact BIGINT sums either
+                                # way), + empty-input HAVING guard
+                                # mirrored into the oracle
+    "stats_ks_drift_by_source", # r13: oracle group join made null-safe
+                                # (IS NOT DISTINCT FROM), matching the
+                                # engine's eqNullSafe broadcast-back
 ]
-# r11 claim erratum (r11 ADVICE #1): the bm25_topk->bm25_scores split
-# claim named search_bm25_indexed, but bm25_topk_indexed never calls
-# bm25_scores — the row whose code actually changed was the FOLDED
-# search_bm25_topk (pytest-gated via ALL_ORACLES, which is the coverage
-# a folded row gets by policy). The r11 driver slot re-certified an
-# unchanged path; harmless but recorded here so the claim history is
-# honest.
+# r11 claim erratum (r11 ADVICE #1, kept for history): the
+# bm25_topk->bm25_scores split claim named search_bm25_indexed, but
+# bm25_topk_indexed never calls bm25_scores — the row whose code actually
+# changed was the FOLDED search_bm25_topk (pytest-gated via ALL_ORACLES,
+# which is the coverage a folded row gets by policy). The r11 driver slot
+# re-certified an unchanged path; harmless but recorded so the claim
+# history is honest.
 
 
 def _repo_root() -> str:

@@ -903,7 +903,7 @@ def q_stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                CAST(floor((v - mn) * 64 / (mx - mn))
                                     AS BIGINT)))
                  END AS bin, s
-          FROM u JOIN st ON u.source = st.source),
+          FROM u JOIN st ON u.source IS NOT DISTINCT FROM st.source),
     c AS (SELECT source, bin,
                  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
                  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
@@ -983,6 +983,7 @@ def q_stats_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_categories,
            round(CAST(sum(ci) AS DOUBLE) / 1000000000.0, 6) AS chi2
     FROM x
+    HAVING max(na) IS NOT NULL
     """,
 )
 def q_stats_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -632,11 +632,17 @@ def chi2_drift(
 
     Plan shape (100 TB): one union scan into a groupBy bounded by
     |groups| x |categories| (map-side combine shrinks the shuffle to
-    category cardinality, not row count), full-frame windows over that
-    bounded relation for slice totals, a map-only chi2 expression, and a
-    final <=|groups|-row aggregate. No corpus shuffle, no collect. NULL
-    categories are dropped (same rule as the numeric monitors); groups
-    present in only one slice are dropped (no two-sample statistic).
+    category cardinality, not row count), slice totals as a SECOND
+    bounded aggregate (<= |groups| rows) broadcast back onto the counts
+    relation — the zscore idiom, NOT a full-frame window: a window here
+    would funnel every category of a group (all of them, in global mode)
+    through one partition, fine at language-mix cardinality but a cliff
+    if someone passes a million-distinct column — then a map-only chi2
+    expression and a final <=|groups|-row aggregate. No corpus shuffle,
+    no single-partition funnel, no collect, at ANY category cardinality.
+    NULL categories are dropped (same rule as the numeric monitors);
+    groups present in only one slice are dropped (no two-sample
+    statistic).
     """
     by = list(by)
     u = df_a.select(
@@ -654,17 +660,21 @@ def chi2_drift(
         F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("__ca"),
         F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__cb"),
     )
-    part = Window.partitionBy(*by) if by else Window
-    wfull = part.orderBy("__cat").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    with_totals = counts.select(
-        *[F.col(c) for c in by],
-        "__ca",
-        "__cb",
-        F.sum("__ca").over(wfull).alias("__na"),
-        F.sum("__cb").over(wfull).alias("__nb"),
-    ).filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+    # slice totals: a <=|groups|-row aggregate broadcast back (null-safe
+    # keys, the zscore idiom) — totals are exact BIGINT sums either way,
+    # so the certified statistic is unchanged; only the plan improves
+    taggs = [F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")]
+    if by:
+        s = counts.groupBy(*by).agg(*taggs)
+        cond = None
+        for c in by:
+            s = s.withColumnRenamed(c, f"__g_{c}")
+            this = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = this if cond is None else (cond & this)
+        with_totals = counts.join(F.broadcast(s), on=cond)
+    else:
+        with_totals = counts.crossJoin(F.broadcast(counts.agg(*taggs)))
+    with_totals = with_totals.filter((F.col("__na") > 0) & (F.col("__nb") > 0))
     # one shared double formula, mirrored verbatim in the DuckDB oracle:
     # e_x = (CAST(n_x AS DOUBLE) * (ca + cb)) / (na + nb);
     # term = ((ca - e_a) * (ca - e_a)) / e_a + ((cb - e_b) * (cb - e_b)) / e_b
@@ -708,7 +718,22 @@ def embedding_drift(
     per-vector L2 norms (catches magnitude/scale drift that direction
     alone misses, e.g. a normalization bug).
 
-    Plan shape (100 TB): centroids via posexplode + partial-avg hash
+    Engine congruence (hash-stable end to end — no raw-double group sums
+    anywhere, the family standard): per-dim centroid means come from
+    exact element sums ``sum(floor(x * 1e7))`` carried as DECIMAL(38,0)
+    (overflow-free to 1e38 — a raw-double sum is engine-order-sensitive
+    in the last ulp), divided once; the dot/norm2 reductions over the
+    dim-bounded means BIGINT-scale each term ``floor(term * 1e9)`` (the
+    rrf_fuse trick); per-vector squared norms are exact BIGINT folds
+    ``sum(floor(x*x * 1e9))`` so the norms feeding :func:`ks_drift` are
+    bit-identical across engines (a last-ulp norm difference could flip
+    a bin assignment on an exact edge). Quantization: <= 1e-7 per
+    element on means, <= 1e-9 absolute on squared norms — three-plus
+    orders below the round-4/round-6 surfacing grains. Exactness
+    headroom: |x| up to ~1.5e3 at 4096 dims for the norm fold (long),
+    ~1e12 rows x |x|<=10 for the DECIMAL element sums.
+
+    Plan shape (100 TB): centroids via posexplode + partial-sum hash
     aggregate — map-side combine collapses the rows x dim fan-out to
     2 x dim partial sums per task, so the shuffle is ~constant in corpus
     size; the dim-bounded centroid relations reduce to ONE row through a
@@ -722,29 +747,58 @@ def embedding_drift(
     cent = (
         u.select("__s", F.posexplode("__v").alias("__pos", "__x"))
         .groupBy("__s", "__pos")
-        .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+        .agg(
+            F.sum(
+                F.floor(F.col("__x").cast("double") * F.lit(1e7)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("__sx"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        # one shared expression, mirrored verbatim in the DuckDB oracle:
+        # CAST(sum AS DOUBLE) / n / 1e7, left-associated
+        .select(
+            "__s",
+            "__pos",
+            (F.col("__sx").cast("double") / F.col("__n") / F.lit(1e7)).alias(
+                "__m"
+            ),
+        )
     )
     a = cent.filter(F.col("__s") == 0).select("__pos", F.col("__m").alias("__ma"))
     b = cent.filter(F.col("__s") == 1).select("__pos", F.col("__m").alias("__mb"))
+
+    def _ti(c):  # BIGINT-scaled dim term: exact, order-insensitive sum
+        return F.floor(c * F.lit(1e9)).cast("long")
+
     cos = (
         a.join(b, on="__pos")
         .agg(
-            F.sum(F.col("__ma") * F.col("__mb")).alias("__dot"),
-            F.sum(F.col("__ma") * F.col("__ma")).alias("__na2"),
-            F.sum(F.col("__mb") * F.col("__mb")).alias("__nb2"),
+            F.sum(_ti(F.col("__ma") * F.col("__mb"))).alias("__dot"),
+            F.sum(_ti(F.col("__ma") * F.col("__ma"))).alias("__na2"),
+            F.sum(_ti(F.col("__mb") * F.col("__mb"))).alias("__nb2"),
         )
         .select(
             F.round(
-                F.col("__dot") / F.sqrt(F.col("__na2") * F.col("__nb2")), 4
+                (F.col("__dot").cast("double") / F.lit(1e9))
+                / F.sqrt(
+                    (F.col("__na2").cast("double") / F.lit(1e9))
+                    * (F.col("__nb2").cast("double") / F.lit(1e9))
+                ),
+                4,
             ).alias("centroid_cos")
         )
     )
     norm = F.sqrt(
         F.aggregate(
             "__v",
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.floor(x.cast("double") * x.cast("double") * F.lit(1e9)).cast(
+                "long"
+            ),
+        ).cast("double")
+        / F.lit(1e9)
     )
     ks = ks_drift(
         df_a.select(F.col(vec_col).alias("__v")).filter(F.col("__v").isNotNull()).select(norm.alias("__n")),
@@ -961,7 +1015,17 @@ def drift_report(
             .agg(
                 F.sum(F.col("c_a")).cast("long").alias("n_a"),
                 F.sum(F.col("c_b")).cast("long").alias("n_b"),
-                F.round(F.sum("psi_bin"), 6).alias("psi"),
+                # family standard (rrf_fuse trick): BIGINT-scale each
+                # per-bin term before summing — a raw-double sum of the
+                # rounded psi_bin values would be engine-order-sensitive
+                # in the last ulp
+                F.round(
+                    F.sum(
+                        F.floor(F.col("psi_bin") * F.lit(1e9)).cast("long")
+                    ).cast("double")
+                    / F.lit(1e9),
+                    6,
+                ).alias("psi"),
             )
             # an empty per-bin relation (one-sided input) must yield no
             # report row, not a null-valued one

@@ -142,15 +142,19 @@ def stream_drift_monitor(
     shifts its alert baseline if the reference dataset moved between
     runs; a saved profile pins the baseline to the exact distribution the
     thresholds were tuned on. ``bins``/``lo``/``hi`` must be the values
-    the profile was built with (they define its bin space)."""
+    the profile was built with (they define its bin space). A passed
+    ``profile`` is used as-is — its storage level belongs to the caller
+    (the monitor only persists/unpersists profiles it computed itself,
+    so a profile shared across monitors keeps its cached status)."""
     if lo is None or hi is None:
         raise ValueError("stream_drift_monitor requires fixed lo/hi bounds")
-    if profile is None:
+    created_here = profile is None
+    if created_here:
         if reference_df is None:
             raise ValueError("pass reference_df or a saved profile")
         profile = reference_bin_profile(reference_df, col, bins, lo, hi)
-    profile = profile.persist()
-    profile.count()  # materialize once; <= bins rows
+        profile = profile.persist()
+        profile.count()  # materialize once; <= bins rows
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         stat = ks_against_profile(profile, batch_df, col, bins, lo, hi)
@@ -171,7 +175,8 @@ def stream_drift_monitor(
         )
         q.awaitTermination()
     finally:
-        profile.unpersist()
+        if created_here:
+            profile.unpersist()
 
 
 def reference_psi_profile(
@@ -218,10 +223,13 @@ def psi_against_profile(
     and ``batch_df`` (side b): the same <=-CASE assignment, occupied-bins
     rule (full-outer join of the two bounded count relations), and
     ``greatest(c, 0.5)/n`` continuity clamp as ``psi_drift`` — the total
-    is pytest-pinned to match ``sum(psi_bin)`` from the batch monitor.
-    Per-bin terms are BIGINT-scaled (``floor(term * 1e9)``) before the
-    sum, so the total is engine-order-insensitive. Empty batches yield an
-    empty result (one-sided rule)."""
+    is pytest-pinned to match ``sum(psi_bin)`` from the batch monitor
+    within the test's 1e-5 tolerance (this path sums BIGINT-scaled RAW
+    terms, the batch monitor surfaces round-6 per-bin terms, so the two
+    totals can differ by up to ~0.5e-6 per bin). Per-bin terms are
+    BIGINT-scaled (``floor(term * 1e9)``) before the sum, so the total is
+    engine-order-insensitive. Empty batches yield an empty result
+    (one-sided rule)."""
     b = batch_df.filter(F.col(col).isNotNull()).select(
         F.col(col).cast("double").alias("__v")
     ).crossJoin(F.broadcast(cuts))
@@ -285,17 +293,20 @@ def stream_psi_monitor(
     ``stream_drift_monitor``: at-least-once appends of a deterministic
     row. Batches with no non-null values append nothing. Pass ``profile``
     (a saved ``reference_psi_profile`` pair read back from parquet) for a
-    restart-stable baseline — same reasoning as ``stream_drift_monitor``."""
-    if profile is not None:
+    restart-stable baseline — same reasoning as ``stream_drift_monitor``;
+    as there, a passed profile's storage level belongs to the caller (the
+    monitor only persists/unpersists profiles it computed itself)."""
+    created_here = profile is None
+    if not created_here:
         cuts, ref_counts = profile
     else:
         if reference_df is None:
             raise ValueError("pass reference_df or a saved profile")
         cuts, ref_counts = reference_psi_profile(reference_df, col, bins)
-    cuts = cuts.persist()
-    ref_counts = ref_counts.persist()
-    cuts.count()
-    ref_counts.count()
+        cuts = cuts.persist()
+        ref_counts = ref_counts.persist()
+        cuts.count()
+        ref_counts.count()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         stat = psi_against_profile(cuts, ref_counts, batch_df, col, bins)
@@ -312,5 +323,6 @@ def stream_psi_monitor(
         )
         q.awaitTermination()
     finally:
-        cuts.unpersist()
-        ref_counts.unpersist()
+        if created_here:
+            cuts.unpersist()
+            ref_counts.unpersist()

@@ -530,17 +530,25 @@ def test_psi_drift_scan_floor_and_pushdown(spark):
 def test_chi2_drift_bounded_shuffle_and_pushdown(spark):
     """stats_chi2_drift: one scan per slice, category counts come from a
     map-side-combinable HashAggregate (partial_sum before the exchange),
-    and the full-frame totals window runs over the bounded counts
-    relation — no corpus-keyed exchange after the category aggregate."""
+    and slice totals broadcast back onto the counts relation — NO window
+    anywhere (r12 verdict: the old unpartitioned full-frame window
+    funneled every category through one partition; fine at language-mix
+    cardinality, a cliff on a million-distinct column) and no
+    corpus-keyed exchange after the category aggregate. The totals agg
+    consumes the SAME category-aggregate exchange as the counts side
+    (ReuseExchange), so the corpus is still scanned exactly once per
+    slice — asserted on the POST-EXECUTION final adaptive plan, where
+    the reuse is materialized."""
     from pyarrow_ops_spark.entry_queries import ALL_QUERIES
 
-    plan = (
-        ALL_QUERIES["stats_chi2_drift"](spark, SF_DIR)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert plan.count("FileScan parquet") == 2
+    df = ALL_QUERIES["stats_chi2_drift"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan  # map-side combine on category counts
-    assert "Window" in plan
+    assert "Window" not in plan  # totals are a broadcast agg, not a funnel
+    assert "BroadcastExchange" in plan
+    # the duplicated counts subtree dedupes to one physical exchange:
+    # scan + partial agg run once, shared by counts and totals
+    assert "ReusedExchange" in plan

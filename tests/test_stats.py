@@ -814,6 +814,50 @@ def test_drift_report_one_sided_is_empty(spark):
     assert drift_report(a, empty, numeric=["n"], categorical=["lang"]).count() == 0
 
 
+def test_drift_report_psi_total_is_bigint_scaled_sum(spark):
+    """r12 verdict: drift_report's psi must follow the family standard —
+    BIGINT-scale each per-bin term before the sum. Pinned BIT-EXACTLY
+    against the same Spark expression evaluated over psi_drift's output
+    (not approx: both sides sum exact integers, so == holds)."""
+    from pyarrow_ops_spark.functions.stats import drift_report, psi_drift
+
+    a = spark.createDataFrame([(float(v),) for v in range(500)], ["n"])
+    b = spark.createDataFrame([(float(v) * 1.3 + 40.0,) for v in range(500)], ["n"])
+    got = {
+        r["metric"]: r["value"]
+        for r in drift_report(a, b, numeric=["n"]).collect()
+    }
+    expected = psi_drift(a, b, "n", bins=8).agg(
+        F.round(
+            F.sum(F.floor(F.col("psi_bin") * F.lit(1e9)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(1e9),
+            6,
+        ).alias("psi")
+    ).collect()[0]["psi"]
+    assert got["psi"] == expected
+
+
+def test_chi2_drift_high_cardinality_bounded_plan(spark):
+    """r12 verdict: a high-distinct category column must not funnel
+    through a one-partition window — slice totals are a broadcast
+    aggregate now, so cardinality only widens the distributed category
+    aggregate. 150k distinct categories complete with a window-free
+    plan."""
+    from pyarrow_ops_spark.functions.stats import chi2_drift
+
+    a = spark.range(0, 100_000).select(F.col("id").cast("string").alias("c"))
+    b = spark.range(50_000, 150_000).select(F.col("id").cast("string").alias("c"))
+    out = chi2_drift(a, b, "c")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    row = out.collect()[0]
+    assert row["n_categories"] == 150_000
+    assert row["n_a"] == row["n_b"] == 100_000
+    assert row["chi2"] > 0.0
+
+
 def test_psi_drift_approx_mode(spark):
     """approx=True uses the approx_percentile sketch for the reference
     cuts — same plan, memory-bounded at scale. At default accuracy on

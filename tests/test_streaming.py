@@ -650,5 +650,15 @@ def test_stream_drift_monitor_saved_profile_restart_stable(spark, tmp_path):
         froz["n_a"], froz["n_b"], froz["ks_bin"], froz["ks_d"]
     )
     assert live["ks_d"] > 0.2
+    # r12 ADVICE: a caller-persisted profile keeps its cached status —
+    # the monitor only unpersists profiles it created itself
+    cached = saved.persist()
+    try:
+        run("sink_saved2", "ckpt_saved2", profile=cached)
+        assert cached.storageLevel.useMemory
+        again = spark.read.parquet(str(tmp_path / "sink_saved2")).collect()[0]
+        assert (again["ks_bin"], again["ks_d"]) == (live["ks_bin"], live["ks_d"])
+    finally:
+        cached.unpersist()
     with pytest.raises(ValueError):
         stream_drift_monitor(None, None, "v", "x", "y", lo=0.0, hi=1.0)
