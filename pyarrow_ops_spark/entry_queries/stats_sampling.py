@@ -997,7 +997,9 @@ def q_stats_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf_fuse trick — a plain double sum over categories is engine-order-
     dependent in the last ulp). Plan: one union scan into a
     |categories|-bounded groupBy (map-side combine carries category
-    counts, not rows), bounded full-frame windows for slice totals,
+    counts, not rows), slice totals as a bounded aggregate broadcast
+    back (r13: window-free — safe at any category cardinality; the
+    totals agg reuses the counts exchange, so still one scan per slice),
     map-only chi2 expression, one final one-row aggregate — no corpus
     shuffle, no collect (functions/stats.py:chi2_drift)."""
     from pyarrow_ops_spark.functions.stats import chi2_drift
@@ -1007,4 +1009,166 @@ def q_stats_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
         "lang",
+    )
+
+
+@query(
+    "stats_emd_drift",
+    """
+    WITH u AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, 0 AS s FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+        UNION ALL
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS s FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+    ),
+    st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+    b AS (SELECT CASE WHEN mx = mn THEN 0
+                      ELSE greatest(0, least(63,
+                               CAST(floor((v - mn) * 64 / (mx - mn))
+                                    AS BIGINT)))
+                 END AS bin, (mx - mn) / 64 AS w, s
+          FROM u CROSS JOIN st),
+    c AS (SELECT bin, max(w) AS w,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+          FROM b GROUP BY bin),
+    g AS (SELECT bin, w,
+                 sum(ca) OVER (ORDER BY bin) AS cuma,
+                 sum(cb) OVER (ORDER BY bin) AS cumb,
+                 sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+                 coalesce(lead(bin) OVER (ORDER BY bin), bin) AS nxt
+          FROM c),
+    x AS (SELECT na, nb, w * 64 AS rng,
+                 CAST(floor(abs(CAST(cuma AS DOUBLE) / na
+                                - CAST(cumb AS DOUBLE) / nb)
+                            * (nxt - bin) * w * 1000000000.0) AS BIGINT) AS ti
+          FROM g WHERE na > 0 AND nb > 0)
+    SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           round(CAST(sum(ti) AS DOUBLE) / 1000000000.0, 6) AS emd,
+           round(CASE WHEN max(rng) > 0
+                      THEN (CAST(sum(ti) AS DOUBLE) / 1000000000.0) / max(rng)
+                      ELSE 0.0 END, 6) AS emd_norm
+    FROM x
+    HAVING max(na) IS NOT NULL
+    """,
+)
+def q_stats_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth mover's (Wasserstein-1) drift between fulfilled ('F') and
+    open ('O') orders' totalprice distributions on the same 64
+    equal-width bins as the KS row — KS reads how far apart the CDFs
+    GET, EMD reads how much mass moved HOW FAR (a small shift of all
+    mass and a large shift of a little mass can tie on KS; EMD separates
+    them). The CDF gap persists unchanged across bins empty in BOTH
+    slices, so each occupied bin contributes |gap| * span * width via a
+    lead() over the bounded counts relation; every term is one shared
+    left-associated double product, BIGINT-scaled floor(term * 1e9) and
+    summed order-insensitively (the rrf_fuse trick), surfaced round-6.
+    Plan: identical to ks_drift — one bounds pass + one map-only binning
+    pass per slice into a 64-bounded groupBy, then lead/sum windows over
+    <= 64 rows. No corpus shuffle, no collect
+    (functions/stats.py:emd_drift; congruence pytest
+    tests/test_stats.py:test_emd_drift_matches_duckdb_formula)."""
+    from pyarrow_ops_spark.functions.stats import emd_drift
+
+    orders = load_table(spark, "orders", sf_dir)
+    return emd_drift(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") == "O"),
+        "o_totalprice",
+        bins=64,
+    )
+
+
+@query(
+    "stats_embedding_drift",
+    """
+    WITH base AS (
+        SELECT vec_id % 2 AS s, embedding AS v FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    e AS (
+        SELECT s, unnest(v) AS x, unnest(range(0, len(v))) AS pos FROM base
+    ),
+    m AS (
+        SELECT s, pos,
+               CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000000.0)
+                             AS BIGINT)) AS DOUBLE)
+                   / count(*) / 10000000.0 AS m
+        FROM e GROUP BY s, pos
+    ),
+    cosv AS (
+        SELECT round(
+            (CAST(sum(CAST(floor(a.m * b.m * 1000000000.0) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0)
+            / sqrt((CAST(sum(CAST(floor(a.m * a.m * 1000000000.0) AS BIGINT))
+                         AS DOUBLE) / 1000000000.0)
+                   * (CAST(sum(CAST(floor(b.m * b.m * 1000000000.0) AS BIGINT))
+                           AS DOUBLE) / 1000000000.0)),
+            4) AS centroid_cos
+        FROM (SELECT pos, m FROM m WHERE s = 0) a
+        JOIN (SELECT pos, m FROM m WHERE s = 1) b USING (pos)
+    ),
+    n AS (
+        SELECT s,
+               sqrt(CAST(list_sum(list_transform(v,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                        * 1000000000.0) AS BIGINT)))
+                    AS DOUBLE) / 1000000000.0) AS nv
+        FROM base
+    ),
+    st AS (SELECT min(nv) AS mn, max(nv) AS mx FROM n),
+    b2 AS (SELECT CASE WHEN mx = mn THEN 0
+                       ELSE greatest(0, least(63,
+                                CAST(floor((nv - mn) * 64 / (mx - mn))
+                                     AS BIGINT)))
+                  END AS bin, s
+           FROM n CROSS JOIN st),
+    c2 AS (SELECT bin,
+                  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+           FROM b2 GROUP BY bin),
+    g AS (SELECT bin,
+                 sum(ca) OVER (ORDER BY bin) AS cuma,
+                 sum(cb) OVER (ORDER BY bin) AS cumb,
+                 sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+          FROM c2),
+    ks AS (
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(bin AS INT) AS norm_ks_bin,
+               round(abs(CAST(cuma AS DOUBLE) / na
+                         - CAST(cumb AS DOUBLE) / nb), 6) AS norm_ks_d
+        FROM g WHERE na > 0 AND nb > 0
+        ORDER BY norm_ks_d DESC, norm_ks_bin LIMIT 1
+    )
+    SELECT n_a, n_b, centroid_cos, norm_ks_bin, norm_ks_d
+    FROM ks CROSS JOIN cosv
+    """,
+)
+def q_stats_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between even-id and odd-id vector snapshots:
+    centroid cosine (direction drift) + KS over per-vector L2 norms
+    (magnitude drift) in one row — the monitor an embedding-backed
+    pipeline runs when the encoder or corpus mix changes. Hash-stable
+    end to end with NO raw-double group sums: per-dim centroid means are
+    exact element sums sum(floor(x * 1e7)) carried as DECIMAL(38,0)
+    divided once (both engines convert the same exact integer); the
+    dot/norm2 reductions over the 64 dim-bounded means BIGINT-scale each
+    term floor(term * 1e9); per-vector squared norms are exact BIGINT
+    folds sum(floor(x*x * 1e9)) so the norms feeding the KS binning are
+    bit-identical across engines (a last-ulp norm difference could flip
+    a bin on an exact edge). Plan: posexplode + partial-sum hash
+    aggregate collapses the rows x dim fan-out map-side (shuffle ~
+    2 x dim partial sums per task, constant in corpus size); the norm is
+    a map-only higher-order aggregate riding the ks_drift scans; one-row
+    relations broadcast-join at the end. No corpus shuffle, no collect
+    (functions/stats.py:embedding_drift)."""
+    from pyarrow_ops_spark.functions.stats import embedding_drift
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "embedding",
+        norm_bins=64,
     )

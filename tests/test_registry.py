@@ -17,17 +17,16 @@ from __future__ import annotations
 
 import hashlib
 
-# sha256 over "\n".join(sorted(names)) — round 12:
-# +stats_psi_drift (PSI drift monitor, equi-depth reference cuts,
-# continuity clamp), +stats_ks_drift_by_source (per-group KS drift) —
-# both engines landed in r11 with pytest DuckDB-congruence mirrors; r12
-# promotes them to driver-certified registry rows — and +stats_chi2_drift
-# (chi-squared homogeneity monitor for CATEGORICAL columns, exact
-# BIGINT-scaled term sum), completing the drift family. Net registry
-# growth this round: +3 (exactly the cap-capacity budget; folded set
-# unchanged at 15).
-NAMES_SHA256 = "2fc8c79b3cba8f7811cc42e52864f0d1f919332d8bcd2950c866f3c35adeae69"
-N_QUERIES = 183
+# sha256 over "\n".join(sorted(names)) — round 13:
+# +stats_emd_drift (binned Wasserstein-1 drift, lead()-span gap integral,
+# BIGINT-scaled term sum) and +stats_embedding_drift (centroid-cosine +
+# norm-KS embedding drift, hash-stable via DECIMAL element sums + BIGINT
+# dim/norm folds) — both engines landed in r12 with DuckDB/numpy
+# congruence pytests; r13 promotes them to driver-certified rows (r12
+# verdict ask #1). Net registry growth: +2 (inside the <=3 budget;
+# folded set unchanged at 15).
+NAMES_SHA256 = "5b615a8b313aa930674825e77f5a0a67c303252b6bee04dc1f2334edc73e8808"
+N_QUERIES = 185
 FOLDED_SHA256 = "398498b49e92ff3f67829caec7a4362a59792bcd12490b774677c23acee37a0f"
 N_FOLDED = 15
 
