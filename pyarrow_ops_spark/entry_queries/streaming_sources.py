@@ -1019,3 +1019,120 @@ def q_streaming_dedup_index_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("fp").alias("digest"), "n_emits")
         .orderBy("digest")
     )
+
+
+@query(
+    "streaming_drift_monitor_ipc",
+    """
+    WITH u AS (
+        SELECT 1 AS g, CAST(n_chars AS DOUBLE) AS v, 0 AS s FROM documents
+        WHERE doc_id % 3 = 0 AND n_chars IS NOT NULL
+        UNION ALL
+        SELECT 2 AS g, CAST(n_chars AS DOUBLE) AS v, 0 AS s FROM documents
+        WHERE doc_id % 3 = 0 AND n_chars IS NOT NULL
+        UNION ALL
+        SELECT 1 AS g, CAST(n_chars AS DOUBLE) AS v, 1 AS s FROM documents
+        WHERE doc_id % 3 = 1 AND n_chars IS NOT NULL
+        UNION ALL
+        SELECT 2 AS g, CAST(n_chars AS DOUBLE) AS v, 1 AS s FROM documents
+        WHERE doc_id % 3 = 2 AND n_chars IS NOT NULL
+    ),
+    b AS (SELECT g,
+                 greatest(0, least(63,
+                     CAST(floor((v - 0.0) * 64 / (2000.0 - 0.0)) AS BIGINT)))
+                     AS bin, s
+          FROM u),
+    c AS (SELECT g, bin,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+          FROM b GROUP BY g, bin),
+    gg AS (SELECT g, bin,
+                  sum(ca) OVER (PARTITION BY g ORDER BY bin) AS cuma,
+                  sum(cb) OVER (PARTITION BY g ORDER BY bin) AS cumb,
+                  sum(ca) OVER (PARTITION BY g) AS na,
+                  sum(cb) OVER (PARTITION BY g) AS nb
+           FROM c),
+    d AS (SELECT g, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                 CAST(bin AS INT) AS ks_bin,
+                 round(abs(CAST(cuma AS DOUBLE) / na
+                           - CAST(cumb AS DOUBLE) / nb), 6) AS ks_d,
+                 row_number() OVER (PARTITION BY g
+                     ORDER BY round(abs(CAST(cuma AS DOUBLE) / na
+                               - CAST(cumb AS DOUBLE) / nb), 6) DESC, bin)
+                     AS rn
+          FROM gg WHERE na > 0 AND nb > 0)
+    SELECT CAST(g - 1 AS BIGINT) AS batch_id, n_a, n_b, ks_bin, ks_d
+    FROM d WHERE rn = 1
+    """,
+)
+def q_streaming_drift_monitor_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS drift alerting certified end-to-end: the KS stream
+    monitor (streaming/drift.py) runs over a documents drop stream in
+    TWO sequential availableNow runs sharing ONE checkpoint — file
+    part-00000 (doc_id % 3 == 1) lands before run 1, part-00001
+    (doc_id % 3 == 2) before run 2, so run 2 must resume past run 1's
+    offset and score ONLY its own batch. Each run appends one
+    (batch_id, n_a, n_b, ks_bin, ks_d) row: the per-batch statistic is
+    pytest-pinned identical to batch ks_drift(reference, batch) under
+    the monitor's REQUIRED fixed bounds (lo=0, hi=2000 here — production
+    monitors pin bin edges to the reference distribution, which is also
+    what makes the oracle expressible as two independent batch-KS arms
+    with literal bounds). One IPC file per run = one micro-batch by the
+    simple-stream contract (each poll returns everything new), so the
+    sink is slicing-independent; replays of a deterministic row are
+    absorbed by the distinct(). The reference reduces ONCE per run to a
+    <=64-row binned profile — the stream never rescans it, monitor state
+    is O(bins), the property that makes the monitor viable against a
+    100 TB reference. Ref: no streaming in the reference (SURVEY §2.2);
+    this composes two certified pieces (batch ks_drift + the IPC
+    streaming bridge)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.drift import stream_drift_monitor
+
+    register_arrow_ipc(spark)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    reference = docs.filter(F.col("doc_id") % 3 == 0)
+
+    def write_file(subset: DataFrame, drop: str, i: int) -> None:
+        stage = tempfile.mkdtemp(prefix="spark_graft_drift_stage_")
+        try:
+            subset.coalesce(1).write.format("arrowipc").mode("append").save(
+                stage
+            )
+            files = [f for f in os.listdir(stage) if f.endswith(".arrow")]
+            assert len(files) == 1, files
+            shutil.move(
+                os.path.join(stage, files[0]),
+                os.path.join(drop, f"part-{i:05d}.arrow"),
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def build(tmp: str) -> None:
+        drop = os.path.join(tmp, "drop")
+        sink = os.path.join(tmp, "sink")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(drop)
+        for i, m in enumerate((1, 2)):
+            write_file(docs.filter(F.col("doc_id") % 3 == m), drop, i)
+            stream = (
+                spark.readStream.format("arrowipc")
+                .schema("doc_id bigint, n_chars bigint")
+                .option("path", drop)
+                .load()
+            )
+            stream_drift_monitor(
+                stream, reference, "n_chars", sink, ckpt,
+                bins=64, lo=0.0, hi=2000.0,
+            )
+
+    state = _cached_index(sf_dir, "drift_monitor", "documents", build)
+    return (
+        spark.read.parquet(os.path.join(state, "sink"))
+        .select("batch_id", "n_a", "n_b", "ks_bin", "ks_d")
+        .distinct()
+    )

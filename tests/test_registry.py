@@ -23,10 +23,13 @@ import hashlib
 # norm-KS embedding drift, hash-stable via DECIMAL element sums + BIGINT
 # dim/norm folds) — both engines landed in r12 with DuckDB/numpy
 # congruence pytests; r13 promotes them to driver-certified rows (r12
-# verdict ask #1). Net registry growth: +2 (inside the <=3 budget;
-# folded set unchanged at 15).
-NAMES_SHA256 = "5b615a8b313aa930674825e77f5a0a67c303252b6bee04dc1f2334edc73e8808"
-N_QUERIES = 185
+# verdict ask #1) — and +streaming_drift_monitor_ipc (the KS stream
+# monitor over the IPC bridge across a checkpoint resume, oracled as two
+# fixed-bounds batch-KS arms; r12 verdict ask #6), making the streaming
+# drift path driver-certified end to end. Net registry growth: +3
+# (exactly the <=3 budget; folded set unchanged at 15).
+NAMES_SHA256 = "98c7bcd67dda9d6837cfe73cf00d575dee7d0a5acd45b50dd374ecfd2b017aca"
+N_QUERIES = 186
 FOLDED_SHA256 = "398498b49e92ff3f67829caec7a4362a59792bcd12490b774677c23acee37a0f"
 N_FOLDED = 15
 
