@@ -11,7 +11,7 @@ repeat (dedup families see 100x corpora with 100x planted-duplicate
 mass — the adversarial case for any pair-generation step).
 
 Run:  python benchmarks/sf10_validate.py [query ...]
-Writes benchmarks/sf10_validation_r12.json and prints one JSON line.
+Writes benchmarks/sf10_validation_r13.json and prints one JSON line.
 
 Round-11 (r10 verdict ask #4): every query now reports BOTH a raw and an
 EQUAL-OCCUPANCY exponent. Raw task-seconds are occupancy-weighted: sf1's
@@ -63,9 +63,29 @@ DEFAULT = [
     "pipeline_llm_curation",
     "dedup_winnow_pairs",
     "dedup_winnow_clusters",
+    "pipeline_drift_report",
 ]
 
 N_PASSES = 2
+
+# r12 verdict ask #5: the one-call drift_report is the API users actually
+# schedule per snapshot, so it gets measured (not inferred) scale
+# evidence. Not a registry row (the constituent monitors are certified
+# individually); injected locally so the sf1->sf10 harness can run it.
+
+
+def _q_drift_report(spark, sf_dir):
+    from pyarrow_ops_spark.functions.stats import drift_report
+    from pyarrow_ops_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, "documents", sf_dir)
+    return drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        numeric=["n_chars"],
+        categorical=["lang", "source"],
+    )
+
 
 # equal-occupancy arm: one saturating width for both scales (see module
 # docstring — wide enough to avoid the sf10 agg-state cliff, concurrent
@@ -175,6 +195,7 @@ def _exponents(m1: dict, m10: dict) -> dict:
 
 
 def main() -> None:
+    QUERIES["pipeline_drift_report"] = _q_drift_report
     names = sys.argv[1:] or DEFAULT
     spark = get_spark(app_name="sf10_validate")
     spark.sparkContext.setLogLevel("ERROR")
@@ -207,7 +228,7 @@ def main() -> None:
         }
         print(n, json.dumps(out[n]), flush=True)
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "sf10_validation_r12.json"
+        os.path.dirname(os.path.abspath(__file__)), "sf10_validation_r13.json"
     )
     # merge with any prior partial run so the artifact accumulates across
     # split invocations (long queries run in their own process)
