@@ -1,9 +1,11 @@
 """Streaming drift alerting: every micro-batch's column distribution is
-compared against a FIXED reference profile and the one-row KS statistic
-appended to a monitor sink — the continuous form of
-``functions.stats.ks_drift`` ("page when a crawl snapshot's doc-length
-distribution moves"), composed from two separately-certified pieces: the
-batch drift family and the Structured-Streaming IPC bridge.
+compared against a FIXED reference profile and the one-row statistic
+appended to a monitor sink — the continuous form of the batch drift
+family ("page when a crawl snapshot's doc-length distribution moves"),
+composed from two separately-certified pieces: the batch monitors and
+the Structured-Streaming IPC bridge. Three monitors, matching the batch
+family: KS (numeric, equal-width bins), PSI (numeric, equi-depth
+reference cuts), chi2 (categorical mix).
 
 Scale/state story: production drift monitors pin bin edges to the
 reference/training distribution (fixed ``lo``/``hi`` — REQUIRED here), so
@@ -326,3 +328,127 @@ def stream_psi_monitor(
         if created_here:
             cuts.unpersist()
             ref_counts.unpersist()
+
+
+def reference_chi2_profile(df: DataFrame, col: str) -> DataFrame:
+    """One pass over the reference -> its per-category counts
+    ``(cat, ref_n)``: the cardinality-bounded relation the chi2 monitor
+    joins every micro-batch against instead of rescanning the reference.
+    Intended for CATEGORICAL columns (language/source/label/file-type
+    mixes) whose cardinality is profile-sized; NULL categories are
+    dropped, the family rule."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("cat"))
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("ref_n"))
+    )
+
+
+def chi2_against_profile(
+    profile: DataFrame, batch_df: DataFrame, col: str
+) -> DataFrame:
+    """One-row ``(n_a, n_b, n_categories, chi2)`` between the profiled
+    reference (side a) and ``batch_df`` (side b) — numerically identical
+    to ``functions.stats.chi2_drift(reference, batch, col)`` (pytest pins
+    the equivalence): full-outer join of the two bounded count relations
+    (occupied-categories rule), the SAME shared left-associated chi2 term
+    formula, BIGINT-scaled ``floor(term * 1e9)`` order-insensitive sum.
+    Slice totals come from a bounded aggregate broadcast back (window-
+    free, the r13 chi2_drift idiom). Empty batches yield an empty result
+    (one-sided rule)."""
+    bc = (
+        batch_df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("cat"))
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("bat_n"))
+    )
+    counts = (
+        profile.withColumnRenamed("ref_n", "__ca")
+        .join(bc.withColumnRenamed("bat_n", "__cb"), on="cat", how="full_outer")
+        .select(
+            "cat",
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    with_totals = counts.crossJoin(F.broadcast(tot)).filter(
+        (F.col("__na") > 0) & (F.col("__nb") > 0)
+    )
+    # identical shared formula to chi2_drift (functions/stats.py):
+    # e_x = (CAST(n_x AS DOUBLE) * (ca + cb)) / (na + nb)
+    t = F.col("__ca") + F.col("__cb")
+    grand = F.col("__na") + F.col("__nb")
+    ea = F.col("__na").cast("double") * t / grand
+    eb = F.col("__nb").cast("double") * t / grand
+    term = ((F.col("__ca") - ea) * (F.col("__ca") - ea)) / ea + (
+        (F.col("__cb") - eb) * (F.col("__cb") - eb)
+    ) / eb
+    scaled = with_totals.select(
+        "__na",
+        "__nb",
+        F.floor(term * F.lit(1e9)).cast("long").alias("__ci"),
+    )
+    return scaled.groupBy().agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.round(F.sum("__ci").cast("double") / F.lit(1e9), 6).alias("chi2"),
+    ).filter(F.col("n_a").isNotNull())
+
+
+def stream_chi2_monitor(
+    stream_df: DataFrame,
+    reference_df: DataFrame | None,
+    col: str,
+    sink_path: str,
+    checkpoint: str,
+    profile: DataFrame | None = None,
+) -> None:
+    """Per-micro-batch chi-squared mix drift against a fixed reference —
+    the CATEGORICAL member completing the streaming monitor family
+    (KS = numeric equal-width, PSI = numeric equi-depth, chi2 =
+    language/source/label mix). The reference reduces ONCE to its
+    per-category counts (cardinality-bounded, persisted); each batch pays
+    one map-only pass over its own rows plus a join against the bounded
+    profile, appending one parquet row
+    ``(batch_id, n_a, n_b, n_categories, chi2)`` to ``sink_path``.
+    Monitor state is O(|categories|), never O(stream); the reference is
+    never rescanned. Same replay semantics as ``stream_drift_monitor``
+    (at-least-once appends of a deterministic row) and the same
+    saved-profile restart story: pass ``profile`` (a persisted
+    ``reference_chi2_profile`` read back from parquet) to pin the alert
+    baseline; a passed profile's storage level belongs to the caller.
+    Batches with no non-null values append nothing (one-sided rule)."""
+    created_here = profile is None
+    if created_here:
+        if reference_df is None:
+            raise ValueError("pass reference_df or a saved profile")
+        profile = reference_chi2_profile(reference_df, col)
+        profile = profile.persist()
+        profile.count()  # materialize once; |categories| rows
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        stat = chi2_against_profile(profile, batch_df, col)
+        stat.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "n_a",
+            "n_b",
+            "n_categories",
+            "chi2",
+        ).write.mode("append").parquet(sink_path)
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if created_here:
+            profile.unpersist()

@@ -662,3 +662,94 @@ def test_stream_drift_monitor_saved_profile_restart_stable(spark, tmp_path):
         cached.unpersist()
     with pytest.raises(ValueError):
         stream_drift_monitor(None, None, "v", "x", "y", lo=0.0, hi=1.0)
+
+
+def test_stream_chi2_monitor_matches_batch_chi2(spark, tmp_path):
+    """Streaming chi2 (streaming/drift.py): each micro-batch's statistic
+    must EQUAL batch chi2_drift(reference, batch) — both sides sum
+    identical BIGINT-scaled terms over identical occupied-category
+    counts, so the pin is exact ==, not approx. Also pins the
+    caller-persisted-profile contract and the one-sided empty-batch
+    drop."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyarrow_ops_spark.functions.stats import chi2_drift
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.drift import (
+        reference_chi2_profile,
+        stream_chi2_monitor,
+    )
+
+    register_arrow_ipc(spark)
+    drop = str(tmp_path / "drop")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop)
+
+    reference = spark.createDataFrame(
+        [(["en", "de", "fr"][v % 3],) for v in range(300)], "lang string"
+    )
+    batches = [
+        [(["en", "de", "fr"][v % 3],) for v in range(300)],  # same mix ~ 0
+        [("en",)] * 200 + [("it",)] * 100,                   # mix moved
+    ]
+
+    def write_file(rows, i):
+        df = spark.createDataFrame(rows, "lang string")
+        stage = tempfile.mkdtemp()
+        try:
+            df.coalesce(1).write.format("arrowipc").mode("append").save(stage)
+            f = [x for x in os.listdir(stage) if x.endswith(".arrow")][0]
+            shutil.move(
+                os.path.join(stage, f), os.path.join(drop, f"part-{i:05d}.arrow")
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    for i, rows in enumerate(batches):
+        write_file(rows, i)
+        stream = (
+            spark.readStream.format("arrowipc")
+            .schema("lang string")
+            .option("path", drop)
+            .load()
+        )
+        stream_chi2_monitor(stream, reference, "lang", sink, ckpt)
+
+    got = {r["batch_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert len(got) == 2
+    for bid, rows in ((min(got), batches[0]), (max(got), batches[1])):
+        batch_df = spark.createDataFrame(rows, "lang string")
+        expect = chi2_drift(reference, batch_df, "lang").collect()[0]
+        assert got[bid]["chi2"] == expect["chi2"], bid
+        assert got[bid]["n_categories"] == expect["n_categories"]
+        assert (got[bid]["n_a"], got[bid]["n_b"]) == (
+            expect["n_a"], expect["n_b"]
+        )
+    assert got[min(got)]["chi2"] == 0.0
+    assert got[max(got)]["chi2"] > 50.0
+    # the 'it' category is batch-only: occupied-categories rule counts it
+    assert got[max(got)]["n_categories"] == 4
+
+    # caller-persisted saved profile: baseline pinned, cache retained
+    prof_path = str(tmp_path / "prof")
+    reference_chi2_profile(reference, "lang").write.parquet(prof_path)
+    saved = spark.read.parquet(prof_path).persist()
+    try:
+        write_file(batches[1], 2)
+        stream = (
+            spark.readStream.format("arrowipc")
+            .schema("lang string")
+            .option("path", drop)
+            .load()
+        )
+        stream_chi2_monitor(
+            stream, None, "lang", sink, str(tmp_path / "ckpt2"), profile=saved
+        )
+        assert saved.storageLevel.useMemory
+    finally:
+        saved.unpersist()
+    with pytest.raises(ValueError):
+        stream_chi2_monitor(None, None, "lang", "x", "y")
