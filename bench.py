@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     "stats_psi_drift",
     "stats_ks_drift_by_source",
     "stats_chi2_drift",
+    # round-13 additions: Wasserstein-1 drift and embedding drift
+    # (centroid cosine + norm KS) — the last two batch drift monitors
+    "stats_emd_drift",
+    "stats_embedding_drift",
 ]
 
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
