@@ -552,3 +552,45 @@ def test_chi2_drift_bounded_shuffle_and_pushdown(spark):
     # the duplicated counts subtree dedupes to one physical exchange:
     # scan + partial agg run once, shared by counts and totals
     assert "ReusedExchange" in plan
+
+
+def test_emd_drift_scan_floor_and_pushdown(spark):
+    """stats_emd_drift: the ks_drift plan shape — one bounds pass + one
+    binning pass per slice (4 scans total, the floor for data-derived
+    bounds), slice filters pushed to the scan, bounds broadcast back
+    (never a cartesian), and exactly ONE window operator over the
+    64-bounded counts relation (lead + cum/total sums share it)."""
+    from pyarrow_ops_spark.entry_queries import ALL_QUERIES
+
+    plan = (
+        ALL_QUERIES["stats_emd_drift"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 4
+    assert "o_orderstatus" in plan.split("FileScan")[1]  # filter pushed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("Window") == 1  # bins-bounded, never corpus-keyed
+
+
+def test_embedding_drift_partial_agg_and_no_cartesian(spark):
+    """stats_embedding_drift: the posexplode fan-out collapses through a
+    map-side partial aggregate BEFORE any exchange (the shuffle carries
+    ~2 x dim partial sums per task, constant in corpus size), the
+    one-row cos relation attaches via broadcast (no cartesian), and the
+    only window runs over the <=64-row binned-norm counts."""
+    from pyarrow_ops_spark.entry_queries import ALL_QUERIES
+
+    plan = (
+        ALL_QUERIES["stats_embedding_drift"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" in plan  # posexplode present...
+    assert "partial_sum" in plan  # ...but partially aggregated map-side
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("Window") == 1
