@@ -1118,6 +1118,53 @@ def split_leakage_report(
     return totals.crossJoin(leaky)
 
 
+def leakage_free_split(
+    df: DataFrame,
+    test_frac: float = 0.1,
+    text_col: str = "text",
+    group_col: str | None = None,
+    seed: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/test split that CANNOT leak duplicated content
+    across the boundary: the side is decided by a hash of the document's
+    duplicate-GROUP key, never its id, so every copy of a document lands
+    on the same side. A plain id-hash split (``TableCleaner.split``,
+    ``sample_hash``) sprays exact copies across the boundary — exactly the
+    contamination ``split_leakage_report`` measures and the
+    decontamination family then has to clean up; this operator prevents
+    it at split time.
+
+    Group key: the normalized-text ``fingerprint`` (case/whitespace
+    variants count as copies — the exact-dedup relation), or pass
+    ``group_col`` to split on a precomputed grouping — e.g. a cluster id
+    from ``dedup_clusters``/``winnow_clusters`` for NEAR-dup-safe splits,
+    or a source/site key for domain-held-out splits. ``seed`` rotates to
+    an independent split; the fraction is ~``test_frac`` of GROUPS
+    (weighted by nothing), so heavy clone mass can tilt row proportions —
+    that is the point: the boundary follows content, not row count.
+
+    Output: ``df`` plus ``out`` ('train'/'test'). Map-only — one scalar
+    md5 chain per row, NO shuffle, NO group materialization (the md5 of
+    the group key decides the side directly), so it composes with scan
+    pushdown and costs nothing at 100 TB. Same bucket arithmetic as
+    ``operators.sample.sample_hash`` (md5[:4] < floor(frac * 2^16) in
+    hex), mirrored exactly by the DuckDB oracle.
+    """
+    from pyarrow_ops_spark.operators.sample import _threshold
+
+    threshold = _threshold(test_frac)
+    if group_col is not None:
+        key = F.col(group_col).cast("string")
+    else:
+        key = fingerprint(text_col)
+    salted = F.concat_ws("|", *( [F.lit(seed)] if seed else [] ), key)
+    is_test = F.substring(F.md5(salted), 1, 4) < F.lit(threshold)
+    return df.withColumn(
+        out, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
 def _winnow_rep_pairs(
     groups: DataFrame,
     threshold: float,

@@ -1736,3 +1736,100 @@ def test_bucket_stats_get_reraises_unrelated_errors():
     st = D.BucketStats(Boom(), max_bucket=10, raw=object(), ids_col="ids")
     with _pytest.raises(RuntimeError, match="connection lost"):
         st.get()
+
+
+class TestLeakageFreeSplit:
+    def test_copies_always_land_together(self, spark):
+        from pyarrow_ops_spark.functions.dedup import leakage_free_split
+
+        # 50 distinct texts, each duplicated 4x with whitespace/case
+        # variants (same normalized fingerprint) under distinct ids
+        rows = []
+        for d in range(50):
+            base = f"document number {d} with some shared content"
+            for c, txt in enumerate(
+                [base, base.upper(), f"  {base}  ", base.replace(" ", "  ")]
+            ):
+                rows.append((d * 10 + c, txt))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = leakage_free_split(df, test_frac=0.3)
+        from pyarrow_ops_spark.functions.text import fingerprint
+        per_group = (
+            out.groupBy(fingerprint("text").alias("fp"))
+            .agg(
+                F.count_distinct("split").alias("n_sides"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        assert len(per_group) == 50
+        assert all(r["n_sides"] == 1 and r["n"] == 4 for r in per_group)
+        # both sides are populated at frac=0.3 over 50 groups
+        sides = {r["split"] for r in out.select("split").distinct().collect()}
+        assert sides == {"train", "test"}
+        # id-hash split (the control) DOES leak these groups: with 4
+        # independent draws per group at 30%, some group straddles
+        from pyarrow_ops_spark.operators.sample import _bucket, _threshold
+        ctl = df.withColumn(
+            "split",
+            F.when(
+                _bucket(["doc_id"], "") < F.lit(_threshold(0.3)), "test"
+            ).otherwise("train"),
+        )
+        straddling = (
+            ctl.groupBy(fingerprint("text").alias("fp"))
+            .agg(F.count_distinct("split").alias("n_sides"))
+            .filter(F.col("n_sides") > 1)
+            .count()
+        )
+        assert straddling > 0  # the failure mode this operator removes
+
+    def test_group_col_and_seed_rotation(self, spark):
+        from pyarrow_ops_spark.functions.dedup import leakage_free_split
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}", i % 7) for i in range(70)],
+            "doc_id long, text string, cluster long",
+        )
+        out = leakage_free_split(df, 0.4, group_col="cluster")
+        per = (
+            out.groupBy("cluster")
+            .agg(F.count_distinct("split").alias("n_sides"))
+            .collect()
+        )
+        assert all(r["n_sides"] == 1 for r in per)
+        a = {r["doc_id"]: r["split"] for r in leakage_free_split(df, 0.4).collect()}
+        b = {
+            r["doc_id"]: r["split"]
+            for r in leakage_free_split(df, 0.4, seed="v2").collect()
+        }
+        assert a != b  # seed rotates the assignment
+        with pytest.raises(ValueError):
+            leakage_free_split(df, 1.5)
+
+    def test_matches_duckdb_and_map_only(self, spark, duck):
+        """Engine congruence (the future oracle): same md5 bucket
+        arithmetic in DuckDB; and the plan is map-only — no exchange."""
+        from pyarrow_ops_spark.functions.dedup import leakage_free_split
+        from pyarrow_ops_spark.sources.tables import load_table
+        from tests.conftest import ORACLE_SF_DIR, rows_to_set
+
+        docs = load_table(spark, "documents", ORACLE_SF_DIR)
+        got = leakage_free_split(docs, 0.25).select("doc_id", "split")
+        sql = r"""
+        SELECT doc_id,
+               CASE WHEN substring(md5(md5(regexp_replace(lower(trim(text)),
+                                                          '\s+', ' ', 'g'))),
+                              1, 4) < '4000'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM o_documents
+        """
+        scols = list(got.columns)
+        srows = [tuple(r) for r in got.collect()]
+        res = duck.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        assert sorted(scols) == sorted(dcols)
+        assert rows_to_set(scols, srows) == rows_to_set(dcols, drows)
+        from pyarrow_ops_spark.plans.inspect import shuffle_count
+        assert shuffle_count(leakage_free_split(docs, 0.25)) == 0
