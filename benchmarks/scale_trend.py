@@ -195,6 +195,10 @@ DEFAULT_QUERIES = [
     "stats_psi_drift",
     "stats_ks_drift_by_source",
     "stats_chi2_drift",
+    # round-13: Wasserstein-1 (ks-shaped bounds+binning passes) and
+    # embedding drift (posexplode partial-sum centroids + norm-KS)
+    "stats_emd_drift",
+    "stats_embedding_drift",
 ]
 
 
