@@ -1028,3 +1028,40 @@ def test_drift_report_matches_duckdb_union(spark, duck):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows) == 4
     assert rows_to_set(scols, srows) == rows_to_set(dcols, drows)
+
+
+def test_two_sample_drift_statistics_are_symmetric(spark):
+    """KS, chi2, and EMD are symmetric in their two slices (|gap| and the
+    chi2 term are invariant under side swap; only n_a/n_b swap). PSI is
+    intentionally NOT symmetric (equi-depth cuts come from the REFERENCE
+    side) — pinned here so a refactor can't silently 'fix' it."""
+    from pyarrow_ops_spark.functions.stats import (
+        chi2_drift,
+        emd_drift,
+        ks_drift,
+        psi_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(float(v), ["en", "de"][v % 2]) for v in range(300)],
+        "v double, lang string",
+    )
+    b = spark.createDataFrame(
+        [(float(v) * 1.4 + 30.0, ["en", "de", "fr"][v % 3]) for v in range(200)],
+        "v double, lang string",
+    )
+    ks_ab = ks_drift(a, b, "v").collect()[0]
+    ks_ba = ks_drift(b, a, "v").collect()[0]
+    assert (ks_ab["ks_d"], ks_ab["ks_bin"]) == (ks_ba["ks_d"], ks_ba["ks_bin"])
+    assert (ks_ab["n_a"], ks_ab["n_b"]) == (ks_ba["n_b"], ks_ba["n_a"])
+    emd_ab = emd_drift(a, b, "v").collect()[0]
+    emd_ba = emd_drift(b, a, "v").collect()[0]
+    assert emd_ab["emd"] == emd_ba["emd"]
+    assert emd_ab["emd_norm"] == emd_ba["emd_norm"]
+    chi_ab = chi2_drift(a, b, "lang").collect()[0]
+    chi_ba = chi2_drift(b, a, "lang").collect()[0]
+    assert chi_ab["chi2"] == chi_ba["chi2"]
+    assert chi_ab["n_categories"] == chi_ba["n_categories"] == 3
+    psi_ab = sum(r["psi_bin"] for r in psi_drift(a, b, "v").collect())
+    psi_ba = sum(r["psi_bin"] for r in psi_drift(b, a, "v").collect())
+    assert psi_ab != psi_ba  # reference-anchored by design
