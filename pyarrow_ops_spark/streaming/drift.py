@@ -3,9 +3,10 @@ compared against a FIXED reference profile and the one-row statistic
 appended to a monitor sink — the continuous form of the batch drift
 family ("page when a crawl snapshot's doc-length distribution moves"),
 composed from two separately-certified pieces: the batch monitors and
-the Structured-Streaming IPC bridge. Three monitors, matching the batch
-family: KS (numeric, equal-width bins), PSI (numeric, equi-depth
-reference cuts), chi2 (categorical mix).
+the Structured-Streaming IPC bridge. Four monitors, matching the batch
+family: KS (numeric, equal-width bins), EMD/Wasserstein-1 (same bins,
+same profile relation as KS — run both off one saved profile), PSI
+(numeric, equi-depth reference cuts), chi2 (categorical mix).
 
 Scale/state story: production drift monitors pin bin edges to the
 reference/training distribution (fixed ``lo``/``hi`` — REQUIRED here), so
@@ -439,6 +440,126 @@ def stream_chi2_monitor(
             "n_b",
             "n_categories",
             "chi2",
+        ).write.mode("append").parquet(sink_path)
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if created_here:
+            profile.unpersist()
+
+
+def emd_against_profile(
+    profile: DataFrame, batch_df: DataFrame, col: str, bins: int, lo: float, hi: float
+) -> DataFrame:
+    """One-row ``(n_a, n_b, emd, emd_norm)`` between the profiled
+    reference (side a) and ``batch_df`` (side b) — numerically identical
+    to ``functions.stats.emd_drift(reference, batch, col, bins, lo, hi)``
+    (pytest pins exact ==): same full-outer occupied-bins join as the KS
+    monitor (the SAME ``reference_bin_profile`` relation serves both —
+    one profile, two statistics), lead()-span CDF-gap integral with
+    BIGINT-scaled ``floor(term * 1e9)`` terms. With fixed bounds the bin
+    width is the constant ``(hi - lo) / bins``. Empty batches yield an
+    empty result (one-sided rule)."""
+    width = (float(hi) - float(lo)) / bins
+    bc = (
+        batch_df.filter(F.col(col).isNotNull())
+        .select(_bin_col(col, bins, lo, hi))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("bat_n"))
+    )
+    counts = (
+        profile.withColumnRenamed("ref_n", "__ca")
+        .join(bc.withColumnRenamed("bat_n", "__cb"), on="bin", how="full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        )
+    )
+    worder = Window.orderBy("bin")
+    w = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = worder.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "bin",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        F.sum("__ca").over(wfull).alias("__na"),
+        F.sum("__cb").over(wfull).alias("__nb"),
+        F.coalesce(F.lead("bin").over(worder), F.col("bin")).alias("__nxt"),
+    ).filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+    term = (
+        F.abs(
+            F.col("__cuma").cast("double") / F.col("__na")
+            - F.col("__cumb").cast("double") / F.col("__nb")
+        )
+        * (F.col("__nxt") - F.col("bin"))
+        * F.lit(width)
+    )
+    scaled = cum.select(
+        "__na",
+        "__nb",
+        F.floor(term * F.lit(1e9)).cast("long").alias("__ti"),
+    )
+    emd = F.sum("__ti").cast("double") / F.lit(1e9)
+    rng = width * bins
+    return scaled.groupBy().agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.round(emd, 6).alias("emd"),
+        F.round(
+            F.when(F.lit(rng) > 0, emd / F.lit(rng)).otherwise(F.lit(0.0)), 6
+        ).alias("emd_norm"),
+    ).filter(F.col("n_a").isNotNull())
+
+
+def stream_emd_monitor(
+    stream_df: DataFrame,
+    reference_df: DataFrame | None,
+    col: str,
+    sink_path: str,
+    checkpoint: str,
+    bins: int = 64,
+    lo: float | None = None,
+    hi: float | None = None,
+    profile: DataFrame | None = None,
+) -> None:
+    """Per-micro-batch Wasserstein-1 drift against a fixed reference —
+    the how-much-mass-moved-how-far companion to ``stream_drift_monitor``
+    (KS reads the peak CDF gap; a broad small shift and a narrow large
+    one can tie on KS, EMD separates them). Shares the KS monitor's
+    profile format (``reference_bin_profile`` — run BOTH monitors off one
+    saved profile), its REQUIRED fixed ``lo``/``hi`` bounds, its replay
+    semantics, its caller-owned-persistence contract, and its O(bins)
+    state; each batch appends one parquet row
+    ``(batch_id, n_a, n_b, emd, emd_norm)``. The statistic is pinned
+    exactly == batch ``emd_drift(reference, batch, col, bins, lo, hi)``."""
+    if lo is None or hi is None:
+        raise ValueError("stream_emd_monitor requires fixed lo/hi bounds")
+    created_here = profile is None
+    if created_here:
+        if reference_df is None:
+            raise ValueError("pass reference_df or a saved profile")
+        profile = reference_bin_profile(reference_df, col, bins, lo, hi)
+        profile = profile.persist()
+        profile.count()  # materialize once; <= bins rows
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        stat = emd_against_profile(profile, batch_df, col, bins, lo, hi)
+        stat.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "n_a",
+            "n_b",
+            "emd",
+            "emd_norm",
         ).write.mode("append").parquet(sink_path)
 
     try:

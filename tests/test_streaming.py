@@ -753,3 +753,105 @@ def test_stream_chi2_monitor_matches_batch_chi2(spark, tmp_path):
         saved.unpersist()
     with pytest.raises(ValueError):
         stream_chi2_monitor(None, None, "lang", "x", "y")
+
+
+def test_stream_emd_monitor_matches_batch_emd(spark, tmp_path):
+    """Streaming EMD (streaming/drift.py): each micro-batch's statistic
+    must EQUAL batch emd_drift(reference, batch, fixed bounds) — both
+    sides sum identical BIGINT-scaled terms over identical occupied-bin
+    counts, so the pin is exact ==. Shares the KS monitor's profile: one
+    reference_bin_profile serves both monitors."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyarrow_ops_spark.functions.stats import emd_drift
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.drift import (
+        reference_bin_profile,
+        stream_drift_monitor,
+        stream_emd_monitor,
+    )
+
+    register_arrow_ipc(spark)
+    drop = str(tmp_path / "drop")
+    sink = str(tmp_path / "sink")
+    os.makedirs(drop)
+    LO, HI, BINS = 0.0, 600.0, 32
+
+    reference = spark.createDataFrame([(float(v),) for v in range(400)], "v double")
+    batches = [
+        [(float(v),) for v in range(400)],            # identical -> emd 0
+        [(float(v) + 150.0,) for v in range(400)],    # translation -> ~150
+    ]
+
+    def write_file(rows, i):
+        df = spark.createDataFrame(rows, "v double")
+        stage = tempfile.mkdtemp()
+        try:
+            df.coalesce(1).write.format("arrowipc").mode("append").save(stage)
+            f = [x for x in os.listdir(stage) if x.endswith(".arrow")][0]
+            shutil.move(
+                os.path.join(stage, f), os.path.join(drop, f"part-{i:05d}.arrow")
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    for i, rows in enumerate(batches):
+        write_file(rows, i)
+        stream = (
+            spark.readStream.format("arrowipc")
+            .schema("v double")
+            .option("path", drop)
+            .load()
+        )
+        stream_emd_monitor(
+            stream, reference, "v", sink, str(tmp_path / "ckpt"),
+            bins=BINS, lo=LO, hi=HI,
+        )
+
+    got = {r["batch_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert len(got) == 2
+    for bid, rows in ((min(got), batches[0]), (max(got), batches[1])):
+        batch_df = spark.createDataFrame(rows, "v double")
+        expect = emd_drift(
+            reference, batch_df, "v", bins=BINS, lo=LO, hi=HI
+        ).collect()[0]
+        assert got[bid]["emd"] == expect["emd"], bid
+        assert got[bid]["emd_norm"] == expect["emd_norm"], bid
+        assert (got[bid]["n_a"], got[bid]["n_b"]) == (
+            expect["n_a"], expect["n_b"]
+        )
+    assert got[min(got)]["emd"] == 0.0
+    # pure translation: binned W1 reads the shift within one bin width
+    assert abs(got[max(got)]["emd"] - 150.0) <= (HI - LO) / BINS + 1e-6
+    # one saved profile drives BOTH monitors (shared format)
+    prof_path = str(tmp_path / "prof")
+    reference_bin_profile(reference, "v", BINS, LO, HI).write.parquet(prof_path)
+    saved = spark.read.parquet(prof_path)
+    write_file(batches[1], 2)
+    for fn, sk, ck in (
+        (stream_emd_monitor, "sink_e2", "ck_e2"),
+        (stream_drift_monitor, "sink_k2", "ck_k2"),
+    ):
+        stream = (
+            spark.readStream.format("arrowipc")
+            .schema("v double")
+            .option("path", drop)
+            .load()
+        )
+        fn(stream, None, "v", str(tmp_path / sk), str(tmp_path / ck),
+           bins=BINS, lo=LO, hi=HI, profile=saved)
+    # fresh checkpoints drain ALL three files into one batch: the
+    # expected statistic is the batch monitor over the union
+    union_df = spark.createDataFrame(
+        batches[0] + batches[1] + batches[1], "v double"
+    )
+    exp_union = emd_drift(
+        reference, union_df, "v", bins=BINS, lo=LO, hi=HI
+    ).collect()[0]
+    e2 = spark.read.parquet(str(tmp_path / "sink_e2")).collect()[0]
+    assert e2["emd"] == exp_union["emd"]
+    assert e2["n_b"] == 1200
+    with pytest.raises(ValueError):
+        stream_emd_monitor(None, None, "v", "x", "y")
