@@ -69,18 +69,19 @@ _PERIOD = 4
 # driver re-cert is the norm even when pytest swept them green. Reset this
 # list each round; mandatory stale rows always outrank it.
 _CHANGED_PATH_CLAIMS: list[str] = [
-    # r13 changes (the two new drift rows — stats_emd_drift,
-    # stats_embedding_drift — are never-certified and therefore
-    # MANDATORY automatically; no claim needed)
-    "stats_chi2_drift",         # r13: slice totals rewritten from an
-                                # unpartitioned full-frame window to a
-                                # bounded aggregate broadcast back (values
-                                # unchanged — exact BIGINT sums either
-                                # way), + empty-input HAVING guard
-                                # mirrored into the oracle
-    "stats_ks_drift_by_source", # r13: oracle group join made null-safe
-                                # (IS NOT DISTINCT FROM), matching the
-                                # engine's eqNullSafe broadcast-back
+    # r14 changes (the three new rows — stats_drift_report,
+    # dedup_leakage_free_split, streaming_chi2_monitor_ipc — are
+    # never-certified and therefore MANDATORY automatically; no claim
+    # needed)
+    "stats_embedding_drift",    # r14: vectors containing NULL ELEMENTS
+                                # are now filtered up front in BOTH
+                                # engine and oracle (r13 ADVICE #1 —
+                                # Spark's higher-order aggregate yields a
+                                # NULL norm on a NULL element while
+                                # DuckDB's list_sum skips it; untriggered
+                                # by the synthetic data, contract pinned
+                                # explicitly now). Values unchanged on
+                                # NULL-element-free data.
 ]
 # r11 claim erratum (r11 ADVICE #1, kept for history): the
 # bm25_topk->bm25_scores split claim named search_bm25_indexed, but

@@ -1086,6 +1086,7 @@ def q_stats_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT vec_id % 2 AS s, embedding AS v FROM embeddings
         WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     e AS (
         SELECT s, unnest(v) AS x, unnest(range(0, len(v))) AS pos FROM base
@@ -1162,7 +1163,11 @@ def q_stats_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 x dim partial sums per task, constant in corpus size); the norm is
     a map-only higher-order aggregate riding the ks_drift scans; one-row
     relations broadcast-join at the end. No corpus shuffle, no collect
-    (functions/stats.py:embedding_drift)."""
+    (functions/stats.py:embedding_drift). NULL contract (r14): vectors
+    containing a NULL ELEMENT are excluded up front on BOTH engines
+    (engine forall guard, oracle list_filter) — without it Spark's
+    aggregate folds a NULL norm while DuckDB's list_sum skips the
+    element, a latent hash divergence."""
     from pyarrow_ops_spark.functions.stats import embedding_drift
 
     emb = load_table(spark, "embeddings", sf_dir)

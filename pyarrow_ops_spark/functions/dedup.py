@@ -1150,6 +1150,15 @@ def leakage_free_split(
     pushdown and costs nothing at 100 TB. Same bucket arithmetic as
     ``operators.sample.sample_hash`` (md5[:4] < floor(frac * 2^16) in
     hex), mirrored exactly by the DuckDB oracle.
+
+    NULL keys: a NULL ``group_col`` (or NULL ``text_col``) makes
+    ``concat_ws`` collapse the salted key to the bare seed — the empty
+    string when ``seed`` is '' — so ALL NULL-key rows deterministically
+    travel together on one side (which side depends on seed and
+    test_frac). That is the leakage-safe reading of an unknowable key
+    (rows you can't tell apart must not straddle the boundary), but it
+    can dump every NULL-key row into one split — filter or impute NULL
+    keys first if that mass matters.
     """
     from pyarrow_ops_spark.operators.sample import _threshold
 

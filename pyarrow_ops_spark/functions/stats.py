@@ -740,10 +740,24 @@ def embedding_drift(
     dim-row aggregate; norms are a map-only higher-order ``aggregate``
     riding the same scans ks_drift makes anyway. No corpus shuffle, no
     collect, no cartesian beyond broadcast one-row joins.
+
+    NULL contract: NULL vectors AND vectors containing a NULL ELEMENT
+    are filtered up front (map-only ``forall`` guard riding the same
+    scan). Without the guard the two engines silently diverge on a NULL
+    element — Spark's higher-order ``aggregate`` folds ``acc + NULL``
+    into a NULL norm (dropping the row from the norm-KS only) while
+    DuckDB's ``list_sum`` skips NULL elements and keeps the row, and the
+    centroid mean would count the NULL position in its denominator on
+    both sides. A partially-NULL vector has no well-defined norm or
+    centroid contribution, so it is excluded from BOTH statistics, on
+    BOTH engines, by contract.
     """
+    whole = F.col("__v").isNotNull() & F.forall(
+        "__v", lambda x: x.isNotNull()
+    )
     u = df_a.select(F.col(vec_col).alias("__v"), F.lit(0).alias("__s")).unionAll(
         df_b.select(F.col(vec_col).alias("__v"), F.lit(1).alias("__s"))
-    ).filter(F.col("__v").isNotNull())
+    ).filter(whole)
     cent = (
         u.select("__s", F.posexplode("__v").alias("__pos", "__x"))
         .groupBy("__s", "__pos")
@@ -801,8 +815,8 @@ def embedding_drift(
         / F.lit(1e9)
     )
     ks = ks_drift(
-        df_a.select(F.col(vec_col).alias("__v")).filter(F.col("__v").isNotNull()).select(norm.alias("__n")),
-        df_b.select(F.col(vec_col).alias("__v")).filter(F.col("__v").isNotNull()).select(norm.alias("__n")),
+        df_a.select(F.col(vec_col).alias("__v")).filter(whole).select(norm.alias("__n")),
+        df_b.select(F.col(vec_col).alias("__v")).filter(whole).select(norm.alias("__n")),
         "__n",
         bins=norm_bins,
     ).select(
@@ -849,8 +863,15 @@ def emd_drift(
     Plan shape (100 TB): identical to :func:`ks_drift` — one bounds pass
     (skipped under fixed ``lo``/``hi``), one map-only binning pass into a
     ``bins``-bounded groupBy, then lead/sum windows over <= ``bins`` rows
-    per group. One-sided groups/slices are dropped, same rule as the
-    rest of the drift family.
+    per group. In global mode (no ``by``) the cumulative window is
+    deliberately UNPARTITIONED, and that is safe by construction, not by
+    data: its input is the post-aggregate counts relation whose key is
+    the clamped ``greatest(0, least(bins-1, ...))`` bin — at most
+    ``bins`` rows can exist regardless of corpus size, so the
+    single-partition frame never sees more than ``bins`` rows (pinned in
+    tests/test_plan_hygiene.py::test_emd_drift_scan_floor_and_pushdown).
+    One-sided groups/slices are dropped, same rule as the rest of the
+    drift family.
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")

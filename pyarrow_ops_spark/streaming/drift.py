@@ -465,8 +465,12 @@ def emd_against_profile(
     monitor (the SAME ``reference_bin_profile`` relation serves both —
     one profile, two statistics), lead()-span CDF-gap integral with
     BIGINT-scaled ``floor(term * 1e9)`` terms. With fixed bounds the bin
-    width is the constant ``(hi - lo) / bins``. Empty batches yield an
-    empty result (one-sided rule)."""
+    width is the constant ``(hi - lo) / bins``. The unpartitioned
+    cumulative window is bounded by construction: its input is the
+    full-outer join of two bin-keyed relations whose key is clamped to
+    [0, bins-1], so at most ``bins`` rows exist regardless of reference
+    or batch size. Empty batches yield an empty result (one-sided
+    rule)."""
     width = (float(hi) - float(lo)) / bins
     bc = (
         batch_df.filter(F.col(col).isNotNull())

@@ -573,6 +573,14 @@ def test_emd_drift_scan_floor_and_pushdown(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert plan.count("Window") == 1  # bins-bounded, never corpus-keyed
+    # the unpartitioned window's bound is STRUCTURAL, not data-dependent:
+    # its input subtree is the aggregate keyed on the clamped bin column
+    # (bin = greatest(0, least(bins-1, ...)) -> <= bins rows can exist),
+    # so the single-partition frame never exceeds `bins` rows
+    lines = plan.splitlines()
+    widx = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    below = "\n".join(lines[widx:])
+    assert "keys=[bin" in below  # window consumes the bin-keyed aggregate
 
 
 def test_embedding_drift_partial_agg_and_no_cartesian(spark):

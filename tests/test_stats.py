@@ -638,6 +638,32 @@ def test_embedding_drift_identical_and_shifted(spark):
     assert moved["centroid_cos"] < 1.0
 
 
+def test_embedding_drift_null_element_vectors_excluded(spark):
+    """NULL contract (r13 ADVICE #1): a vector containing a NULL ELEMENT
+    is excluded from BOTH statistics up front — without the forall guard
+    Spark's higher-order aggregate folds a NULL norm (dropping the row
+    from the norm-KS only) while DuckDB's list_sum skips the element and
+    keeps the row, a latent engine/oracle divergence. The statistic over
+    a corpus with NULL-element vectors must equal the statistic over the
+    clean subset, and n_a/n_b must count only clean vectors."""
+    from pyarrow_ops_spark.functions.stats import embedding_drift
+
+    import random
+
+    rng = random.Random(11)
+    clean = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(80)]
+    a_rows = [(v,) for v in clean[:40]] + [([0.5, None, 0.5, 0.5, 0.5, 0.5],)] * 3
+    b_rows = [(v,) for v in clean[40:]] + [([None] * 6,), (None,)]
+    schema = "emb array<double>"
+    a, b = (spark.createDataFrame(r, schema) for r in (a_rows, b_rows))
+    a_clean = spark.createDataFrame([(v,) for v in clean[:40]], schema)
+    b_clean = spark.createDataFrame([(v,) for v in clean[40:]], schema)
+    got = embedding_drift(a, b, "emb").collect()[0]
+    want = embedding_drift(a_clean, b_clean, "emb").collect()[0]
+    assert tuple(got) == tuple(want)
+    assert (got["n_a"], got["n_b"]) == (40, 40)
+
+
 def test_embedding_drift_matches_numpy(spark):
     from pyarrow_ops_spark.functions.stats import embedding_drift
 

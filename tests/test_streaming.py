@@ -853,5 +853,17 @@ def test_stream_emd_monitor_matches_batch_emd(spark, tmp_path):
     e2 = spark.read.parquet(str(tmp_path / "sink_e2")).collect()[0]
     assert e2["emd"] == exp_union["emd"]
     assert e2["n_b"] == 1200
+    # ...and the KS arm fed by the SAME saved profile must equal batch
+    # ks_drift over the same union (r13 ADVICE #3: previously only the
+    # EMD arm of the shared-profile claim was asserted)
+    from pyarrow_ops_spark.functions.stats import ks_drift
+
+    exp_ks = ks_drift(
+        reference, union_df, "v", bins=BINS, lo=LO, hi=HI
+    ).collect()[0]
+    k2 = spark.read.parquet(str(tmp_path / "sink_k2")).collect()[0]
+    assert k2["ks_d"] == exp_ks["ks_d"]
+    assert k2["ks_bin"] == exp_ks["ks_bin"]
+    assert (k2["n_a"], k2["n_b"]) == (exp_ks["n_a"], exp_ks["n_b"])
     with pytest.raises(ValueError):
         stream_emd_monitor(None, None, "v", "x", "y")
