@@ -136,6 +136,11 @@ BENCH_QUERIES = [
     # (centroid cosine + norm KS) — the last two batch drift monitors
     "stats_emd_drift",
     "stats_embedding_drift",
+    # round-14 additions: the one-call shared-scan drift report (melt +
+    # by=['column'] — column-count-independent pass count) and the
+    # map-only dedup-aware train/test split
+    "stats_drift_report",
+    "dedup_leakage_free_split",
 ]
 
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))

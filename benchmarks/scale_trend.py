@@ -199,6 +199,10 @@ DEFAULT_QUERIES = [
     # embedding drift (posexplode partial-sum centroids + norm-KS)
     "stats_emd_drift",
     "stats_embedding_drift",
+    # round-14: the one-call shared-scan drift report (melt + by-mode
+    # monitors) and the map-only leakage-free split
+    "stats_drift_report",
+    "dedup_leakage_free_split",
 ]
 
 

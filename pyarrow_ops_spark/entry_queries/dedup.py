@@ -75,7 +75,12 @@ def q_dedup_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("dedup_minhash_lsh", _JACCARD_ORACLE)
+# FOLDED r14 (7 driver certs r1-r11): the surviving dedup_clusters_lsh
+# row builds its star edges from THIS row's banded-LSH candidate +
+# exact-verify pairs engine (near_dup_pairs), so the engine path stays
+# driver-rotated; the pairs output itself stays pytest-oracled every run
+# via ALL_ORACLES and in bench/sweeps via ALL_QUERIES.
+@folded_query("dedup_minhash_lsh", _JACCARD_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified — same oracle as the
     brute-force: with 80 hashes / 16 bands (r=5) the per-pair miss
@@ -962,3 +967,36 @@ def q_dedup_resolve_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, "canonical_id", "doc_id", F.col("n_chars")
     )
     return out.select("doc_id", "canonical_id", "rep_id", "is_duplicate")
+
+
+@query(
+    "dedup_leakage_free_split",
+    r"""
+    SELECT doc_id,
+           CASE WHEN substring(md5(md5(regexp_replace(lower(trim(text)),
+                                                      '\s+', ' ', 'g'))),
+                          1, 4) < '4000'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_dedup_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/test split — the PREVENTION half of the leakage
+    story whose measurement (dedup_split_leakage) and cleanup
+    (dedup_decontaminate_*) halves are already certified: the side is
+    decided by md5 of the document's duplicate-GROUP key (the
+    normalized-text fingerprint — md5 of md5, matching the exact-dedup
+    relation), never its id, so every copy of a document lands on the
+    same side BY CONSTRUCTION and exact copies can never straddle the
+    boundary. A plain id-hash split sprays copies across it — exactly
+    the contamination the measurement row counts. Same bucket arithmetic
+    as sample_hash (md5[:4] < floor(frac * 2^16) in hex, test_frac=0.25
+    -> '4000'), mirrored verbatim by the oracle. Map-only: one scalar
+    md5 chain per row, NO shuffle, NO group materialization — composes
+    with scan pushdown and costs nothing at 100 TB (plan pinned map-only
+    in tests/test_llm_ops.py::TestLeakageFreeSplit)
+    (functions/dedup.py:leakage_free_split)."""
+    from pyarrow_ops_spark.functions.dedup import leakage_free_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return leakage_free_split(docs, 0.25).select("doc_id", "split")

@@ -20,7 +20,7 @@ from pyarrow_ops_spark.operators.join import join
 from pyarrow_ops_spark.functions.jsons import str_to_table
 from pyarrow_ops_spark.sources.tables import load_table
 
-from pyarrow_ops_spark.entry_queries._registry import query
+from pyarrow_ops_spark.entry_queries._registry import folded_query, query
 
 
 
@@ -152,7 +152,14 @@ def q_ml_impute_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
+# FOLDED r14 (6 driver certs r2-r11): every constituent is certified on
+# its own row (quality/lang/token metrics via the text_* family, exact
+# fp-dedup via dedup_exact_docs, accounting aggregates everywhere) and
+# the surviving pipeline_curation_v2 + pipeline_perplexity_filter rows
+# (both r13-green) certify the composite curation shape end to end; this
+# flagship stays the scale-harness anchor via ALL_QUERIES and
+# pytest-oracled every run via ALL_ORACLES.
+@folded_query(
     "pipeline_llm_curation",
     r"""
     WITH u AS (

@@ -114,7 +114,12 @@ _KNN_PROBE_ORACLE = """
     """
 
 
-@query("similarity_knn_label_probe", _KNN_PROBE_ORACLE)
+# FOLDED r14 (2 driver certs r10-r11): similarity_knn_probe_indexed
+# certifies the SAME voting output against the SAME oracle (n_probe =
+# n_clusters makes the shortlist exhaustive) while also exercising the
+# corpus-scale IVF path — the exact block-GEMM probe stays pytest-oracled
+# every run via ALL_ORACLES and plan-pinned in test_plan_hygiene.
+@folded_query("similarity_knn_label_probe", _KNN_PROBE_ORACLE)
 def q_similarity_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out kNN label probe (k=5) — the standard embedding-quality
     eval: nearest neighbors by cosine vote on each vector's label, all

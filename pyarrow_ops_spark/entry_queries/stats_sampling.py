@@ -1013,6 +1013,162 @@ def q_stats_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_drift_report",
+    """
+    WITH u AS (
+        SELECT CAST(n_chars AS DOUBLE) AS v, 0 AS s FROM documents
+        WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        UNION ALL
+        SELECT CAST(n_chars AS DOUBLE) AS v, 1 AS s FROM documents
+        WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+    ),
+    st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+    kb AS (SELECT CASE WHEN mx = mn THEN 0
+                       ELSE greatest(0, least(63,
+                                CAST(floor((v - mn) * 64 / (mx - mn))
+                                     AS BIGINT)))
+                  END AS bin, s
+           FROM u CROSS JOIN st),
+    kc AS (SELECT bin,
+                  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+           FROM kb GROUP BY bin),
+    kg AS (SELECT bin,
+                  sum(ca) OVER (ORDER BY bin) AS cuma,
+                  sum(cb) OVER (ORDER BY bin) AS cumb,
+                  sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+           FROM kc),
+    ks AS (SELECT 'n_chars' AS "column", 'ks_d' AS metric,
+                  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                  round(abs(CAST(cuma AS DOUBLE) / na
+                            - CAST(cumb AS DOUBLE) / nb), 6) AS value
+           FROM kg WHERE na > 0 AND nb > 0
+           ORDER BY value DESC, bin LIMIT 1),
+    pc AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+                   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cuts
+           FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+    pa AS (SELECT CASE WHEN v <= cuts[1] THEN 0
+                       WHEN v <= cuts[2] THEN 1
+                       WHEN v <= cuts[3] THEN 2
+                       WHEN v <= cuts[4] THEN 3
+                       WHEN v <= cuts[5] THEN 4
+                       WHEN v <= cuts[6] THEN 5
+                       WHEN v <= cuts[7] THEN 6
+                       ELSE 7 END AS bin, s
+           FROM u CROSS JOIN pc),
+    pcnt AS (SELECT bin,
+                    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+             FROM pa GROUP BY bin),
+    pt AS (SELECT bin, ca, cb,
+                  sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+           FROM pcnt),
+    pterm AS (SELECT ca, cb, na, nb,
+                     round( (greatest(CAST(ca AS DOUBLE), 0.5) / na
+                             - greatest(CAST(cb AS DOUBLE), 0.5) / nb)
+                            * ln( (greatest(CAST(ca AS DOUBLE), 0.5) / na)
+                                  / (greatest(CAST(cb AS DOUBLE), 0.5) / nb) ),
+                            6) AS psi_bin
+              FROM pt WHERE na > 0 AND nb > 0),
+    psi AS (SELECT 'n_chars' AS "column", 'psi' AS metric,
+                   CAST(sum(ca) AS BIGINT) AS n_a,
+                   CAST(sum(cb) AS BIGINT) AS n_b,
+                   round(CAST(sum(CAST(floor(psi_bin * 1000000000.0)
+                                       AS BIGINT)) AS DOUBLE)
+                         / 1000000000.0, 6) AS value
+            FROM pterm
+            HAVING sum(ca) IS NOT NULL),
+    eg AS (SELECT bin, (SELECT (mx - mn) / 64 FROM st) AS w,
+                  sum(ca) OVER (ORDER BY bin) AS cuma,
+                  sum(cb) OVER (ORDER BY bin) AS cumb,
+                  sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+                  coalesce(lead(bin) OVER (ORDER BY bin), bin) AS nxt
+           FROM kc),
+    ex AS (SELECT na, nb, w * 64 AS rng,
+                  CAST(floor(abs(CAST(cuma AS DOUBLE) / na
+                                 - CAST(cumb AS DOUBLE) / nb)
+                             * (nxt - bin) * w * 1000000000.0) AS BIGINT)
+                      AS ti
+           FROM eg WHERE na > 0 AND nb > 0),
+    emd AS (SELECT 'n_chars' AS "column", 'emd_norm' AS metric,
+                   CAST(max(na) AS BIGINT) AS n_a,
+                   CAST(max(nb) AS BIGINT) AS n_b,
+                   round(CASE WHEN max(rng) > 0
+                              THEN (CAST(sum(ti) AS DOUBLE) / 1000000000.0)
+                                   / max(rng)
+                              ELSE 0.0 END, 6) AS value
+            FROM ex
+            HAVING max(na) IS NOT NULL),
+    cu AS (
+        SELECT CAST(lang AS VARCHAR) AS cat, 0 AS s FROM documents
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+        UNION ALL
+        SELECT CAST(lang AS VARCHAR) AS cat, 1 AS s FROM documents
+        WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+    ),
+    cc AS (SELECT cat,
+                  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+           FROM cu GROUP BY cat),
+    ct AS (SELECT cat, ca, cb,
+                  sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+           FROM cc),
+    cf AS (SELECT * FROM ct WHERE na > 0 AND nb > 0),
+    cx AS (SELECT na, nb,
+                  CAST(floor(
+                    ( ((ca - (CAST(na AS DOUBLE) * (ca + cb)) / (na + nb))
+                       * (ca - (CAST(na AS DOUBLE) * (ca + cb)) / (na + nb)))
+                      / ((CAST(na AS DOUBLE) * (ca + cb)) / (na + nb))
+                    + ((cb - (CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb))
+                       * (cb - (CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb)))
+                      / ((CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb))
+                    ) * 1000000000.0) AS BIGINT) AS ci
+           FROM cf),
+    chi AS (SELECT 'lang' AS "column", 'chi2' AS metric,
+                   CAST(max(na) AS BIGINT) AS n_a,
+                   CAST(max(nb) AS BIGINT) AS n_b,
+                   round(CAST(sum(ci) AS DOUBLE) / 1000000000.0, 6) AS value
+            FROM cx
+            HAVING max(na) IS NOT NULL)
+    SELECT * FROM ks
+    UNION ALL SELECT * FROM psi
+    UNION ALL SELECT * FROM emd
+    UNION ALL SELECT * FROM chi
+    """,
+)
+def q_stats_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-CALL drift report an ingestion pipeline actually schedules
+    per snapshot — every individually-certified monitor in one
+    long-format result (column, metric, n_a, n_b, value): KS max-gap +
+    PSI total + normalized EMD for each numeric column, chi-squared for
+    each categorical column (metric in {'ks_d','psi','emd_norm','chi2'};
+    an embeddings arm emits 'centroid_cos'/'norm_ks_d' rows, pytest-
+    certified against DuckDB separately since the documents table has no
+    vector column). Values are BIT-IDENTICAL to the constituent monitors
+    (tests/test_stats.py::test_drift_report_equals_per_column_monitors):
+    the numeric columns MELT once into a long (column, value) relation
+    (map-only inline, one scan) and each monitor runs in its certified
+    by=['column'] group mode, so the report over C numeric columns costs
+    a column-count-INDEPENDENT ~6 bounded passes (KS bounds+binning, EMD
+    the same, PSI cuts+binning) instead of the pre-r14 ~6C. Every
+    intermediate is bounded (|columns x bins| counts, per-column
+    windows); PSI's total BIGINT-scales each per-bin term before the sum
+    (rrf_fuse trick). The oracle is the UNION of the four certified
+    oracle shapes (functions/stats.py:drift_report)."""
+    from pyarrow_ops_spark.functions.stats import drift_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    return drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        numeric=["n_chars"],
+        categorical=["lang"],
+        bins=64,
+        psi_bins=8,
+    )
+
+
+@query(
     "stats_emd_drift",
     """
     WITH u AS (

@@ -1136,3 +1136,115 @@ def q_streaming_drift_monitor_ipc(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("batch_id", "n_a", "n_b", "ks_bin", "ks_d")
         .distinct()
     )
+
+
+@query(
+    "streaming_chi2_monitor_ipc",
+    """
+    WITH u AS (
+        SELECT 1 AS g, CAST(lang AS VARCHAR) AS cat, 0 AS s FROM documents
+        WHERE doc_id % 3 = 0 AND lang IS NOT NULL
+        UNION ALL
+        SELECT 2 AS g, CAST(lang AS VARCHAR) AS cat, 0 AS s FROM documents
+        WHERE doc_id % 3 = 0 AND lang IS NOT NULL
+        UNION ALL
+        SELECT 1 AS g, CAST(lang AS VARCHAR) AS cat, 1 AS s FROM documents
+        WHERE doc_id % 3 = 1 AND lang IS NOT NULL
+        UNION ALL
+        SELECT 2 AS g, CAST(lang AS VARCHAR) AS cat, 1 AS s FROM documents
+        WHERE doc_id % 3 = 2 AND lang IS NOT NULL
+    ),
+    c AS (SELECT g, cat,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+          FROM u GROUP BY g, cat),
+    t AS (SELECT g, cat, ca, cb,
+                 sum(ca) OVER (PARTITION BY g) AS na,
+                 sum(cb) OVER (PARTITION BY g) AS nb
+          FROM c),
+    f AS (SELECT * FROM t WHERE na > 0 AND nb > 0),
+    x AS (SELECT g, na, nb,
+                 CAST(floor(
+                   ( ((ca - (CAST(na AS DOUBLE) * (ca + cb)) / (na + nb))
+                      * (ca - (CAST(na AS DOUBLE) * (ca + cb)) / (na + nb)))
+                     / ((CAST(na AS DOUBLE) * (ca + cb)) / (na + nb))
+                   + ((cb - (CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb))
+                      * (cb - (CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb)))
+                     / ((CAST(nb AS DOUBLE) * (ca + cb)) / (na + nb))
+                   ) * 1000000000.0) AS BIGINT) AS ci
+          FROM f)
+    SELECT CAST(g - 1 AS BIGINT) AS batch_id,
+           CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(count(*) AS BIGINT) AS n_categories,
+           round(CAST(sum(ci) AS DOUBLE) / 1000000000.0, 6) AS chi2
+    FROM x GROUP BY g
+    HAVING max(na) IS NOT NULL
+    """,
+)
+def q_streaming_chi2_monitor_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS categorical drift alerting certified end-to-end — the
+    chi-squared mirror of the certified KS row streaming_drift_monitor_ipc:
+    the chi2 stream monitor (streaming/drift.py:stream_chi2_monitor) runs
+    over a documents drop stream in TWO sequential availableNow runs
+    sharing ONE checkpoint — file part-00000 (doc_id % 3 == 1) lands
+    before run 1, part-00001 (doc_id % 3 == 2) before run 2, so run 2
+    must resume past run 1's offset and score ONLY its own batch. Each
+    run appends one (batch_id, n_a, n_b, n_categories, chi2) row; the
+    per-batch statistic is pytest-pinned identical to batch
+    chi2_drift(reference, batch) (tests/test_streaming.py::
+    test_stream_chi2_monitor_matches_batch_chi2), which is what makes the
+    oracle expressible as two independent batch-chi2 arms. The reference
+    reduces ONCE per run to its |categories|-bounded count profile — the
+    stream never rescans it, monitor state is O(|categories|), the
+    property that makes the monitor viable against a 100 TB reference.
+    One IPC file per run = one micro-batch by the simple-stream contract;
+    replays of a deterministic row are absorbed by the distinct(). Ref:
+    no streaming in the reference (SURVEY §2.2); composes two certified
+    pieces (batch chi2_drift + the IPC streaming bridge)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyarrow_ops_spark.sources.arrow_ipc import register_arrow_ipc
+    from pyarrow_ops_spark.streaming.drift import stream_chi2_monitor
+
+    register_arrow_ipc(spark)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    reference = docs.filter(F.col("doc_id") % 3 == 0)
+
+    def write_file(subset: DataFrame, drop: str, i: int) -> None:
+        stage = tempfile.mkdtemp(prefix="spark_graft_chi2_stage_")
+        try:
+            subset.coalesce(1).write.format("arrowipc").mode("append").save(
+                stage
+            )
+            files = [f for f in os.listdir(stage) if f.endswith(".arrow")]
+            assert len(files) == 1, files
+            shutil.move(
+                os.path.join(stage, files[0]),
+                os.path.join(drop, f"part-{i:05d}.arrow"),
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def build(tmp: str) -> None:
+        drop = os.path.join(tmp, "drop")
+        sink = os.path.join(tmp, "sink")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(drop)
+        for i, m in enumerate((1, 2)):
+            write_file(docs.filter(F.col("doc_id") % 3 == m), drop, i)
+            stream = (
+                spark.readStream.format("arrowipc")
+                .schema("doc_id bigint, lang string")
+                .option("path", drop)
+                .load()
+            )
+            stream_chi2_monitor(stream, reference, "lang", sink, ckpt)
+
+    state = _cached_index(sf_dir, "chi2_monitor", "documents", build)
+    return (
+        spark.read.parquet(os.path.join(state, "sink"))
+        .select("batch_id", "n_a", "n_b", "n_categories", "chi2")
+        .distinct()
+    )

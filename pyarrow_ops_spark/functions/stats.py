@@ -983,56 +983,102 @@ def emd_drift(
     ).filter(F.col("n_a").isNotNull())
 
 
+def _melt(df: DataFrame, cols: Sequence[str], cast: str) -> DataFrame:
+    """Map-only long-format melt: one scan emits ``(column, __val)``
+    rows for every listed column — ``inline`` over a literal
+    struct-array stays inside whole-stage codegen, no shuffle, no UDF.
+    The melt is what lets :func:`drift_report` score C columns with the
+    monitors' ``by``-group machinery at a column-count-independent
+    number of passes."""
+    return df.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast(cast).alias("__val"),
+                    )
+                    for c in cols
+                ]
+            )
+        )
+    )
+
+
 def drift_report(
     df_a: DataFrame,
     df_b: DataFrame,
     numeric: Sequence[str] = (),
     categorical: Sequence[str] = (),
+    embeddings: Sequence[str] = (),
     bins: int = 64,
     psi_bins: int = 8,
 ) -> DataFrame:
     """One-call drift report between two table snapshots — the entry
     point an ingestion pipeline actually schedules per batch: every
     ``numeric`` column gets the three numeric monitors (KS max-gap, PSI
-    total, normalized EMD) and every ``categorical`` column gets the
-    chi-squared mix statistic, all in ONE long-format result:
+    total, normalized EMD), every ``categorical`` column gets the
+    chi-squared mix statistic, and every ``embeddings`` column (an
+    ``array<float/double>`` vector) gets the two :func:`embedding_drift`
+    statistics, all in ONE long-format result:
 
         (column, metric, n_a, n_b, value)
 
-    with ``metric`` in {'ks_d', 'psi', 'emd_norm', 'chi2'}. Thresholds
-    are the monitors' standard ones (PSI > 0.25 major shift; KS/EMD are
-    scale-free in [0, 1]; chi2 against a chi2(n_categories-1) quantile).
+    with ``metric`` in {'ks_d', 'psi', 'emd_norm', 'chi2',
+    'centroid_cos', 'norm_ks_d'}. Thresholds are the monitors' standard
+    ones (PSI > 0.25 major shift; KS/EMD are scale-free in [0, 1]; chi2
+    against a chi2(n_categories-1) quantile; centroid_cos ~1.0 means no
+    direction drift).
 
-    Plan shape: each per-column monitor keeps its own certified plan
-    (see :func:`ks_drift` / :func:`psi_drift` / :func:`emd_drift` /
-    :func:`chi2_drift` — bounded aggregates and windows, no corpus
-    shuffle) and reduces to a ONE-ROW relation before the report unions
-    them, so the union is |columns x metrics| rows regardless of data
-    size. Scans are per-monitor, not shared: a report over C numeric
-    columns costs ~3C bounded-aggregate passes per slice — fine for the
-    once-per-snapshot cadence this is built for; for a hot path, run the
-    single monitor you page on. One-sided inputs yield an empty report
-    (same drop rule as every family member).
+    Shared-scan plan (r14 — previously ~3C bounded passes for C numeric
+    columns): the numeric columns are MELTED once into a long
+    ``(column, value)`` relation (map-only ``inline``, one scan) and
+    each monitor runs in its certified ``by=['column']`` group mode, so
+    KS costs one bounds pass + one binning pass, EMD the same, and PSI
+    one reference-cuts pass + one binning pass — a COLUMN-COUNT-
+    INDEPENDENT ~6 bounded-aggregate passes per report instead of ~6C
+    (categorical columns likewise melt into one chi2 pass for all
+    columns). Per-column statistics are BIT-IDENTICAL to the
+    single-column monitors (pinned by ``tests/test_stats.py::
+    test_drift_report_equals_per_column_monitors``): group mode computes
+    each column's own min/max / cuts / totals, which in the melted
+    relation ARE the per-column values, through the same expressions.
+    Every intermediate stays bounded (|columns x bins| count relations,
+    windows partitioned per column), so the report is 100 TB-safe by the
+    same construction as its constituents. One-sided inputs yield an
+    empty report (same drop rule as every family member).
     """
     numeric = list(numeric)
     categorical = list(categorical)
-    if not numeric and not categorical:
-        raise ValueError("pass at least one numeric or categorical column")
+    embeddings = list(embeddings)
+    if not numeric and not categorical and not embeddings:
+        raise ValueError(
+            "pass at least one numeric, categorical, or embeddings column"
+        )
     parts: list[DataFrame] = []
 
-    def _shape(df: DataFrame, col: str, metric: str, value_col) -> DataFrame:
+    def _shape(df: DataFrame, metric: str, value_col) -> DataFrame:
         return df.select(
-            F.lit(col).alias("column"),
+            F.col("column"),
             F.lit(metric).alias("metric"),
             F.col("n_a"),
             F.col("n_b"),
             F.col(value_col).cast("double").alias("value"),
         )
 
-    for col in numeric:
-        parts.append(_shape(ks_drift(df_a, df_b, col, bins=bins), col, "ks_d", "ks_d"))
+    if numeric:
+        m_a = _melt(df_a, numeric, "double")
+        m_b = _melt(df_b, numeric, "double")
+        parts.append(
+            _shape(
+                ks_drift(m_a, m_b, "__val", bins=bins, by=["column"]),
+                "ks_d",
+                "ks_d",
+            )
+        )
         psi_total = (
-            psi_drift(df_a, df_b, col, bins=psi_bins)
+            psi_drift(m_a, m_b, "__val", bins=psi_bins, by=["column"])
+            .groupBy("column")
             .agg(
                 F.sum(F.col("c_a")).cast("long").alias("n_a"),
                 F.sum(F.col("c_b")).cast("long").alias("n_b"),
@@ -1052,12 +1098,34 @@ def drift_report(
             # report row, not a null-valued one
             .filter(F.col("psi").isNotNull())
         )
-        parts.append(_shape(psi_total, col, "psi", "psi"))
+        parts.append(_shape(psi_total, "psi", "psi"))
         parts.append(
-            _shape(emd_drift(df_a, df_b, col, bins=bins), col, "emd_norm", "emd_norm")
+            _shape(
+                emd_drift(m_a, m_b, "__val", bins=bins, by=["column"]),
+                "emd_norm",
+                "emd_norm",
+            )
         )
-    for col in categorical:
-        parts.append(_shape(chi2_drift(df_a, df_b, col), col, "chi2", "chi2"))
+    if categorical:
+        c_a = _melt(df_a, categorical, "string")
+        c_b = _melt(df_b, categorical, "string")
+        parts.append(
+            _shape(
+                chi2_drift(c_a, c_b, "__val", by=["column"]), "chi2", "chi2"
+            )
+        )
+    for col in embeddings:
+        ed = embedding_drift(df_a, df_b, col)
+        for metric in ("centroid_cos", "norm_ks_d"):
+            parts.append(
+                ed.select(
+                    F.lit(col).alias("column"),
+                    F.lit(metric).alias("metric"),
+                    F.col("n_a"),
+                    F.col("n_b"),
+                    F.col(metric).cast("double").alias("value"),
+                )
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

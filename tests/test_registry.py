@@ -17,21 +17,24 @@ from __future__ import annotations
 
 import hashlib
 
-# sha256 over "\n".join(sorted(names)) — round 13:
-# +stats_emd_drift (binned Wasserstein-1 drift, lead()-span gap integral,
-# BIGINT-scaled term sum) and +stats_embedding_drift (centroid-cosine +
-# norm-KS embedding drift, hash-stable via DECIMAL element sums + BIGINT
-# dim/norm folds) — both engines landed in r12 with DuckDB/numpy
-# congruence pytests; r13 promotes them to driver-certified rows (r12
-# verdict ask #1) — and +streaming_drift_monitor_ipc (the KS stream
-# monitor over the IPC bridge across a checkpoint resume, oracled as two
-# fixed-bounds batch-KS arms; r12 verdict ask #6), making the streaming
-# drift path driver-certified end to end. Net registry growth: +3
-# (exactly the <=3 budget; folded set unchanged at 15).
-NAMES_SHA256 = "98c7bcd67dda9d6837cfe73cf00d575dee7d0a5acd45b50dd374ecfd2b017aca"
+# sha256 over "\n".join(sorted(names)) — round 14:
+# +stats_drift_report (the one-call long-format report, r14 shared-scan
+# melt + by=['column'] engine, oracled as the UNION of the four
+# certified oracle shapes), +dedup_leakage_free_split (map-only
+# dedup-aware train/test split, md5-of-fingerprint bucket arithmetic),
+# +streaming_chi2_monitor_ipc (categorical mirror of the certified KS
+# streaming row: two availableNow runs, one checkpoint) — the three
+# named r13-verdict candidates, exactly the <=3 budget. Folds -3 (the
+# cap-capacity banking the r13 verdict asked for): dedup_minhash_lsh
+# (engine path survives inside dedup_clusters_lsh), pipeline_llm_curation
+# (superseded by pipeline_curation_v2 + perplexity_filter; constituents
+# all individually certified), similarity_knn_label_probe (the indexed
+# probe certifies the same output against the SAME oracle). Net growth 0;
+# folded set 15 -> 18.
+NAMES_SHA256 = "dec082c6c9d53ca6d232a6cf5a89da6d667f08e214e8ad8086413f8b783a18b0"
 N_QUERIES = 186
-FOLDED_SHA256 = "398498b49e92ff3f67829caec7a4362a59792bcd12490b774677c23acee37a0f"
-N_FOLDED = 15
+FOLDED_SHA256 = "d184685e18a2f3ae1d29c107daced327172fb9deecc6bc1db812bb339822e8f7"
+N_FOLDED = 18
 
 
 def _names_hash(names) -> str:

@@ -865,6 +865,168 @@ def test_drift_report_psi_total_is_bigint_scaled_sum(spark):
     assert got["psi"] == expected
 
 
+def test_drift_report_equals_per_column_monitors(spark):
+    """The r14 shared-scan rewrite (melt + by=['column'] group mode) must
+    be BIT-IDENTICAL to composing the single-column monitors — group mode
+    computes each column's own min/max / cuts / totals through the same
+    expressions, so == holds, not approx. Four numeric + two categorical
+    columns, including a column with NULLs and one with a different
+    scale, so per-column bounds/cuts genuinely differ."""
+    from pyarrow_ops_spark.functions.stats import (
+        chi2_drift,
+        drift_report,
+        emd_drift,
+        ks_drift,
+        psi_drift,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    rows_a = [
+        (
+            float(v),
+            rng.uniform(0, 1e4),
+            float(v % 17),
+            rng.gauss(0, 1) if v % 7 else None,
+            ["en", "de", "fr"][v % 3],
+            ["web", "pdf"][v % 2],
+        )
+        for v in range(400)
+    ]
+    rows_b = [
+        (
+            float(v) * 1.2 + 30.0,
+            rng.uniform(100, 2e4),
+            float(v % 23),
+            rng.gauss(0.5, 2) if v % 5 else None,
+            ["en", "de", "fr", "es"][v % 4],
+            ["web", "pdf", "ocr"][v % 3],
+        )
+        for v in range(300)
+    ]
+    schema = "n1 double, n2 double, n3 double, n4 double, c1 string, c2 string"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+    got = {
+        (r["column"], r["metric"]): (r["n_a"], r["n_b"], r["value"])
+        for r in drift_report(
+            a, b, numeric=["n1", "n2", "n3", "n4"], categorical=["c1", "c2"]
+        ).collect()
+    }
+    assert len(got) == 4 * 3 + 2
+    for col in ["n1", "n2", "n3", "n4"]:
+        ks = ks_drift(a, b, col, bins=64).collect()[0]
+        assert got[(col, "ks_d")] == (ks["n_a"], ks["n_b"], ks["ks_d"]), col
+        emd = emd_drift(a, b, col, bins=64).collect()[0]
+        assert got[(col, "emd_norm")] == (
+            emd["n_a"], emd["n_b"], emd["emd_norm"],
+        ), col
+        prows = psi_drift(a, b, col, bins=8).collect()
+        n_a = sum(r["c_a"] for r in prows)
+        n_b = sum(r["c_b"] for r in prows)
+        import math
+
+        psi = round(
+            sum(math.floor(r["psi_bin"] * 1e9) for r in prows) / 1e9, 6
+        )
+        assert got[(col, "psi")] == (n_a, n_b, psi), col
+    for col in ["c1", "c2"]:
+        chi = chi2_drift(a, b, col).collect()[0]
+        assert got[(col, "chi2")] == (chi["n_a"], chi["n_b"], chi["chi2"]), col
+
+
+def test_drift_report_embeddings_arm_matches_duckdb(spark, duck):
+    """The r14 embeddings arm: drift_report(embeddings=['embedding'])
+    emits the two embedding_drift statistics as long-format rows, engine-
+    congruent with the DuckDB oracle (same exact-integer arithmetic as
+    the certified stats_embedding_drift row, reshaped to the report's
+    (column, metric, n_a, n_b, value) shape)."""
+    from pyarrow_ops_spark.functions.stats import drift_report
+    from pyarrow_ops_spark.sources.tables import load_table
+    from tests.conftest import ORACLE_SF_DIR, rows_to_set
+
+    emb = load_table(spark, "embeddings", ORACLE_SF_DIR)
+    got = drift_report(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        embeddings=["embedding"],
+    )
+    sql = """
+    WITH base AS (
+        SELECT vec_id % 2 AS s, embedding AS v FROM o_embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    e AS (
+        SELECT s, unnest(v) AS x, unnest(range(0, len(v))) AS pos FROM base
+    ),
+    m AS (
+        SELECT s, pos,
+               CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000000.0)
+                             AS BIGINT)) AS DOUBLE)
+                   / count(*) / 10000000.0 AS m
+        FROM e GROUP BY s, pos
+    ),
+    cosv AS (
+        SELECT round(
+            (CAST(sum(CAST(floor(a.m * b.m * 1000000000.0) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0)
+            / sqrt((CAST(sum(CAST(floor(a.m * a.m * 1000000000.0) AS BIGINT))
+                         AS DOUBLE) / 1000000000.0)
+                   * (CAST(sum(CAST(floor(b.m * b.m * 1000000000.0) AS BIGINT))
+                           AS DOUBLE) / 1000000000.0)),
+            4) AS centroid_cos
+        FROM (SELECT pos, m FROM m WHERE s = 0) a
+        JOIN (SELECT pos, m FROM m WHERE s = 1) b USING (pos)
+    ),
+    n AS (
+        SELECT s,
+               sqrt(CAST(list_sum(list_transform(v,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                        * 1000000000.0) AS BIGINT)))
+                    AS DOUBLE) / 1000000000.0) AS nv
+        FROM base
+    ),
+    st AS (SELECT min(nv) AS mn, max(nv) AS mx FROM n),
+    b2 AS (SELECT CASE WHEN mx = mn THEN 0
+                       ELSE greatest(0, least(63,
+                                CAST(floor((nv - mn) * 64 / (mx - mn))
+                                     AS BIGINT)))
+                  END AS bin, s
+           FROM n CROSS JOIN st),
+    c2 AS (SELECT bin,
+                  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+           FROM b2 GROUP BY bin),
+    g AS (SELECT bin,
+                 sum(ca) OVER (ORDER BY bin) AS cuma,
+                 sum(cb) OVER (ORDER BY bin) AS cumb,
+                 sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+          FROM c2),
+    ks AS (
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(abs(CAST(cuma AS DOUBLE) / na
+                         - CAST(cumb AS DOUBLE) / nb), 6) AS norm_ks_d
+        FROM g WHERE na > 0 AND nb > 0
+        ORDER BY norm_ks_d DESC, bin LIMIT 1
+    )
+    SELECT 'embedding' AS "column", 'centroid_cos' AS metric,
+           n_a, n_b, centroid_cos AS value
+    FROM ks CROSS JOIN cosv
+    UNION ALL
+    SELECT 'embedding', 'norm_ks_d', n_a, n_b, norm_ks_d FROM ks
+    """
+    scols = list(got.columns)
+    srows = [tuple(r) for r in got.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) == 2
+    assert rows_to_set(scols, srows) == rows_to_set(dcols, drows)
+
+
 def test_chi2_drift_high_cardinality_bounded_plan(spark):
     """r12 verdict: a high-distinct category column must not funnel
     through a one-partition window — slice totals are a broadcast
