@@ -583,6 +583,37 @@ def test_emd_drift_scan_floor_and_pushdown(spark):
     assert "keys=[bin" in below  # window consumes the bin-keyed aggregate
 
 
+def test_drift_report_scan_count_is_column_count_independent(spark):
+    """The r14 shared-scan contract: a drift_report over C numeric
+    columns costs the SAME number of scans as over one column — the melt
+    (map-only inline) rides each monitor's existing passes, so the plan
+    holds 11 FileScans (KS bounds+binning = 4, EMD the same = 4, PSI
+    cuts+binning = 3) whether C = 1 or C = 4, with every window
+    per-column-partitioned over bounded counts and no cartesian. The
+    pre-r14 per-column dispatch scanned ~11C times."""
+    from pyarrow_ops_spark.functions.stats import drift_report
+    from pyarrow_ops_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    a = li.filter(F.col("l_returnflag") == "N")
+    b = li.filter(F.col("l_returnflag") != "N")
+    counts = {}
+    for cols in (
+        ["l_quantity"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ):
+        plan = (
+            drift_report(a, b, numeric=cols)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        counts[len(cols)] = plan.count("FileScan parquet")
+        assert "CartesianProduct" not in plan
+    assert counts[1] == counts[4] == 11
+
+
 def test_embedding_drift_partial_agg_and_no_cartesian(spark):
     """stats_embedding_drift: the posexplode fan-out collapses through a
     map-side partial aggregate BEFORE any exchange (the shuffle carries
