@@ -661,10 +661,10 @@ def test_quantize_zero_vector(spark):
 def test_pipeline_llm_curation_drops_planted_dups(spark):
     """The curation pipeline's dedup stage must remove all planted exact
     copies: total kept docs equals the unplanted filtered count."""
-    from pyarrow_ops_spark.entry_queries import QUERIES
+    from pyarrow_ops_spark.entry_queries import ALL_QUERIES
     from tests.conftest import SF_DIR
 
-    out = QUERIES["pipeline_llm_curation"](spark, SF_DIR)
+    out = ALL_QUERIES["pipeline_llm_curation"](spark, SF_DIR)
     total_kept = sum(r.n_docs for r in out.collect())
     docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
     from pyarrow_ops_spark.functions.text import lang_guess, quality_score

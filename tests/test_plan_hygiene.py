@@ -70,7 +70,7 @@ def test_curation_dedup_is_hash_aggregate_not_window(spark):
     # the fingerprint-dedup stage rides min_by(struct, doc_id) — one
     # hash aggregate; a window row_number here pays sort + per-group
     # buffers over millions of tiny fp groups (r8 sf10 validation)
-    df = QUERIES["pipeline_llm_curation"](spark, SF_DIR)
+    df = ALL_QUERIES["pipeline_llm_curation"](spark, SF_DIR)
     assert "Window" not in formatted_plan(df)
 
 
