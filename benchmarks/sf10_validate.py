@@ -11,7 +11,7 @@ repeat (dedup families see 100x corpora with 100x planted-duplicate
 mass — the adversarial case for any pair-generation step).
 
 Run:  python benchmarks/sf10_validate.py [query ...]
-Writes benchmarks/sf10_validation_r13.json and prints one JSON line.
+Writes benchmarks/sf10_validation_r14.json and prints one JSON line.
 
 Round-11 (r10 verdict ask #4): every query now reports BOTH a raw and an
 EQUAL-OCCUPANCY exponent. Raw task-seconds are occupancy-weighted: sf1's
@@ -228,7 +228,7 @@ def main() -> None:
         }
         print(n, json.dumps(out[n]), flush=True)
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "sf10_validation_r13.json"
+        os.path.dirname(os.path.abspath(__file__)), "sf10_validation_r14.json"
     )
     # merge with any prior partial run so the artifact accumulates across
     # split invocations (long queries run in their own process)
