@@ -318,6 +318,27 @@ class ArrowIPCStreamReader(SimpleDataSourceStreamReader):
                     )
         return rows
 
+    @staticmethod
+    def _complete_prefix(files: list) -> list:
+        """Longest prefix of ``files`` (sorted) that are COMPLETE Arrow
+        files. A drop-dir poll can list a file whose producer is still
+        writing it (the IPC footer lands last), and opening it raises
+        ArrowInvalid("Not an Arrow file"); such a file — and everything
+        sorting after it, to keep the watermark monotonic — is deferred
+        to the next micro-batch instead of killing the stream. A
+        permanently corrupt file therefore stalls the watermark (empty
+        batches forever) rather than crashing; producers own cleanup."""
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        for i, path in enumerate(files):
+            try:
+                with ipc.open_file(path):
+                    pass
+            except (pa.ArrowInvalid, OSError):
+                return files[:i]
+        return files
+
     def read(self, start):
         wm = start.get("watermark", "")
         low = {
@@ -338,7 +359,7 @@ class ArrowIPCStreamReader(SimpleDataSourceStreamReader):
                     "writer's part-<pid>-<uuid> names do not qualify)."
                 )
             self._seen_low = low
-        files = self._files_between(wm)
+        files = self._complete_prefix(self._files_between(wm))
         if not files:
             return iter([]), start
         end = {"watermark": os.path.basename(files[-1])}

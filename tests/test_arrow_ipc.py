@@ -133,6 +133,37 @@ def test_stream_new_files_become_microbatches(spark, tmp_path):
         q.stop()
 
 
+def test_stream_defers_incomplete_files(tmp_path):
+    """An in-flight (footer-less) file in the drop dir must be deferred to
+    a later poll — never crash the stream, never advance the watermark
+    past it (r14: the poll raced a concurrent write_feather and died with
+    ArrowInvalid 'Not an Arrow file')."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    from pyarrow_ops_spark.sources.arrow_ipc import ArrowIPCStreamReader
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    feather.write_feather(pa.table({"x": [1, 2]}), str(d / "00001.arrow"))
+    # 00002 is mid-write: valid prefix bytes, no footer yet
+    full = str(d / "00003_tmp")
+    feather.write_feather(pa.table({"x": [9]}), full)
+    (d / "00002.arrow").write_bytes(open(full, "rb").read()[:20])
+    reader = ArrowIPCStreamReader({"path": str(d)})
+    it, end = reader.read(reader.initialOffset())
+    assert sorted(r[0] for r in it) == [1, 2]
+    assert end == {"watermark": "00001.arrow"}
+    # still incomplete next poll: empty batch, watermark holds
+    it2, end2 = reader.read(end)
+    assert list(it2) == [] and end2 == end
+    # the writer finishes (footer lands) -> next poll ingests it
+    feather.write_feather(pa.table({"x": [3, 4]}), str(d / "00002.arrow"))
+    it3, end3 = reader.read(end)
+    assert sorted(r[0] for r in it3) == [3, 4]
+    assert end3 == {"watermark": "00002.arrow"}
+
+
 def test_write_overwrite_replaces_old_files(spark, tmp_path, ipc_dir):
     import glob as _g
 
