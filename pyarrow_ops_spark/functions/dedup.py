@@ -48,9 +48,20 @@ def char_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two array columns (as double)."""
-    inter = F.size(F.array_intersect(a, b))
-    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+    """Exact Jaccard similarity of two array columns (as double).
+
+    The intersection size is BOUND once per row (``text._bind``):
+    referencing the ``array_intersect`` subtree in both numerator and
+    denominator re-evaluates it twice per row — it is the dominant term
+    of every candidate-verification stage (r14: halved that stage's
+    expression cost; value-identical, both forms divide the same
+    integers in double)."""
+    from pyarrow_ops_spark.functions.text import _bind
+
+    return _bind(
+        F.size(F.array_intersect(a, b)),
+        lambda i: i.cast("double") / (F.size(a) + F.size(b) - i),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -421,7 +432,15 @@ def _minhash_band_rows(
     path, where array_min of an empty array is null and the null
     signature still groups only with nulls; representatives with no
     shingles produce no candidates either way). Closure is
-    self-contained for plain-session cloudpickle."""
+    self-contained for plain-session cloudpickle.
+
+    Vectorized ACROSS the batch (r14): every document's hashes
+    concatenate into one flat vector and each slot's per-document minima
+    come from ``np.minimum.reduceat`` over the document offsets — the
+    per-document loop ran ~35 small numpy calls per doc (~190k calls for
+    the sf0.1 corpus; measured ~20 s of the banding stage's task time),
+    the batch form runs k call-groups per Arrow batch for the identical
+    arithmetic, so signatures are bit-identical."""
     n_bands, n_rows = int(bands), int(num_hashes // bands)
 
     def gen(batches):
@@ -445,39 +464,178 @@ def _minhash_band_rows(
         slot_keys = _mix(
             (_np.arange(1, k + 1, dtype=_np.uint64)) * GAMMA
         )  # (k,) per-slot xor keys
-
-        def _bands(hashes):
-            h = _np.asarray(hashes, dtype=_np.int64).view(_np.uint64)
-            if h.size == 0:
-                return None
-            mixed = _mix(h[_np.newaxis, :] ^ slot_keys[:, _np.newaxis])
-            mins = mixed.min(axis=1).reshape(n_bands, n_rows)
-            # fold each band's slot minima through the same finalizer
-            acc = _np.zeros(n_bands, dtype=_np.uint64)
-            for j in range(n_rows):
-                acc = _mix(acc ^ mins[:, j])
-            return acc.view(_np.int64)
+        empty = _pd.DataFrame(
+            {
+                "id": _pd.Series([], dtype="int64"),
+                "band": _pd.Series([], dtype="int32"),
+                "sig": _pd.Series([], dtype="int64"),
+            }
+        )
 
         for pdf in batches:
-            ids, bnds, sigs = [], [], []
+            ids, arrs = [], []
             for id_, hashes in zip(pdf["id"], pdf["hashes"]):
-                if hashes is None:
+                if hashes is None or len(hashes) == 0:
                     continue
-                b = _bands(hashes)
-                if b is None:
-                    continue
-                ids.extend([id_] * n_bands)
-                bnds.extend(range(n_bands))
-                sigs.extend(b.tolist())
+                ids.append(id_)
+                arrs.append(_np.asarray(hashes, dtype=_np.int64))
+            if not ids:
+                yield empty
+                continue
+            n_docs = len(arrs)
+            flat = _np.concatenate(arrs).view(_np.uint64)
+            lens = _np.fromiter(
+                (a.size for a in arrs), dtype=_np.int64, count=n_docs
+            )
+            offsets = _np.zeros(n_docs, dtype=_np.int64)
+            _np.cumsum(lens[:-1], out=offsets[1:])
+            mins = _np.empty((k, n_docs), dtype=_np.uint64)
+            for i in range(k):
+                mins[i] = _np.minimum.reduceat(_mix(flat ^ slot_keys[i]), offsets)
+            # (n_docs, n_bands, n_rows): fold each band's slot minima
+            # through the same finalizer, all documents at once
+            m3 = mins.T.reshape(n_docs, n_bands, n_rows)
+            acc = _np.zeros((n_docs, n_bands), dtype=_np.uint64)
+            for j in range(n_rows):
+                acc = _mix(acc ^ m3[:, :, j])
             yield _pd.DataFrame(
                 {
-                    "id": _pd.Series(ids, dtype="int64"),
-                    "band": _pd.Series(bnds, dtype="int32"),
-                    "sig": _pd.Series(sigs, dtype="int64"),
+                    "id": _np.repeat(
+                        _np.asarray(ids, dtype=_np.int64), n_bands
+                    ),
+                    "band": _np.tile(
+                        _np.arange(n_bands, dtype=_np.int32), n_docs
+                    ),
+                    "sig": acc.view(_np.int64).reshape(-1),
                 }
             )
 
     return hashed.mapInPandas(gen, "id long, band int, sig long")
+
+
+def _minhash_doc_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Fused shingle-hash + MinHash-band kernel: one Arrow pass over the
+    raw text emits ``(id, hashes, sigs)`` — ``hashes`` the sorted
+    distinct 64-bit gram-hash set (feeding exact-Jaccard verification)
+    and ``sigs`` the ``bands`` band signatures (``_minhash_band_rows``
+    arithmetic over those hashes, bit-identical to feeding them through
+    that kernel).
+
+    Hash: a position-weighted codepoint sum in wrapping uint64 (fixed
+    splitmix-derived odd weights per offset) through a splitmix64
+    finalizer — deterministic, no RNG, self-contained closure. Grams are
+    codepoint windows, exactly ``char_shingles``'s substr windows (text
+    shorter than ``n`` — including empty — is one whole-text gram, like
+    ``substr(1, n)``). Distinct HASHES stand in for distinct STRING
+    grams everywhere downstream: two distinct grams of one document
+    colliding would perturb a Jaccard denominator, at probability
+    ~len²·2⁻⁶⁴ ≈ 1e-13 per document — the certs compare the verified
+    pair output against the string-gram DuckDB oracle, so the synthetic
+    corpora prove the family collision-free there.
+
+    Fusing matters because the two-stage split paid the Python boundary
+    twice: the banding stage re-shipped every document's hash array
+    JVM→Arrow→JVM, and that transfer — not the vectorized math — was
+    ~90% of its task time (measured 13-15 s per A/B variant at sf0.1
+    regardless of which side computed the hashes). Here the hash arrays
+    are born in the worker, the signature math reuses them in place, and
+    only one batch crossing happens. Null-text rows emit nothing."""
+    nn, n_bands, n_rows = int(n), int(bands), int(num_hashes // bands)
+    idc, txc = id_col, text_col
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+        from numpy.lib.stride_tricks import sliding_window_view as _svw
+
+        M1 = _np.uint64(0xBF58476D1CE4E5B9)
+        M2 = _np.uint64(0x94D049BB133111EB)
+        GAMMA = _np.uint64(0x9E3779B97F4A7C15)
+
+        def _mix(z):
+            z = z.copy()
+            z ^= z >> _np.uint64(30)
+            z *= M1
+            z ^= z >> _np.uint64(27)
+            z *= M2
+            z ^= z >> _np.uint64(31)
+            return z
+
+        k = n_bands * n_rows
+        slot_keys = _mix(_np.arange(1, k + 1, dtype=_np.uint64) * GAMMA)
+        weights = _mix(
+            _np.arange(1, nn + 1, dtype=_np.uint64) * GAMMA
+        ) | _np.uint64(1)
+
+        def _codes(text):
+            if text.isascii():
+                return _np.frombuffer(text.encode(), dtype=_np.uint8).astype(
+                    _np.uint64
+                )
+            return _np.array([ord(c) for c in text], dtype=_np.uint64)
+
+        def _hashes(text):
+            codes = _codes(text)
+            if codes.size >= nn:
+                wins = _svw(codes, nn)
+                acc = wins[:, 0] * weights[0]
+                for j in range(1, nn):
+                    acc = acc + wins[:, j] * weights[j]
+            else:
+                acc = _np.zeros(1, dtype=_np.uint64)
+                for j in range(codes.size):
+                    acc = acc + codes[j] * weights[j]
+            return _np.unique(_mix(acc))
+
+        for pdf in batches:
+            ids, arrs = [], []
+            for id_, text in zip(pdf[idc], pdf[txc]):
+                if text is None:
+                    continue
+                ids.append(id_)
+                arrs.append(_hashes(text))
+            if not ids:
+                yield _pd.DataFrame(
+                    {"id": _pd.Series([], dtype="int64"), "hashes": [],
+                     "sigs": []}
+                )
+                continue
+            n_docs = len(arrs)
+            flat = _np.concatenate(arrs)
+            lens = _np.fromiter(
+                (a.size for a in arrs), dtype=_np.int64, count=n_docs
+            )
+            offsets = _np.zeros(n_docs, dtype=_np.int64)
+            _np.cumsum(lens[:-1], out=offsets[1:])
+            mins = _np.empty((k, n_docs), dtype=_np.uint64)
+            for i in range(k):
+                mins[i] = _np.minimum.reduceat(
+                    _mix(flat ^ slot_keys[i]), offsets
+                )
+            m3 = mins.T.reshape(n_docs, n_bands, n_rows)
+            acc = _np.zeros((n_docs, n_bands), dtype=_np.uint64)
+            for j in range(n_rows):
+                acc = _mix(acc ^ m3[:, :, j])
+            sigs = acc.view(_np.int64)
+            yield _pd.DataFrame(
+                {
+                    "id": _pd.Series(ids, dtype="int64"),
+                    "hashes": [a.view(_np.int64) for a in arrs],
+                    "sigs": list(sigs),
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(
+        gen, "id long, hashes array<long>, sigs array<long>"
+    )
+    return out.withColumnRenamed("id", id_col) if id_col != "id" else out
 
 
 def _ordered_pairs_expr(ids: Column) -> Column:
@@ -504,38 +662,46 @@ def _minhash_rep_pairs(
 
     from pyarrow_ops_spark.functions.text import spread
 
-    rows = num_hashes // bands
     reps = groups.select(F.element_at("members", 1).alias("id"), "__t")
     # Spread the hash-heavy signature computation across all cores: a small
     # single-file scan arrives as ONE partition; at real scale the file
     # splits provide this parallelism for free, so ``spread`` skips the
     # shuffle when the scan already has enough splits.
-    # The shingle relation feeds THREE branches of one DAG (signature →
-    # candidates, plus both sides of the exact-Jaccard verification) —
-    # persist it so shingling runs once, spilling to disk if it outgrows
-    # executor memory (at 100 TB you'd checkpoint this to storage instead).
-    sh = spread(reps).select(
-        "id", char_shingles("__t", n).alias("grams")
+    # The fused doc relation (id, hashes, sigs) feeds THREE branches of
+    # one DAG (signature explode → candidates, plus both sides of the
+    # exact-Jaccard verification) — persist it so the text pass runs
+    # once, spilling to disk if it outgrows executor memory (at 100 TB
+    # you'd checkpoint this to storage instead). r14: the whole shingle
+    # path (substr windows + distinct + hash + band signatures) runs in
+    # ONE vectorized Arrow pass over the raw text (``_minhash_doc_rows``)
+    # — the previous split (Catalyst char_shingles + array_distinct +
+    # xxhash64-transform feeding a separate numpy banding stage) paid
+    # three interpreted HOF passes over ~1000-element arrays per
+    # document plus a SECOND Python boundary crossing of every hash
+    # array, together ~80% of the signature cost; and string-gram
+    # storage made the verification intersect ~4x slower than the int64
+    # form. Distinct 64-bit gram hashes are what every consumer needs:
+    # the minhash slots re-mix them, and Jaccard over the hash SETS
+    # equals string-set Jaccard absent 64-bit collisions (~1e-13/doc;
+    # the DuckDB-oracle certs pin the equality on the synthetic
+    # corpora). The slot/gram mixer is splitmix64 — a published-constant
+    # 64-bit finalizer, deterministic across runs and engines; the certs
+    # compare verified PAIRS against exact Jaccard, so any uniform hash
+    # family yields the same output (per-pair miss prob ~1e-7 at the
+    # banding configs used).
+    sh = _minhash_doc_rows(
+        spread(reps), "id", "__t", n, num_hashes, bands
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # hash string shingles ONCE; the k signature slots re-mix longs.
-    hashed = sh.select(
-        "id", F.transform("grams", lambda g: F.xxhash64(g)).alias("hashes")
+    # Materialize the cache BEFORE the plan fans out: AQE kicks off the
+    # two verification-side broadcast exchanges CONCURRENTLY with the
+    # signature shuffle stage, and a lazily-persisted relation is then
+    # computed once per concurrent branch (measured 3x the kernel's task
+    # time at sf0.1 — the same race the connected_components docstring
+    # pins for union branches). One eager pass, every branch reads cache.
+    sh.count()
+    exploded = sh.select(
+        "id", F.posexplode("sigs").alias("band", "sig")
     )
-
-    # Band signatures via one Arrow batch (``_minhash_band_rows``): the
-    # expression form — k slots × per-shingle remix as nested
-    # higher-order functions — runs INTERPRETED (~128M lambda
-    # evaluations for the sf0.1 corpus; measured 8 s of the 9.3 s
-    # signature stage), while the same math is one (k × n_shingles)
-    # vectorized mix-and-min per document. Same modality split as
-    # winnow/banded_rows: string→long hashing stays JVM xxhash64 (one
-    # cheap pass above); dense numeric slot mixing goes to numpy. The
-    # slot mixer is splitmix64 keyed per slot — a published-constant
-    # 64-bit finalizer, deterministic across runs and engines; the
-    # certs compare verified PAIRS against exact Jaccard, so any
-    # uniform hash family yields the same output (per-pair miss prob
-    # ~1e-7 at the banding configs used).
-    exploded = _minhash_band_rows(hashed, num_hashes, bands)
     # Bucket-local pair generation instead of a self-join: ONE pass over the
     # signatures (a self-join would execute the whole signature pipeline
     # twice), one shuffle on (band, sig), pairs generated inside each
@@ -565,15 +731,20 @@ def _minhash_rep_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    # verify candidates with exact Jaccard (shingles re-joined per side)
-    grams_a = sh.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    grams_b = sh.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    # verify candidates with exact Jaccard over the hashed shingle sets
+    # (re-joined per side). Catalyst array_intersect over int64 arrays is
+    # the fastest verifier measured (5 s task vs 21 s for a pandas-UDF
+    # merge-intersect — per-row Python overhead — and 22 s for the old
+    # string-gram intersect, 35k candidates at sf0.1); it also stays
+    # inside the JVM, so the verify stage ships no arrays to Python.
+    grams_a = sh.select(F.col("id").alias("id_a"), F.col("hashes").alias("h_a"))
+    grams_b = sh.select(F.col("id").alias("id_b"), F.col("hashes").alias("h_b"))
     verified = (
         candidates.join(grams_a, on="id_a").join(grams_b, on="id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 4).alias("jaccard"),
+            F.round(jaccard(F.col("h_a"), F.col("h_b")), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -608,18 +779,36 @@ def connected_components(
     diameter) rounds — near-dup clusters are tiny and tight, so 3-5
     rounds in practice.
 
-    Lineage is truncated each round: with ``checkpoint_dir`` set, via a
-    RELIABLE checkpoint to that storage path (survives executor loss —
+    The edge relation carries SELF-LOOPS (one per node), so each round is
+    exactly ``labels_{i+1}(n) = min over m in N(n) ∪ {n} of labels_i(m)``
+    — one join + one aggregation, no per-round left-join/coalesce back
+    onto the previous labels (r14: that third exchange per round was pure
+    plan weight — the self-loop row delivers the node's own label through
+    the same join). Round one needs no join at all (``labels_0`` is the
+    identity, so ``labels_1 = min(m) per n`` is a plain aggregate over the
+    edge relation). The relation is persisted PRE-PARTITIONED on the join
+    key ``m``, so every round's join reads it exchange-free and only the
+    (tiny) label relation shuffles.
+
+    Lineage/iteration state: with ``checkpoint_dir`` set, each round is
+    RELIABLY checkpointed to that storage path (survives executor loss —
     what a 1000-executor run wants; set
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to have the
     ContextCleaner delete checkpoint files once their DataFrames are
-    garbage-collected — they accumulate otherwise); otherwise via
-    ``localCheckpoint`` (executor-local blocks, fine single-node). The
+    garbage-collected — they accumulate otherwise); the
     previously-configured checkpoint directory is restored on exit.
+    Without it, each round's labels are PERSISTED (MEMORY_AND_DISK) and
+    the previous round's storage is freed as soon as the next round is
+    materialized — bounded storage by construction, where the former
+    per-round ``localCheckpoint`` blocks could only be reclaimed by a
+    later driver GC (measured: a bench suite accumulated them across
+    queries). Logical plans grow by one cached-join layer per round,
+    bounded by ``max_iter``; physical work per round is constant because
+    each round reads the previous round's cache.
 
     Convergence is detected by the per-round sum of labels: min-label
     propagation only ever lowers a label, so an unchanged sum means a
-    fixed point. The round's checkpoint is LAZY and the convergence agg is
+    fixed point. The round's persist is LAZY and the convergence agg is
     the action that materializes it — ONE job per iteration (an eager
     checkpoint plus a separate agg was two full passes per round).
 
@@ -636,30 +825,44 @@ def connected_components(
     def _truncate(df: DataFrame, eager: bool = True) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=eager)
-        return df.localCheckpoint(eager=eager)
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _release(df: DataFrame) -> None:
+        if checkpoint_dir is None:
+            df.unpersist()
 
     try:
         # Materialize the edge list BEFORE mirroring it: the union's two
         # branches are otherwise two full executions of the (potentially
         # expensive) upstream pair-generation DAG — for the LSH dedup
-        # pipelines that doubled the whole candidate+verify cost. An eager
-        # checkpoint (not a lazy persist) guarantees exactly-once execution:
-        # lazy cache blocks fill per-partition DURING the first job, so the
-        # two union branches race and each can recompute the DAG.
+        # pipelines that doubled the whole candidate+verify cost. The
+        # persist path materializes eagerly via count() BEFORE the
+        # branches run: lazy cache blocks fill per-partition DURING the
+        # first job, so concurrent branches race and each can recompute
+        # the DAG.
         edges_p = _truncate(
             edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        )
+        if checkpoint_dir is None:
+            edges_p.count()
+        nodes = (
+            edges_p.select("n")
+            .unionByName(edges_p.select(F.col("m").alias("n")))
+            .distinct()
         )
         both = (
             edges_p.unionByName(
                 edges_p.select(F.col("m").alias("n"), F.col("n").alias("m"))
             )
-            .distinct()
+            .unionByName(nodes.select("n", F.col("n").alias("m")))
+            .repartition(F.col("m"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # lazy truncation: the sum agg below is the materializing action
+        # round one: labels_0 is the identity, so the first propagation
+        # is a plain aggregate (self-loops make min(m) include n itself).
+        # Lazy truncation: the sum agg below is the materializing action.
         labels = _truncate(
-            both.select("n").distinct().withColumn("label", F.col("n")),
-            eager=False,
+            both.groupBy("n").agg(F.min("m").alias("label")), eager=False
         )
         # decimal accumulator: exact at any node count (sum(long) could
         # overflow)
@@ -669,28 +872,20 @@ def connected_components(
             ).collect()[0]["s"]
 
         label_sum = _sum(labels)
-        iterations, converged = 0, False
-        for _ in range(max_iter):
+        _release(edges_p)  # both is materialized; the raw edges can go
+        iterations, converged = 1, False
+        for _ in range(max_iter - 1):
             iterations += 1
             lbl_m = labels.select(F.col("n").alias("lm"), "label")
-            nbr_min = (
-                both.join(lbl_m, on=F.col("m") == F.col("lm"), how="inner")
-                .select(F.col("n").alias("nn"), "label")
-                .groupBy("nn")
-                .agg(F.min("label").alias("nbr_label"))
-            )
+            prev = labels
             labels = _truncate(
-                labels.join(nbr_min, on=F.col("n") == F.col("nn"), how="left")
-                .select(
-                    "n",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("nbr_label"), F.col("label")),
-                    ).alias("label"),
-                ),
+                both.join(lbl_m, on=F.col("m") == F.col("lm"), how="inner")
+                .groupBy("n")
+                .agg(F.min("label").alias("label")),
                 eager=False,
             )
             new_sum = _sum(labels)
+            _release(prev)
             if new_sum == label_sum:
                 converged = True
                 break
