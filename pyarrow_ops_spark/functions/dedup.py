@@ -790,25 +790,26 @@ def connected_components(
     key ``m``, so every round's join reads it exchange-free and only the
     (tiny) label relation shuffles.
 
-    Lineage/iteration state: with ``checkpoint_dir`` set, each round is
-    RELIABLY checkpointed to that storage path (survives executor loss —
+    Lineage is truncated each round: with ``checkpoint_dir`` set, via a
+    RELIABLE checkpoint to that storage path (survives executor loss —
     what a 1000-executor run wants; set
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to have the
     ContextCleaner delete checkpoint files once their DataFrames are
-    garbage-collected — they accumulate otherwise); the
+    garbage-collected — they accumulate otherwise); otherwise via
+    ``localCheckpoint`` (executor-local blocks, fine single-node). The
     previously-configured checkpoint directory is restored on exit.
-    Without it, each round's labels are PERSISTED (MEMORY_AND_DISK) and
-    the previous round's storage is freed as soon as the next round is
-    materialized — bounded storage by construction, where the former
-    per-round ``localCheckpoint`` blocks could only be reclaimed by a
-    later driver GC (measured: a bench suite accumulated them across
-    queries). Logical plans grow by one cached-join layer per round,
-    bounded by ``max_iter``; physical work per round is constant because
-    each round reads the previous round's cache.
+    Truncation — not a bare persist — is load-bearing for the loop
+    (r14, measured): a per-round persist keeps the FULL lineage, so (a)
+    every round re-plans a logical tree one cached-join layer deeper
+    (driver latency grows with round count), and (b) releasing an old
+    round's cache leaves any later block loss nothing to rebuild from
+    but the entire upstream pair-generation DAG — an A/B batch caught
+    exactly that as a 3x wall outlier. Checkpoint rounds stay O(1) in
+    plan size and recompute depth.
 
     Convergence is detected by the per-round sum of labels: min-label
     propagation only ever lowers a label, so an unchanged sum means a
-    fixed point. The round's persist is LAZY and the convergence agg is
+    fixed point. The round's checkpoint is LAZY and the convergence agg is
     the action that materializes it — ONE job per iteration (an eager
     checkpoint plus a separate agg was two full passes per round).
 
@@ -825,26 +826,19 @@ def connected_components(
     def _truncate(df: DataFrame, eager: bool = True) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=eager)
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
-
-    def _release(df: DataFrame) -> None:
-        if checkpoint_dir is None:
-            df.unpersist()
+        return df.localCheckpoint(eager=eager)
 
     try:
         # Materialize the edge list BEFORE mirroring it: the union's two
         # branches are otherwise two full executions of the (potentially
         # expensive) upstream pair-generation DAG — for the LSH dedup
-        # pipelines that doubled the whole candidate+verify cost. The
-        # persist path materializes eagerly via count() BEFORE the
-        # branches run: lazy cache blocks fill per-partition DURING the
-        # first job, so concurrent branches race and each can recompute
-        # the DAG.
+        # pipelines that doubled the whole candidate+verify cost. An eager
+        # checkpoint (not a lazy persist) guarantees exactly-once execution:
+        # lazy cache blocks fill per-partition DURING the first job, so the
+        # two union branches race and each can recompute the DAG.
         edges_p = _truncate(
             edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         )
-        if checkpoint_dir is None:
-            edges_p.count()
         nodes = (
             edges_p.select("n")
             .unionByName(edges_p.select(F.col("m").alias("n")))
@@ -872,12 +866,10 @@ def connected_components(
             ).collect()[0]["s"]
 
         label_sum = _sum(labels)
-        _release(edges_p)  # both is materialized; the raw edges can go
         iterations, converged = 1, False
         for _ in range(max_iter - 1):
             iterations += 1
             lbl_m = labels.select(F.col("n").alias("lm"), "label")
-            prev = labels
             labels = _truncate(
                 both.join(lbl_m, on=F.col("m") == F.col("lm"), how="inner")
                 .groupBy("n")
@@ -885,7 +877,6 @@ def connected_components(
                 eager=False,
             )
             new_sum = _sum(labels)
-            _release(prev)
             if new_sum == label_sum:
                 converged = True
                 break
