@@ -1388,6 +1388,13 @@ def _winnow_rep_pairs(
     fps = winnowed_fingerprint_rows(
         spread(reps), "id", "__t", k=k, window=window
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize the cache BEFORE the plan fans out (same discipline as
+    # _minhash_rep_pairs): fps feeds the prefix index AND both verify
+    # sides; AQE runs those branches concurrently, and a lazily-persisted
+    # relation is computed once per concurrent branch — the stage drill
+    # measured the whole upstream (scan → digest collapse → fingerprint
+    # kernel) running three times per query before this.
+    fps.count()
 
     ex = fps.select("id", F.explode("fps").alias("fp"))
     freqs = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))

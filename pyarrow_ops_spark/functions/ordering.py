@@ -50,9 +50,17 @@ def assign_row_ids(
     """
     from pyspark import StorageLevel, TaskContext
 
-    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    # Range partition count: NOT pinned to a constant (r14). An explicit
+    # ``defaultParallelism`` was wrong at both ends — 32 fixed-overhead
+    # tasks per stage for a corpus numpy sorts in milliseconds locally,
+    # and far too few partitions at warehouse scale. With no explicit
+    # count, AQE sizes the range exchange from the data (coalescing
+    # adjacent ranges toward the advisory partition size), which
+    # preserves the global order and scales both directions; the persist
+    # then pins the chosen layout so the offsets job and the stamping
+    # pass see identical partition ids.
     d = (
-        df.repartitionByRange(n_parts, *[F.col(c) for c in order_by])
+        df.repartitionByRange(*[F.col(c) for c in order_by])
         .sortWithinPartitions(*order_by)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -318,7 +318,12 @@ def winnowed_fingerprint_rows(
             else:
                 h = _np.array([(codes * _pw(n)).sum() % md], dtype=_np.int64)
             mins = _svw(h, ww).min(axis=1) if h.size >= ww else h.min(keepdims=True)
-            return _np.unique(mins).tolist()
+            # numpy array, NOT .tolist(): Arrow converts an int64 ndarray
+            # via the buffer protocol, where a list boxes every
+            # fingerprint into a Python int first (r14: the boxing was
+            # the visible cost of the whole kernel stage at sf0.1 —
+            # ~3M objects per batch).
+            return _np.unique(mins)
 
         for pdf in batches:
             yield _pd.DataFrame(
