@@ -91,7 +91,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyarrow_ops_spark.functions.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, "documents", sf_dir)
-    return minhash_lsh_pairs(docs, threshold=0.8, n=5)
+    # assume_dups=True: the curation corpus is known to carry exact
+    # copies, so skip the dup pre-check scan (result-identical by the
+    # _collapse_exact_texts contract; saves one full corpus pass).
+    return minhash_lsh_pairs(docs, threshold=0.8, n=5, assume_dups=True)
 
 
 
@@ -127,7 +130,8 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyarrow_ops_spark.functions.dedup import dedup_clusters
 
     docs = load_table(spark, "documents", sf_dir)
-    return dedup_clusters(docs, threshold=0.8)
+    # assume_dups=True: skip the dup pre-check scan (see q_dedup_minhash_lsh)
+    return dedup_clusters(docs, threshold=0.8, assume_dups=True)
 
 
 
@@ -288,7 +292,8 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyarrow_ops_spark.functions.dedup import winnow_pairs
 
     docs = load_table(spark, "documents", sf_dir)
-    return winnow_pairs(docs, threshold=0.5, k=16, window=16)
+    # assume_dups=True: skip the dup pre-check scan (see q_dedup_minhash_lsh)
+    return winnow_pairs(docs, threshold=0.5, k=16, window=16, assume_dups=True)
 
 
 
@@ -961,7 +966,7 @@ def q_dedup_resolve_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    clusters = dedup_clusters(docs, threshold=0.8)
+    clusters = dedup_clusters(docs, threshold=0.8, assume_dups=True)
     joined = clusters.join(docs.select("doc_id", "n_chars"), on="doc_id")
     out = resolve_cluster_representatives(
         joined, "canonical_id", "doc_id", F.col("n_chars")

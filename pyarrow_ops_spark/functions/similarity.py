@@ -484,6 +484,11 @@ def _lsh_rep_pairs(
     reps = groups.select(
         F.element_at("members", 1).alias("id"), "v"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize before the plan fans out (dedup-engine discipline):
+    # reps feeds the signature pass AND both verify sides; a lazy
+    # persist read by concurrent AQE branches re-runs the group
+    # collapse (a corpus shuffle when duplicates exist) per branch.
+    reps.count()
     exploded = banded_rows(reps, dim, bits, bands)
     # Bucket-local pair generation; degenerate buckets are dropped (a bucket
     # catching thousands of UNIQUE vectors carries no near-dup signal, only
@@ -941,6 +946,10 @@ def semantic_dedup_pairs(
         .select("id", "v", "cluster")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize before the plan fans out (same discipline as the
+    # dedup engines): a lazy persist read by three concurrent AQE
+    # branches re-runs the assignment map once per branch.
+    assigned.count()
 
     cells = (
         assigned.groupBy("cluster")
