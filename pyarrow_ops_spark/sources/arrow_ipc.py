@@ -30,8 +30,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -263,27 +263,39 @@ class ArrowIPCWriter(DataSourceArrowWriter):
                 os.remove(m.tmp)
 
 
-class ArrowIPCStreamReader(SimpleDataSourceStreamReader):
+class ArrowIPCStreamReader(DataSourceStreamReader):
     """Streaming micro-batches from an Arrow IPC drop directory.
 
     Offset = the high-watermark FILENAME (files sort lexicographically),
     so producers must write monotonically-named files — the standard
     drop-directory convention (``part-00001``, timestamp prefixes; the
     batch writer's ``part-<pid>-<uuid>`` names do NOT qualify across
-    jobs). The offset dict stays O(1) regardless of history, and
-    ``readBetweenOffsets`` replays any (start, end] slice
-    deterministically for recovery. Rows go through the simple (tuple)
-    API — streaming drops are modest per batch; bulk backfills should
-    use the batch reader.
+    jobs). The offset dict stays O(1) regardless of history, and any
+    (start, end] slice replays deterministically for recovery
+    (``partitions(start, end)`` + ``read``).
+
+    This is the FULL (partitioned) stream-reader API, not the simple
+    one (r14): the driver only lists filenames and plans one partition
+    per file; executors memory-map their file and yield
+    ``pyarrow.RecordBatch`` straight through — the same Arrow-native
+    path as the batch reader. The previous simple-API reader
+    materialized every micro-batch as a list of per-row Python tuples
+    ON THE DRIVER and pickled it to the cluster — the throughput
+    ceiling of the whole streaming family (measured ~10 s per 1M-row
+    micro-batch side at the 10x bench point) and a driver-memory
+    anti-pattern at real scale.
 
     The monotonic-name contract is ENFORCED, not just documented: each
-    poll compares the files at or below the watermark against the set it
-    has already accounted for, and a NEW file sorting at or below the
-    watermark raises instead of being silently skipped forever (the
-    failure mode of composing the batch writer's non-monotonic
-    ``part-<pid>-<uuid>`` names with a streamed drop directory). On the
-    first poll of a (re)started run, everything at or below the restored
-    watermark is assumed ingested by the previous run.
+    planned batch compares the files at or below the START offset
+    against the set already accounted for, and a NEW file sorting at or
+    below it raises instead of being silently skipped forever (the
+    failure mode of composing the batch writer's non-monotonic names
+    with a streamed drop directory). On the first planned batch of a
+    (re)started run, everything at or below the restored watermark is
+    assumed ingested by the previous run. An in-flight (footer-less)
+    file defers itself and everything sorting after it to a later
+    micro-batch (``_complete_prefix``), holding the watermark instead
+    of killing the stream.
     """
 
     def __init__(self, options):
@@ -302,21 +314,6 @@ class ArrowIPCStreamReader(SimpleDataSourceStreamReader):
             and (end is None or os.path.basename(f) <= end)
         ]
         return sorted(names, key=os.path.basename)
-
-    def _rows(self, files):
-        # a concrete list, not a generator: Spark pickles the returned
-        # iterator for prefetch/replay, and generators don't pickle
-        import pyarrow.ipc as ipc
-
-        rows = []
-        for path in files:
-            with ipc.open_file(path) as r:
-                for i in range(r.num_record_batches):
-                    rows.extend(
-                        tuple(row.values())
-                        for row in r.get_batch(i).to_pylist()
-                    )
-        return rows
 
     @staticmethod
     def _complete_prefix(files: list) -> list:
@@ -339,7 +336,49 @@ class ArrowIPCStreamReader(SimpleDataSourceStreamReader):
                 return files[:i]
         return files
 
-    def read(self, start):
+    def _check_late(self, wm: str) -> None:
+        """Raise if a NEW file sorts at or below the watermark ``wm``
+        (it would be silently skipped forever otherwise). ``_seen_low``
+        None means no batch has been planned yet this run — the restart
+        contract says everything at/below the restored watermark was
+        ingested by the previous run, so the first ``partitions`` call
+        seeds the set instead of checking."""
+        if self._seen_low is None:
+            return
+        low = {
+            os.path.basename(f)
+            for f in _list_files(self.path)
+            if os.path.basename(f) <= wm
+        }
+        late = low - self._seen_low
+        if late:
+            raise RuntimeError(
+                "arrowipc stream: new file(s) sort at or below the "
+                f"current watermark {wm!r} and would be silently "
+                f"skipped: {sorted(late)}. Producers must write "
+                "lexicographically increasing names (the batch "
+                "writer's part-<pid>-<uuid> names do not qualify)."
+            )
+        self._seen_low = low
+
+    def latestOffset(self):
+        # The complete-prefix property is global (the first in-flight
+        # file blocks everything after it), so the latest safe watermark
+        # is simply the last file of the complete prefix of the whole
+        # sorted listing — no dependence on the current start offset,
+        # which this API method does not receive. Footer probes are
+        # metadata-only opens on the driver; file CONTENT is never read
+        # here. The late-file check ALSO runs here (against the highest
+        # name already accounted for): with no new data `partitions` is
+        # never invoked, and the loud-failure contract must not lapse.
+        if self._seen_low:
+            self._check_late(max(self._seen_low))
+        files = self._complete_prefix(self._files_between(""))
+        if not files:
+            return {"watermark": ""}
+        return {"watermark": os.path.basename(files[-1])}
+
+    def partitions(self, start, end):
         wm = start.get("watermark", "")
         low = {
             os.path.basename(f)
@@ -359,22 +398,23 @@ class ArrowIPCStreamReader(SimpleDataSourceStreamReader):
                     "writer's part-<pid>-<uuid> names do not qualify)."
                 )
             self._seen_low = low
-        files = self._complete_prefix(self._files_between(wm))
-        if not files:
-            return iter([]), start
-        end = {"watermark": os.path.basename(files[-1])}
+        files = self._files_between(wm, end.get("watermark", "") or None)
         self._seen_low |= {os.path.basename(f) for f in files}
-        # iter(list): Spark needs a real iterator (it calls next()) that
-        # ALSO pickles for prefetch-cache replay — list iterators do,
-        # generators don't
-        return iter(self._rows(files)), end
+        # one partition per file, exactly like the batch reader — the
+        # IPC file format is not block-splittable, so the file is the
+        # unit of parallelism
+        return [_FilePartition(f) for f in files]
 
-    def readBetweenOffsets(self, start, end):
-        return iter(self._rows(
-            self._files_between(
-                start.get("watermark", ""), end.get("watermark", "")
-            )
-        ))
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        # executor-side, Arrow end-to-end: memory-map and yield record
+        # batches; no per-row Python objects anywhere
+        with pa.memory_map(partition.path, "r") as source:
+            reader = ipc.open_file(source)
+            for i in range(reader.num_record_batches):
+                yield reader.get_batch(i)
 
     def commit(self, end):
         # deliberate no-op: drop files are immutable and offsets are the
@@ -409,7 +449,7 @@ class ArrowIPCDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> ArrowIPCWriter:
         return ArrowIPCWriter(self.options, overwrite)
 
-    def simpleStreamReader(self, schema: StructType) -> ArrowIPCStreamReader:
+    def streamReader(self, schema: StructType) -> ArrowIPCStreamReader:
         return ArrowIPCStreamReader(self.options)
 
 

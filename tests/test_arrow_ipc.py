@@ -133,6 +133,17 @@ def test_stream_new_files_become_microbatches(spark, tmp_path):
         q.stop()
 
 
+def _poll_rows(reader, start, end):
+    """Drive one planned micro-batch through the full stream-reader API
+    the way Spark does: partitions(start, end) on the driver, read(p) on
+    executors — returns the x-column values of every yielded batch."""
+    out = []
+    for p in reader.partitions(start, end):
+        for batch in reader.read(p):
+            out.extend(batch.column("x").to_pylist())
+    return out
+
+
 def test_stream_defers_incomplete_files(tmp_path):
     """An in-flight (footer-less) file in the drop dir must be deferred to
     a later poll — never crash the stream, never advance the watermark
@@ -151,17 +162,17 @@ def test_stream_defers_incomplete_files(tmp_path):
     feather.write_feather(pa.table({"x": [9]}), full)
     (d / "00002.arrow").write_bytes(open(full, "rb").read()[:20])
     reader = ArrowIPCStreamReader({"path": str(d)})
-    it, end = reader.read(reader.initialOffset())
-    assert sorted(r[0] for r in it) == [1, 2]
+    start = reader.initialOffset()
+    end = reader.latestOffset()
     assert end == {"watermark": "00001.arrow"}
-    # still incomplete next poll: empty batch, watermark holds
-    it2, end2 = reader.read(end)
-    assert list(it2) == [] and end2 == end
+    assert sorted(_poll_rows(reader, start, end)) == [1, 2]
+    # still incomplete next poll: the watermark holds (no new batch)
+    assert reader.latestOffset() == end
     # the writer finishes (footer lands) -> next poll ingests it
     feather.write_feather(pa.table({"x": [3, 4]}), str(d / "00002.arrow"))
-    it3, end3 = reader.read(end)
-    assert sorted(r[0] for r in it3) == [3, 4]
+    end3 = reader.latestOffset()
     assert end3 == {"watermark": "00002.arrow"}
+    assert sorted(_poll_rows(reader, end, end3)) == [3, 4]
 
 
 def test_write_overwrite_replaces_old_files(spark, tmp_path, ipc_dir):
@@ -211,16 +222,20 @@ def test_stream_late_sorting_file_fails_loudly(tmp_path):
     d.mkdir()
     feather.write_feather(pa.table({"x": [1]}), str(d / "00005.arrow"))
     r = ArrowIPCStreamReader({"path": str(d)})
-    rows, end = r.read(r.initialOffset())
-    assert end["watermark"] == "00005.arrow" and len(list(rows)) == 1
+    start = r.initialOffset()
+    end = r.latestOffset()
+    assert end["watermark"] == "00005.arrow"
+    assert len(_poll_rows(r, start, end)) == 1
     # monotonic arrival is fine
     feather.write_feather(pa.table({"x": [2]}), str(d / "00007.arrow"))
-    rows, end = r.read(end)
-    assert end["watermark"] == "00007.arrow"
-    # late arrival below the watermark: loud failure
+    end2 = r.latestOffset()
+    assert end2["watermark"] == "00007.arrow"
+    assert len(_poll_rows(r, end, end2)) == 1
+    # late arrival below the watermark: loud failure, even on the
+    # no-new-data path (latestOffset) where partitions() is never called
     feather.write_feather(pa.table({"x": [3]}), str(d / "00006.arrow"))
     with pytest.raises(RuntimeError, match="00006.arrow"):
-        r.read(end)
+        r.latestOffset()
 
 
 def test_stream_restart_assumes_watermark_files_ingested(tmp_path):
@@ -235,8 +250,12 @@ def test_stream_restart_assumes_watermark_files_ingested(tmp_path):
     d.mkdir()
     feather.write_feather(pa.table({"x": [1]}), str(d / "00005.arrow"))
     r = ArrowIPCStreamReader({"path": str(d)})
-    rows, end = r.read({"watermark": "00005.arrow"})
-    assert list(rows) == [] and end["watermark"] == "00005.arrow"
+    # restored offset: the pre-existing file at the watermark is assumed
+    # ingested — no partitions, no late-file complaint
+    restored = {"watermark": "00005.arrow"}
+    assert r.latestOffset()["watermark"] == "00005.arrow"
+    assert r.partitions(restored, {"watermark": "00005.arrow"}) == []
     feather.write_feather(pa.table({"x": [2]}), str(d / "00009.arrow"))
-    rows, end = r.read(end)
-    assert end["watermark"] == "00009.arrow" and len(list(rows)) == 1
+    end = r.latestOffset()
+    assert end["watermark"] == "00009.arrow"
+    assert len(_poll_rows(r, restored, end)) == 1
