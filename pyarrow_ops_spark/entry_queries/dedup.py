@@ -413,7 +413,10 @@ def q_dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyarrow_ops_spark.functions.dedup import split_leakage_report
 
     docs = load_table(spark, "documents", sf_dir)
-    return split_leakage_report(docs, test_frac=0.1, threshold=0.5, k=16, window=16)
+    # assume_dups=True: skip the dup pre-check scan (see q_dedup_minhash_lsh)
+    return split_leakage_report(
+        docs, test_frac=0.1, threshold=0.5, k=16, window=16, assume_dups=True
+    )
 
 
 
@@ -549,9 +552,10 @@ def q_dedup_decontaminate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     test = sample_hash(docs, 0.05, ["doc_id"])
-    return decontaminate_near(docs, test, threshold=0.5, k=16, window=16).select(
-        "doc_id", "n_chars"
-    )
+    # assume_dups=True: skip the dup pre-check scan (see q_dedup_minhash_lsh)
+    return decontaminate_near(
+        docs, test, threshold=0.5, k=16, window=16, assume_dups=True
+    ).select("doc_id", "n_chars")
 
 
 

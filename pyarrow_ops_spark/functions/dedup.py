@@ -1260,6 +1260,7 @@ def split_leakage_report(
     k: int = 8,
     window: int = 16,
     seed: str = "",
+    assume_dups: bool | None = None,
 ) -> DataFrame:
     """Eval-split contamination check: after a deterministic hash split
     (``operators.sample.sample_hash`` semantics), count near-duplicate
@@ -1278,7 +1279,8 @@ def split_leakage_report(
     is_test = _bucket([id_col], seed) < F.lit(_threshold(test_frac))
     labeled = df.select(F.col(id_col).alias("id"), is_test.alias("is_test"))
     pairs = winnow_pairs(
-        df, threshold=threshold, id_col=id_col, text_col=text_col, k=k, window=window
+        df, threshold=threshold, id_col=id_col, text_col=text_col, k=k,
+        window=window, assume_dups=assume_dups,
     ).select("id_a", "id_b")
     lab = (
         pairs.join(
@@ -1696,6 +1698,7 @@ def decontaminate_near(
     k: int = 8,
     window: int = 16,
     max_bucket: int = 10_000,
+    assume_dups: bool | None = None,
 ) -> DataFrame:
     """NEAR-duplicate decontamination: remove from ``train`` every
     document whose winnow-Jaccard similarity to ANY ``test`` document
@@ -1725,7 +1728,7 @@ def decontaminate_near(
     u = tr.unionByName(te)
     pairs = winnow_pairs(
         u, threshold=threshold, id_col="id", text_col="__t",
-        k=k, window=window, max_bucket=max_bucket,
+        k=k, window=window, max_bucket=max_bucket, assume_dups=assume_dups,
     ).select("id_a", "id_b")
     # cross-origin pairs: exactly one side negative
     cross = pairs.filter((F.col("id_a") < 0) != (F.col("id_b") < 0))
