@@ -303,6 +303,16 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("arrowipc streaming requires a path")
         self._seen_low: "set[str] | None" = None
+        # Highest basename KNOWN complete (footer-probed by an earlier
+        # trigger, or at/below a planned offset — planned files were
+        # complete when certified). Complete files are immutable, so this
+        # only ever advances: latestOffset probes ONLY files above it
+        # (bounded per-trigger driver I/O instead of re-opening the whole
+        # drop history every poll) and can never return an offset below
+        # it (an offset regression — e.g. retention deleting ingested
+        # tail files — would otherwise be checkpointed and silently
+        # re-ingest the regressed range later).
+        self._certified: str = ""
 
     def initialOffset(self):
         return {"watermark": ""}
@@ -336,18 +346,20 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
                 return files[:i]
         return files
 
-    def _check_late(self, wm: str) -> None:
+    def _check_late(self, wm: str, listing: list) -> None:
         """Raise if a NEW file sorts at or below the watermark ``wm``
         (it would be silently skipped forever otherwise). ``_seen_low``
         None means no batch has been planned yet this run — the restart
         contract says everything at/below the restored watermark was
         ingested by the previous run, so the first ``partitions`` call
-        seeds the set instead of checking."""
+        seeds the set instead of checking. ``listing`` is the caller's
+        directory listing (full paths), so one readdir per trigger
+        serves both the late check and new-file discovery."""
         if self._seen_low is None:
             return
         low = {
             os.path.basename(f)
-            for f in _list_files(self.path)
+            for f in listing
             if os.path.basename(f) <= wm
         }
         late = low - self._seen_low
@@ -364,19 +376,28 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         # The complete-prefix property is global (the first in-flight
         # file blocks everything after it), so the latest safe watermark
-        # is simply the last file of the complete prefix of the whole
-        # sorted listing — no dependence on the current start offset,
-        # which this API method does not receive. Footer probes are
-        # metadata-only opens on the driver; file CONTENT is never read
-        # here. The late-file check ALSO runs here (against the highest
-        # name already accounted for): with no new data `partitions` is
-        # never invoked, and the loud-failure contract must not lapse.
+        # is the last COMPLETE file above ``_certified`` — everything at
+        # or below it was footer-validated by an earlier trigger and is
+        # immutable, so per-trigger driver I/O is one readdir plus footer
+        # probes of only the NEW files (not the whole drop history; a
+        # long-running stream would otherwise re-open every file ever
+        # dropped, every poll). File CONTENT is never read here. The
+        # late-file check ALSO runs here (against the highest name
+        # already accounted for): with no new data `partitions` is never
+        # invoked, and the loud-failure contract must not lapse.
+        listing = self._files_between("")
         if self._seen_low:
-            self._check_late(max(self._seen_low))
-        files = self._complete_prefix(self._files_between(""))
-        if not files:
-            return {"watermark": ""}
-        return {"watermark": os.path.basename(files[-1])}
+            self._check_late(max(self._seen_low), listing)
+        new = [
+            f for f in listing if os.path.basename(f) > self._certified
+        ]
+        complete = self._complete_prefix(new)
+        if complete:
+            self._certified = os.path.basename(complete[-1])
+        # monotonic by construction: deleting already-ingested tail files
+        # (retention) can no longer regress the returned offset below a
+        # previously certified/committed watermark within this run
+        return {"watermark": self._certified}
 
     def partitions(self, start, end):
         wm = start.get("watermark", "")
@@ -398,7 +419,17 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
                     "writer's part-<pid>-<uuid> names do not qualify)."
                 )
             self._seen_low = low
-        files = self._files_between(wm, end.get("watermark", "") or None)
+        # files at/below a PLANNED offset were complete when the batch
+        # was planned (this run, or the run that wrote the checkpoint) —
+        # certify them so a restarted reader neither re-probes them in
+        # latestOffset nor ever returns an offset below the committed one
+        end_wm = end.get("watermark", "")
+        self._certified = max(self._certified, wm, end_wm)
+        # the literal "" end watermark means "empty range" (no basename
+        # sorts <= ""), never "unbounded": a planned end offset must cap
+        # the slice exactly or checkpoint replay re-reads a different
+        # file set
+        files = self._files_between(wm, end_wm)
         self._seen_low |= {os.path.basename(f) for f in files}
         # one partition per file, exactly like the batch reader — the
         # IPC file format is not block-splittable, so the file is the
