@@ -69,19 +69,21 @@ _PERIOD = 4
 # driver re-cert is the norm even when pytest swept them green. Reset this
 # list each round; mandatory stale rows always outrank it.
 _CHANGED_PATH_CLAIMS: list[str] = [
-    # r14 changes (the three new rows — stats_drift_report,
-    # dedup_leakage_free_split, streaming_chi2_monitor_ipc — are
-    # never-certified and therefore MANDATORY automatically; no claim
-    # needed)
-    "stats_embedding_drift",    # r14: vectors containing NULL ELEMENTS
-                                # are now filtered up front in BOTH
-                                # engine and oracle (r13 ADVICE #1 —
-                                # Spark's higher-order aggregate yields a
-                                # NULL norm on a NULL element while
-                                # DuckDB's list_sum skips it; untriggered
-                                # by the synthetic data, contract pinned
-                                # explicitly now). Values unchanged on
-                                # NULL-element-free data.
+    # r15 (second optimization round): the r14 verdict's ask #3 — the
+    # rows carrying the round-14 engine rewrites that the r14 rotation
+    # did not itself re-certify (proxies were green; the rows themselves
+    # must be). Ordered by risk: free slots after the mandatory set are
+    # limited, and claims fill in list order.
+    "dedup_decontaminate_near",  # r14 winnow eager-cache + assume_dups
+    "embedding_near_dup_lsh",    # r14 eager reps cache
+    "order_curriculum",          # r14 AQE-sized range exchange
+    "semantic_dedup_planted",    # r14 eager assigned cache
+    "dedup_clusters_lsh",        # r14 CC self-loop rounds + fused kernel
+    "range_join_price_bands",    # r15: range_join internals touched
+    # dedup_minhash_lsh (the r14 gram-hash family swap, the riskiest r14
+    # change) is a FOLDED row: it re-enters via the spot-recert slot —
+    # pick_spot_recert prefers claimed folded rows over mere vintage.
+    "dedup_minhash_lsh",
 ]
 # r11 claim erratum (r11 ADVICE #1, kept for history): the
 # bm25_topk->bm25_scores split claim named search_bm25_indexed, but
@@ -195,13 +197,20 @@ SPOT_RECERT_ROW: str | None = None
 
 
 def pick_spot_recert(
-    folded_names: list[str], last_green: dict[str, int]
+    folded_names: list[str],
+    last_green: dict[str, int],
+    claims: list[str] | None = None,
 ) -> str | None:
     """Deterministically pick the folded row due for a driver spot-recert:
+    a folded row named in the changed-path claims outranks mere vintage
+    (its CODE changed — it needs the re-cert more than an aging green
+    row does; r15 policy extension for the r14 verdict's ask #3), else
     oldest driver cert first, name as tiebreak. Pure for the tests."""
     if not folded_names:
         return None
-    return min(folded_names, key=lambda n: (last_green.get(n, 0), n))
+    claimed = [n for n in (claims or []) if n in folded_names]
+    pool = claimed or folded_names
+    return min(pool, key=lambda n: (last_green.get(n, 0), n))
 
 
 def _reorder_registry() -> None:
@@ -209,7 +218,7 @@ def _reorder_registry() -> None:
     last, latest = _last_green_by_row(_repo_root())
     if latest == 0:
         return  # no correctness files (fresh checkout) — keep natural order
-    spot = pick_spot_recert(list(FOLDED_QUERIES), last)
+    spot = pick_spot_recert(list(FOLDED_QUERIES), last, _CHANGED_PATH_CLAIMS)
     if spot is not None:
         QUERIES = {**QUERIES, spot: FOLDED_QUERIES[spot]}
         if spot in FOLDED_ORACLES:

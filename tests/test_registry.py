@@ -59,18 +59,23 @@ def test_spot_recert_row_is_the_oldest_folded_cert():
     """One folded row per round re-enters the driver registry in a free
     cap slot so folded driver certs stay bounded (~|folded|-round cycle).
     Pin: the selected row is the folded row with the OLDEST driver cert
-    (name tiebreak), it is oracle-backed, and it sits inside the cap."""
+    (name tiebreak) — except that a folded row named in the changed-path
+    claims outranks vintage (its code changed; r15 policy extension) —
+    it is oracle-backed, and it sits inside the cap."""
     from pyarrow_ops_spark.entry_queries import (
         FOLDED_QUERIES,
         ORACLES,
         QUERIES,
         SPOT_RECERT_ROW,
+        _CHANGED_PATH_CLAIMS,
         pick_spot_recert,
     )
     from tests.test_cert_staleness import _last_green_by_row
 
     last, _ = _last_green_by_row()
-    expected = pick_spot_recert(list(FOLDED_QUERIES), last)
+    expected = pick_spot_recert(
+        list(FOLDED_QUERIES), last, _CHANGED_PATH_CLAIMS
+    )
     assert SPOT_RECERT_ROW == expected
     assert SPOT_RECERT_ROW in FOLDED_QUERIES
     assert SPOT_RECERT_ROW in ORACLES
