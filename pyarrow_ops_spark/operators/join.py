@@ -117,6 +117,7 @@ def range_join(
     extra_on: Sequence[str] | None = None,
     how: str = "inner",
     broadcast_right: bool = True,
+    max_bands_rewrite: int = 128,
 ) -> DataFrame:
     """Band/range join: match ``left.value_col`` into ``[right.lo_col,
     right.hi_col)`` intervals, optionally AND-ed with equi-keys
@@ -124,16 +125,100 @@ def range_join(
 
     Absent in the reference (SURVEY §2.2 'Joins'). Scale story: interval
     dimension tables (price bands, date calendars, IP ranges) are small —
-    broadcast them and the range join is a map-only
-    BroadcastNestedLoopJoin, no shuffle of the fact side. With
-    ``extra_on`` equi-keys Catalyst plans a hash join with the range as a
-    post-condition instead. A big×big pure-range join should be rewritten
-    by bucketing the value into interval-aligned grid cells first."""
+    broadcast them. A BroadcastNestedLoopJoin evaluates the two interval
+    comparisons INTERPRETED per (row × band) — measured 12.6 s of task
+    time at sf0.1 for 4 bands, and O(rows × bands) at 100 TB. So when
+    the band dim is provably NON-OVERLAPPING (each value matches at most
+    one band), the join is rewritten to a codegen'd disjoint-interval
+    CASE chain that computes the matching band's index per fact row,
+    followed by a BroadcastHashJoin on that index — one whole-stage-
+    codegen pass over the fact side, still zero fact-side shuffle
+    (guide §3.1: pick the join strategy deliberately).
+
+    The overlap analysis collects at most ``max_bands_rewrite + 1``
+    interval rows driver-side (a bounded, broadcast-sized collect — the
+    same class as ``auto_bucket_width``'s one-row agg). The rewrite
+    applies only to plain inner joins of a broadcastable dim; anything
+    else — overlapping or duplicated bands, NULL/NaN edges, ``extra_on``
+    keys (Catalyst already plans those as a hash join with a range
+    post-condition), outer joins, a big interval side — falls back to
+    the generic nested-loop form, whose output is identical by
+    construction (the CASE chain just resolves the unique matching
+    band). A big×big pure-range join should instead be rewritten by
+    bucketing the value into interval-aligned grid cells
+    (``range_join_bucketed``)."""
+    if how == "inner" and not extra_on and broadcast_right:
+        out = _range_join_disjoint(
+            left, right, value_col, lo_col, hi_col, max_bands_rewrite
+        )
+        if out is not None:
+            return out
     r = F.broadcast(right) if broadcast_right else right
     cond = (left[value_col] >= r[lo_col]) & (left[value_col] < r[hi_col])
     for k in extra_on or []:
         cond = cond & (left[k] == r[k])
     return left.join(r, on=cond, how=how)
+
+
+def _range_join_disjoint(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    max_bands: int,
+) -> DataFrame | None:
+    """Equi-join rewrite of an inner broadcast range join for a provably
+    disjoint interval dim; ``None`` when ineligible (caller falls back to
+    the nested-loop form). See ``range_join`` for the analysis contract.
+
+    Output equivalence: the bands are pairwise disjoint, so each left
+    value matches AT MOST ONE live (``hi > lo``) band — the CASE chain
+    returns that band's index (or NULL, which an inner equi-join drops,
+    exactly like a non-matching row under the nested loop). Applying the
+    same chain to the band's own ``lo`` labels each band with its own
+    index (``lo ∈ [lo, hi)``), so no join-back on float equality is
+    needed. Zero-length bands (``hi <= lo``) can never match under
+    ``lo <= v < hi`` and are filtered from both the chain and the
+    broadcast side. NaN semantics match the nested loop: a NaN value
+    sorts above every band edge, fails every ``v < hi``, and yields NULL
+    → dropped on both paths."""
+    import math
+
+    if "__band_idx__" in left.columns or "__band_idx__" in right.columns:
+        return None
+    rows = right.select(lo_col, hi_col).limit(max_bands + 1).collect()
+    if len(rows) > max_bands:
+        return None  # dim too big for a literal chain — nested loop
+    bands = [(r[0], r[1]) for r in rows]
+    for lo, hi in bands:
+        if lo is None or hi is None:
+            return None
+        if isinstance(lo, float) and math.isnan(lo):
+            return None
+        if isinstance(hi, float) and math.isnan(hi):
+            return None
+    live = sorted((lo, hi) for lo, hi in bands if hi > lo)
+    if any(live[i + 1][0] < live[i][1] for i in range(len(live) - 1)):
+        return None  # overlapping (or duplicated) bands — nested loop
+    if not live:
+        # no band can ever match: inner join result is empty either way
+        return None
+
+    def chain(v):
+        expr = None
+        for i, (lo, hi) in enumerate(live):
+            c = (v >= F.lit(lo)) & (v < F.lit(hi))
+            expr = F.when(c, i) if expr is None else expr.when(c, i)
+        return expr
+
+    lb = left.withColumn("__band_idx__", chain(F.col(value_col)))
+    rb = right.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
+        "__band_idx__", chain(F.col(lo_col))
+    )
+    return lb.join(F.broadcast(rb), on="__band_idx__", how="inner").drop(
+        "__band_idx__"
+    )
 
 
 def _floor_div(col, width):

@@ -105,11 +105,15 @@ def test_q6_all_predicates_pushed(spark):
 
 
 def test_range_join_broadcasts_interval_dim(spark):
-    # fact side must NOT shuffle: the interval dim broadcasts into a
-    # nested-loop join, then one exchange for the final aggregation
+    # fact side must NOT shuffle: the price bands are disjoint, so the
+    # r15 rewrite computes the band index via a codegen CASE chain and
+    # plans a Broadcast HASH join (the interpreted nested loop was
+    # 12.6 s of task time at sf0.1), then one exchange for the final
+    # aggregation
     df = QUERIES["range_join_price_bands"](spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert shuffle_count(df) == 1
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from pyarrow_ops_spark.plans.inspect import formatted_plan
 from pyarrow_ops_spark.operators.join import range_join, range_join_bucketed
 
 
@@ -163,3 +164,101 @@ def test_negative_domain_floor_semantics(spark):
     out = range_join_bucketed(left, right, "v", "lo", "hi", bucket_width=10)
     assert _rows(out.select("lid", "rid")) == _rows(naive.select("lid", "rid"))
     assert _rows(out.select("lid", "rid")) == [(1, 0), (2, 0)]
+
+
+# --- r15: disjoint-band equi-join rewrite of the broadcast range join -------
+
+
+def _bnlj(left, right, v, lo, hi, how="inner"):
+    """The pre-r15 nested-loop reference form (bypasses the rewrite)."""
+    r = F.broadcast(right)
+    cond = (left[v] >= r[lo]) & (left[v] < r[hi])
+    return left.join(r, on=cond, how=how)
+
+
+@pytest.fixture()
+def disjoint_sides(spark):
+    vals = [None, -5, 0, 1, 9, 10, 25, 99, 100, 1000, 10**7]
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "lid int, v long"
+    )
+    ivals = [
+        ("a", 0, 10),
+        ("b", 10, 40),     # touching edges are disjoint (hi exclusive)
+        ("c", 95, 105),
+        ("d", 7, 7),       # zero-length: can never match
+        ("e", 500, 400),   # inverted: can never match
+    ]
+    right = spark.createDataFrame(ivals, "band string, lo long, hi long")
+    return left, right
+
+
+def test_disjoint_rewrite_equals_nested_loop(spark, disjoint_sides):
+    left, right = disjoint_sides
+    got = range_join(left, right, "v", "lo", "hi")
+    ref = _bnlj(left, right, "v", "lo", "hi")
+    assert _rows(got) == _rows(ref)
+    assert len(_rows(got)) > 0
+    assert got.columns == ref.columns
+
+
+def test_disjoint_rewrite_plans_hash_join(spark, disjoint_sides):
+    left, right = disjoint_sides
+    plan = formatted_plan(range_join(left, right, "v", "lo", "hi"))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_overlapping_bands_fall_back_and_match(spark, disjoint_sides):
+    left, _ = disjoint_sides
+    right = spark.createDataFrame(
+        [("a", 0, 20), ("b", 10, 40)], "band string, lo long, hi long"
+    )
+    got = range_join(left, right, "v", "lo", "hi")
+    plan = formatted_plan(got)
+    assert "BroadcastNestedLoopJoin" in plan  # fallback, not silent wrong
+    assert _rows(got) == _rows(_bnlj(left, right, "v", "lo", "hi"))
+    # a value in the overlap matches BOTH bands
+    both = [t for t in _rows(got) if t[1] == 10]
+    assert len(both) == 2
+
+
+def test_duplicate_bands_fall_back(spark, disjoint_sides):
+    left, _ = disjoint_sides
+    right = spark.createDataFrame(
+        [("a", 0, 10), ("a2", 0, 10)], "band string, lo long, hi long"
+    )
+    got = range_join(left, right, "v", "lo", "hi")
+    assert _rows(got) == _rows(_bnlj(left, right, "v", "lo", "hi"))
+    assert len([t for t in _rows(got) if t[1] == 1]) == 2
+
+
+def test_null_and_nan_band_edges_fall_back(spark, disjoint_sides):
+    left, _ = disjoint_sides
+    leftd = left.withColumn("v", F.col("v").cast("double"))
+    for ivals in (
+        [("a", 0.0, 10.0), ("b", None, 40.0)],
+        [("a", 0.0, 10.0), ("b", float("nan"), 40.0)],
+    ):
+        right = spark.createDataFrame(ivals, "band string, lo double, hi double")
+        got = range_join(leftd, right, "v", "lo", "hi")
+        assert _rows(got) == _rows(_bnlj(leftd, right, "v", "lo", "hi"))
+
+
+def test_rewrite_respects_how_and_extra_on(spark, disjoint_sides):
+    left, right = disjoint_sides
+    # non-inner joins keep the generic path (and its semantics)
+    got = range_join(left, right, "v", "lo", "hi", how="left")
+    assert _rows(got) == _rows(_bnlj(left, right, "v", "lo", "hi", how="left"))
+    # unmatched left rows survive a left join
+    assert any(t[-1] is None for t in _rows(got))
+
+
+def test_rewrite_band_cap_falls_back(spark):
+    left = spark.createDataFrame([(1, 5)], "lid int, v long")
+    ivals = [(f"b{i}", i * 10, i * 10 + 10) for i in range(20)]
+    right = spark.createDataFrame(ivals, "band string, lo long, hi long")
+    got = range_join(left, right, "v", "lo", "hi", max_bands_rewrite=4)
+    plan = formatted_plan(got)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _rows(got) == _rows(_bnlj(left, right, "v", "lo", "hi"))
