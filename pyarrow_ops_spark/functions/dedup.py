@@ -114,10 +114,12 @@ def jaccard_pairs(
     b = sh.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     j = jaccard(F.col("grams_a"), F.col("grams_b"))
-    return (
+    out = (
         pairs.select("id_a", "id_b", F.round(j, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    out.cached_relations = [sh]  # release via unpersist_cached
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +218,36 @@ def _expose_bucket_stats(out: DataFrame, fn, stats: "BucketStats") -> DataFrame:
     out.bucket_stats = stats
     fn.last_bucket_stats = stats
     return out
+
+
+def _track_dedup_caches(out: DataFrame, *rels) -> DataFrame:
+    """Attach the pipeline's persisted relations to the returned frame as
+    ``out.cached_relations`` so long-lived sessions can release them with
+    :func:`unpersist_cached` after the consuming action — the same
+    contract as the similarity entry points (whose ``_track_cached`` is
+    reused, not copied). Cache lifetime: the eager materializations
+    (``sh.count()``/``fps.count()``) are load-bearing against concurrent
+    AQE branches recomputing the fingerprint DAG, so the caches exist by
+    the time this returns and stay until ``unpersist_cached(out)`` or
+    ``spark.catalog.clearCache()``."""
+    from pyarrow_ops_spark.functions.similarity import _track_cached
+
+    bs = getattr(out, "bucket_stats", None)
+    out = _track_cached(out, *rels)
+    if bs is not None:
+        out.bucket_stats = bs
+    return out
+
+
+def unpersist_cached(df: DataFrame, blocking: bool = False) -> int:
+    """Release the relations a dedup entry point persisted for the plan
+    behind ``df`` (``df.cached_relations``) — call after the consuming
+    action. Shared implementation with the similarity entry points."""
+    from pyarrow_ops_spark.functions.similarity import (
+        unpersist_cached as _u,
+    )
+
+    return _u(df, blocking)
 
 
 def _observe_buckets(
@@ -343,7 +375,8 @@ def minhash_lsh_pairs(
     groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
         out = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
-        return _expose_bucket_stats(out, minhash_lsh_pairs, out._bucket_stats)
+        out = _expose_bucket_stats(out, minhash_lsh_pairs, out._bucket_stats)
+        return _track_dedup_caches(out, out)
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     intra = (
         groups.filter(F.size("members") >= 2)
@@ -370,9 +403,10 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
-    return _expose_bucket_stats(
+    out = _expose_bucket_stats(
         intra.unionByName(expanded), minhash_lsh_pairs, stats
     )
+    return _track_dedup_caches(out, groups, rep_pairs)
 
 
 def minhash_lsh_edges(
@@ -397,20 +431,22 @@ def minhash_lsh_edges(
     groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
         rp = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
-        return _expose_bucket_stats(
+        out = _expose_bucket_stats(
             rp.select("id_a", "id_b"), minhash_lsh_edges, rp._bucket_stats
         )
+        return _track_dedup_caches(out, rp)
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     star = groups.filter(F.size("members") >= 2).select(
         F.element_at("members", 1).alias("id_a"),
         F.explode(F.slice("members", 2, F.size("members"))).alias("id_b"),
     )
     rep_pairs = _minhash_rep_pairs(groups, threshold, n, num_hashes, bands, max_bucket)
-    return _expose_bucket_stats(
+    out = _expose_bucket_stats(
         rep_pairs.select("id_a", "id_b").unionByName(star),
         minhash_lsh_edges,
         rep_pairs._bucket_stats,
     )
+    return _track_dedup_caches(out, groups, rep_pairs)
 
 
 def _minhash_band_rows(
@@ -752,6 +788,7 @@ def _minhash_rep_pairs(
     # pipeline builds each see their own stats; the old round-trip through
     # a function attribute was last-build-wins even across threads).
     verified._bucket_stats = stats
+    verified._persisted_inputs = [sh]  # release via unpersist_cached
     return verified
 
 
@@ -918,6 +955,11 @@ def dedup_clusters(
         assume_dups,
     )
     comps = connected_components(pairs, "id_a", "id_b")
+    # connected_components eagerly checkpointed the edge list — the edge
+    # pipeline's caches (signatures, collapse groups) are dead weight now;
+    # release them instead of letting them squat on storage memory for
+    # the rest of the session (r15, ADVICE #4).
+    unpersist_cached(pairs)
     out = df.select(id_col).join(
         comps, on=F.col(id_col) == F.col("node"), how="left"
     )
@@ -1154,7 +1196,8 @@ def winnow_pairs(
     groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
         out = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
-        return _expose_bucket_stats(out, winnow_pairs, out._bucket_stats)
+        out = _expose_bucket_stats(out, winnow_pairs, out._bucket_stats)
+        return _track_dedup_caches(out, out)
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     intra = (
         groups.filter(F.size("members") >= 2)
@@ -1181,7 +1224,8 @@ def winnow_pairs(
             "winnow_jaccard",
         )
     )
-    return _expose_bucket_stats(intra.unionByName(expanded), winnow_pairs, stats)
+    out = _expose_bucket_stats(intra.unionByName(expanded), winnow_pairs, stats)
+    return _track_dedup_caches(out, groups, rep_pairs)
 
 
 def winnow_edges(
@@ -1205,20 +1249,22 @@ def winnow_edges(
     groups, had_dups = _collapse_exact_texts(df, id_col, text_col, assume_dups)
     if not had_dups:
         rp = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
-        return _expose_bucket_stats(
+        out = _expose_bucket_stats(
             rp.select("id_a", "id_b"), winnow_edges, rp._bucket_stats
         )
+        return _track_dedup_caches(out, rp)
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
     star = groups.filter(F.size("members") >= 2).select(
         F.element_at("members", 1).alias("id_a"),
         F.explode(F.slice("members", 2, F.size("members"))).alias("id_b"),
     )
     rep_pairs = _winnow_rep_pairs(groups, threshold, k, window, max_bucket)
-    return _expose_bucket_stats(
+    out = _expose_bucket_stats(
         rep_pairs.select("id_a", "id_b").unionByName(star),
         winnow_edges,
         rep_pairs._bucket_stats,
     )
+    return _track_dedup_caches(out, groups, rep_pairs)
 
 
 def winnow_clusters(
@@ -1242,6 +1288,10 @@ def winnow_clusters(
         df, threshold, id_col, text_col, k, window, max_bucket, assume_dups
     )
     comps = connected_components(edges, "id_a", "id_b")
+    # same cache-release discipline as dedup_clusters: the eager edge
+    # checkpoint inside connected_components obsoletes the fingerprint
+    # and collapse caches (r15, ADVICE #4)
+    unpersist_cached(edges)
     out = df.select(id_col).join(
         comps, on=F.col(id_col) == F.col("node"), how="left"
     )
@@ -1398,12 +1448,29 @@ def _winnow_rep_pairs(
     # kernel) running three times per query before this.
     fps.count()
 
-    ex = fps.select("id", F.explode("fps").alias("fp"))
-    freqs = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    ex = fps.select("id", F.explode("fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    # Global fingerprint frequency as a WINDOW count over the exploded
+    # relation instead of groupBy+join-back (r15, guide §2.4 "two
+    # operations keyed the same way can share one exchange"): the join
+    # form shuffled `ex` twice (once into the frequency aggregate, once
+    # into the join) — the window computes the identical per-row count
+    # with ONE exchange on fp. Value-identical by construction:
+    # count(*) OVER (PARTITION BY fp) == the groupBy count joined on fp
+    # (the explicit isNotNull filter reproduces the inner join's
+    # null-key drop; upstream null texts are already filtered, so it is
+    # belt-and-braces). At warehouse scale the frequency relation is
+    # still the documented precompute point — pass it through a
+    # statistics table there; recomputing per call here is what keeps
+    # the bench honest (no cross-run caching).
+    from pyspark.sql import Window as _W
+
+    n_docs = F.count(F.lit(1)).over(_W.partitionBy("fp"))
     # per-doc fingerprints ordered by (global frequency asc, value asc) —
     # a consistent total order across all documents, rarest first
     ordered = (
-        ex.join(freqs, on="fp")
+        ex.withColumn("n_docs", n_docs)
         .groupBy("id")
         .agg(
             F.transform(
@@ -1453,6 +1520,7 @@ def _winnow_rep_pairs(
     # per-call handle on the returned frame (thread-safe; see
     # _minhash_rep_pairs)
     out._bucket_stats = stats
+    out._persisted_inputs = [fps]  # release via unpersist_cached
     return out
 
 

@@ -811,6 +811,10 @@ def embedding_dedup_clusters(
             "id_a", "id_b"
         )
     comps = connected_components(pairs, "id_a", "id_b")
+    # connected_components eagerly checkpointed the edge list — the edge
+    # pipeline's caches (reps, collapse groups) are dead weight now;
+    # release them (same discipline as dedup.dedup_clusters; ADVICE #4).
+    unpersist_cached(pairs)
     out = corpus.select(id_col).join(
         comps, on=F.col(id_col) == F.col("node"), how="left"
     )
@@ -963,7 +967,7 @@ def semantic_dedup_pairs(
     va = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     cos = cosine_batch()
-    return (
+    out = (
         candidates.join(va, on="id_a")
         .join(vb, on="id_b")
         .select(
@@ -977,6 +981,7 @@ def semantic_dedup_pairs(
         # Catalyst paths, where x/0 yields NULL and the comparison drops
         .filter((F.col("sim") >= threshold) & ~F.isnan("sim"))
     )
+    return _track_cached(out, assigned)
 
 
 def semantic_dedup(
@@ -997,7 +1002,7 @@ def semantic_dedup(
     with KMeans cells instead of LSH bands as the candidate generator."""
     from pyarrow_ops_spark.functions.dedup import connected_components
 
-    pairs = semantic_dedup_pairs(
+    raw_pairs = semantic_dedup_pairs(
         corpus,
         threshold,
         n_clusters,
@@ -1006,8 +1011,13 @@ def semantic_dedup(
         max_cluster=max_cluster,
         train_fraction=train_fraction,
         seed=seed,
-    ).select("id_a", "id_b")
+    )
+    pairs = raw_pairs.select("id_a", "id_b")
     comps = connected_components(pairs, "id_a", "id_b")
+    # release the pair engine's caches once the edge list is checkpointed
+    # (capture the handle BEFORE .select — transforms drop the attribute;
+    # ADVICE #4)
+    unpersist_cached(raw_pairs)
     out = corpus.select(id_col).join(
         comps, on=F.col(id_col) == F.col("node"), how="left"
     )
