@@ -182,15 +182,29 @@ def _range_join_disjoint(
     ``lo <= v < hi`` and are filtered from both the chain and the
     broadcast side. NaN semantics match the nested loop: a NaN value
     sorts above every band edge, fails every ``v < hi``, and yields NULL
-    → dropped on both paths."""
+    → dropped on both paths.
+
+    The dim is evaluated EXACTLY ONCE (r15): the analysis collects the
+    full interval rows (bounded at ``max_bands + 1``, the same
+    broadcast-sized class as before) through ``coalesce(1)`` — one task
+    instead of executeTake's partition-scaling retries — and the
+    broadcast side is REBUILT from the collected rows as a single-slice
+    local relation. The first cut re-executed the arbitrary ``right``
+    plan a second time inside the BroadcastExchange; for the common
+    ``createDataFrame(small_list)`` dim that plan is a
+    defaultParallelism-sliced Python RDD, so analysis + broadcast cost
+    ~2×32 Python-worker launches (~14 s of the 16 s task time measured
+    for range_join_price_bands at sf0.1) to move four rows."""
     import math
 
     if "__band_idx__" in left.columns or "__band_idx__" in right.columns:
         return None
-    rows = right.select(lo_col, hi_col).limit(max_bands + 1).collect()
+    # coalesce(1): the limit stops the single task after max_bands+1
+    # rows, and a too-big dim bails out right here — never a full scan
+    rows = right.coalesce(1).limit(max_bands + 1).collect()
     if len(rows) > max_bands:
         return None  # dim too big for a literal chain — nested loop
-    bands = [(r[0], r[1]) for r in rows]
+    bands = [(r[lo_col], r[hi_col]) for r in rows]
     for lo, hi in bands:
         if lo is None or hi is None:
             return None
@@ -213,7 +227,11 @@ def _range_join_disjoint(
         return expr
 
     lb = left.withColumn("__band_idx__", chain(F.col(value_col)))
-    rb = right.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
+    # the broadcast side is the already-collected rows — same rows, same
+    # schema, zero re-execution of the right plan; single slice so the
+    # broadcast build is one task
+    local = right.sparkSession.createDataFrame(rows, right.schema).coalesce(1)
+    rb = local.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "__band_idx__", chain(F.col(lo_col))
     )
     return lb.join(F.broadcast(rb), on="__band_idx__", how="inner").drop(
