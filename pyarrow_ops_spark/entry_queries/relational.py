@@ -933,7 +933,17 @@ def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyarrow_ops_spark.operators.join import range_join
 
     orders = load_table(spark, "orders", sf_dir).select("o_totalprice")
-    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    # VALUES → a JVM LocalRelation: range_join's disjointness analysis
+    # collects the dim driver-side, and a createDataFrame(list) dim is a
+    # defaultParallelism-sliced Python RDD whose executeTake costs ~32
+    # Python-worker launches (~6 s task at sf0.1) to fetch four rows; the
+    # LocalRelation collect is a driver-local copy (r15, guide §4).
+    bands = spark.sql(
+        "SELECT band, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi "
+        "FROM VALUES "
+        + ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS)
+        + " AS t(band, lo, hi)"
+    )
     j = range_join(orders, bands, "o_totalprice", "lo", "hi")
     return j.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -1448,29 +1448,22 @@ def _winnow_rep_pairs(
     # kernel) running three times per query before this.
     fps.count()
 
-    ex = fps.select("id", F.explode("fps").alias("fp")).filter(
-        F.col("fp").isNotNull()
-    )
-    # Global fingerprint frequency as a WINDOW count over the exploded
-    # relation instead of groupBy+join-back (r15, guide §2.4 "two
-    # operations keyed the same way can share one exchange"): the join
-    # form shuffled `ex` twice (once into the frequency aggregate, once
-    # into the join) — the window computes the identical per-row count
-    # with ONE exchange on fp. Value-identical by construction:
-    # count(*) OVER (PARTITION BY fp) == the groupBy count joined on fp
-    # (the explicit isNotNull filter reproduces the inner join's
-    # null-key drop; upstream null texts are already filtered, so it is
-    # belt-and-braces). At warehouse scale the frequency relation is
-    # still the documented precompute point — pass it through a
-    # statistics table there; recomputing per call here is what keeps
-    # the bench honest (no cross-run caching).
-    from pyspark.sql import Window as _W
-
-    n_docs = F.count(F.lit(1)).over(_W.partitionBy("fp"))
+    ex = fps.select("id", F.explode("fps").alias("fp"))
+    # Frequency attachment stays the groupBy + join-back form — an r15
+    # window-count rewrite (count(*) OVER (PARTITION BY fp), "one
+    # exchange instead of two") was A/B-measured 10-20% SLOWER and
+    # reverted: the aggregated freqs relation is small enough that AQE
+    # already plans the join-back as a BroadcastHashJoin (no second
+    # exchange of `ex` exists), while WindowExec forces a full exchange
+    # PLUS a sort of the exploded relation that the hash aggregate never
+    # pays. At warehouse scale the frequency relation is the documented
+    # precompute point (a statistics table); recomputing per call here
+    # is what keeps the bench honest (no cross-run caching).
+    freqs = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     # per-doc fingerprints ordered by (global frequency asc, value asc) —
     # a consistent total order across all documents, rarest first
     ordered = (
-        ex.withColumn("n_docs", n_docs)
+        ex.join(freqs, on="fp")
         .groupBy("id")
         .agg(
             F.transform(

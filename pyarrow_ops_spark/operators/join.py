@@ -186,22 +186,23 @@ def _range_join_disjoint(
 
     The dim is evaluated EXACTLY ONCE (r15): the analysis collects the
     full interval rows (bounded at ``max_bands + 1``, the same
-    broadcast-sized class as before) through ``coalesce(1)`` — one task
-    instead of executeTake's partition-scaling retries — and the
-    broadcast side is REBUILT from the collected rows as a single-slice
-    local relation. The first cut re-executed the arbitrary ``right``
-    plan a second time inside the BroadcastExchange; for the common
-    ``createDataFrame(small_list)`` dim that plan is a
-    defaultParallelism-sliced Python RDD, so analysis + broadcast cost
-    ~2×32 Python-worker launches (~14 s of the 16 s task time measured
-    for range_join_price_bands at sf0.1) to move four rows."""
+    broadcast-sized class as before) and the broadcast side is REBUILT
+    from the collected rows as a SINGLE-SLICE local relation
+    (``parallelize(rows, 1)``). The first cut re-executed the arbitrary
+    ``right`` plan a second time inside the BroadcastExchange; for the
+    common ``createDataFrame(small_list)`` dim that plan is a
+    defaultParallelism-sliced Python RDD, so the broadcast build alone
+    cost a round of 32 Python-worker launches (~8 s of the 16 s task
+    time measured for range_join_price_bands at sf0.1) to move four
+    rows. The collect stays the PARALLEL executeTake (an r15
+    ``coalesce(1)`` variant evaluated the sliced Python RDD serially in
+    one task — 13 s of WALL; reverted after the worktree A/B caught
+    it)."""
     import math
 
     if "__band_idx__" in left.columns or "__band_idx__" in right.columns:
         return None
-    # coalesce(1): the limit stops the single task after max_bands+1
-    # rows, and a too-big dim bails out right here — never a full scan
-    rows = right.coalesce(1).limit(max_bands + 1).collect()
+    rows = right.limit(max_bands + 1).collect()
     if len(rows) > max_bands:
         return None  # dim too big for a literal chain — nested loop
     bands = [(r[lo_col], r[hi_col]) for r in rows]
@@ -228,9 +229,13 @@ def _range_join_disjoint(
 
     lb = left.withColumn("__band_idx__", chain(F.col(value_col)))
     # the broadcast side is the already-collected rows — same rows, same
-    # schema, zero re-execution of the right plan; single slice so the
-    # broadcast build is one task
-    local = right.sparkSession.createDataFrame(rows, right.schema).coalesce(1)
+    # schema, zero re-execution of the right plan; ONE slice so the
+    # broadcast build is one task (plain createDataFrame would slice the
+    # local rows defaultParallelism ways again)
+    spark = right.sparkSession
+    local = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), right.schema
+    )
     rb = local.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "__band_idx__", chain(F.col(lo_col))
     )
