@@ -350,13 +350,33 @@ def _ipc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_stream_to_table(out: DataFrame, mode: str, prefix: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
-    uniquely-named memory sink and return the sink table."""
+    uniquely-named memory sink and return the sink table.
+
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` (env, optional) pins
+    ``spark.sql.shuffle.partitions`` for the duration of the run — the
+    state-store partition count of a stateful query is frozen at
+    checkpoint creation from that conf and AQE cannot coalesce it
+    (stateful workloads disable AQE). The r15 A/B at the 10x point
+    (benchmarks/streaming_state_ab_r15.py, two full runs, min per
+    point) measured per-partition state-store fixed costs dominating at
+    small state volume: stream-stream join 265k rows/s at 8 partitions
+    vs 147k at 32 vs 67-151k at 64; tumbling agg 335k/272k/229k. The
+    production rule is to size state partitions to state VOLUME
+    (~100-200 MB each), never to a local core count — hence a knob with
+    no default behavior change, not a hard-coded 8 tuned to this box."""
+    import os
     import shutil
     import tempfile
     import uuid
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_ckpt_")
+    spark = out.sparkSession
+    state_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    prev_parts = None
+    if state_parts:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", state_parts)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -368,6 +388,8 @@ def _run_stream_to_table(out: DataFrame, mode: str, prefix: str) -> DataFrame:
     try:
         q.awaitTermination()
     finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out.sparkSession.table(name)
 
